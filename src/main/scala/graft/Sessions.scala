@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build sessions so Verify / Bench / tests agree on config.
+  *
+  * Notable settings:
+  *  - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS)
+  *    (FIXTURES.md §B), which Spark 4 rejects by default; with this flag
+  *    it reads as a nanos-since-epoch long that [[sources.Tables.events]]
+  *    normalizes to a µs timestamp.
+  *  - AQE on: runtime coalescing + skew-join handling is part of the
+  *    100 TB posture (SURVEY §4).
+  *  - shuffle.partitions sized to the local core count, not the 200
+  *    default; on a real cluster this would be executors × cores.
+  */
+object Sessions {
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

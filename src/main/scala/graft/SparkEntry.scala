@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * All declared queries live in [[Registry]] (one `QueryDef` per
+  * implemented operator from SURVEY.md §2); this object just adapts them
+  * to the driver's `queries` / `oracleSql` map shape.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference analytic, SURVEY §2 A6) on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Registry.byName("q_flagship").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB-equivalent SQL per oracled query (driver hash-compare). */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }
