@@ -1,8 +1,167 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.QueryDef
+import graft.sources.Tables
 
-/** Tier-A batch surface (SURVEY §2.A A7-A14) — filled in M2. */
+/** Tier-A batch surface — the operations the reference executes directly
+  * (SURVEY §2.A A7-A14), re-expressed over the driver test tables.
+  *
+  * Type alignment note: computed ints are cast to long where DuckDB's
+  * equivalent returns BIGINT, so the driver's schema/hash compare sees
+  * identical shapes on both sides.
+  */
 object TierA {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A8/B34 — embedded-JSON extraction (reference: json.loads of the
+    // producer payload, `layer/python/dask_processing.py:17-18`).
+    QueryDef(
+      "q_json_extract",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k_int"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       json_extract_string(props, '$.k') AS k_str,
+          |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+          |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // A9/A14 — timestamp → Hive-partition path derivation (reference:
+    // `src/lambda_producer.py:22-23`; values intentionally NOT zero-padded).
+    QueryDef(
+      "q_time_parts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(
+            col("event_id"),
+            year(col("ts")).cast(LongType).as("y"),
+            month(col("ts")).cast(LongType).as("mo"),
+            dayofmonth(col("ts")).cast(LongType).as("d"),
+            hour(col("ts")).cast(LongType).as("h"),
+            minute(col("ts")).cast(LongType).as("mi"),
+            second(col("ts")).cast(LongType).as("sec"),
+            concat(
+              lit("data/year="), year(col("ts")),
+              lit("/month="), month(col("ts")),
+              lit("/day="), dayofmonth(col("ts")),
+              lit("/hour="), hour(col("ts")),
+              lit("/minute="), minute(col("ts")),
+              lit("/second="), second(col("ts")),
+              lit("/data.json")).as("path"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+          |       hour(ts) AS h, minute(ts) AS mi, second(ts) AS sec,
+          |       'data/year=' || year(ts) || '/month=' || month(ts) ||
+          |       '/day=' || day(ts) || '/hour=' || hour(ts) ||
+          |       '/minute=' || minute(ts) || '/second=' || second(ts) ||
+          |       '/data.json' AS path
+          |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // A11 — interval arithmetic with a data-dependent span (reference:
+    // `end - timedelta(days=count)`, `layer/python/dask_processing.py:29-30`).
+    QueryDef(
+      "q_date_arith",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_shipdate") + expr("INTERVAL 30 DAYS")).cast("date").as("ship_plus_30"),
+            expr("CAST(l_shipdate - make_interval(0, 0, 0, l_linenumber) AS DATE)")
+              .as("ship_minus_n"),
+            datediff(to_date(col("l_shipdate")), lit("1995-01-01"))
+              .cast(LongType).as("days_since_95"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       CAST(l_shipdate + INTERVAL 30 DAY AS DATE) AS ship_plus_30,
+          |       CAST(l_shipdate - to_days(l_linenumber) AS DATE) AS ship_minus_n,
+          |       date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since_95
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // A12 — URL-encoding decode (reference: `key.replace("%3D", "=")`,
+    // `src/lambda_consumer.py:62`).
+    QueryDef(
+      "q_string_replace",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            concat(lit("data/type%3D"), col("event_type")).as("encoded"))
+          .withColumn("decoded", regexp_replace(col("encoded"), "%3D", "="))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       'data/type%3D' || event_type AS encoded,
+          |       replace('data/type%3D' || event_type, '%3D', '=') AS decoded
+          |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // A13 — md5 + prefix (reference: env-name hash
+    // `hashlib.md5(...).hexdigest()[:5]`, `src/lambda_consumer.py:134`).
+    QueryDef(
+      "q_md5",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            md5(col("event_type")).as("type_md5"),
+            substring(md5(col("props")), 1, 5).as("props_md5_5"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       md5(event_type) AS type_md5,
+          |       substring(md5(props), 1, 5) AS props_md5_5
+          |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // A7 — partitioned object-store JSON sink + read-back (reference:
+    // producer `put_object` under `data/year=…/`, `src/lambda_producer.py:20-27`).
+    // Round-trips through a real partitioned JSON write; the oracle computes
+    // the same per-partition counts directly from `events`.
+    QueryDef(
+      "q_partitioned_write",
+      (s, dir) => {
+        val out = s"/root/repo/target/tmp/q_partitioned_write"
+        val e = Tables.events(s, dir)
+        e.select(
+            col("event_id"), col("value"),
+            year(col("ts")).as("y"), month(col("ts")).as("mo"),
+            dayofmonth(col("ts")).as("d"))
+          .write.mode("overwrite")
+          .partitionBy("y", "mo", "d")
+          .json(out)
+        s.read.schema("event_id LONG, value DOUBLE, y INT, mo INT, d INT")
+          .json(out)
+          .groupBy(col("y"), col("mo"), col("d"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            col("y").cast(LongType).as("y"),
+            col("mo").cast(LongType).as("mo"),
+            col("d").cast(LongType).as("d"),
+            col("n"))
+          .orderBy(col("y"), col("mo"), col("d"))
+      },
+      Some(
+        """SELECT year(ts) AS y, month(ts) AS mo, day(ts) AS d, count(*) AS n
+          |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    )
+  )
 }

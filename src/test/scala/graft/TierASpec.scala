@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TierASpec extends SparkSpec {
+
+  test("q_json_extract: k_str/k_int agree") {
+    val bad = q("q_json_extract")
+      .filter(col("k_str").cast("int") =!= col("k_int")).count()
+    assert(bad == 0)
+  }
+
+  test("q_time_parts: path is hive-layout, not zero-padded") {
+    val row = q("q_time_parts").select(col("path")).first().getString(0)
+    assert(row.startsWith("data/year=2024/month="))
+    assert(!row.contains("month=0")) // January renders as month=1
+  }
+
+  test("q_string_replace: decode undoes %3D") {
+    val bad = q("q_string_replace")
+      .filter(col("decoded") =!= regexp_replace(col("encoded"), "%3D", "=")).count()
+    assert(bad == 0)
+  }
+
+  test("q_md5: 32-hex digest and 5-char prefix") {
+    val r = q("q_md5").first()
+    assert(r.getString(1).matches("[0-9a-f]{32}"))
+    assert(r.getString(2).length == 5)
+  }
+
+  test("q_partitioned_write: per-day counts sum to table size") {
+    val total = q("q_partitioned_write").agg(sum(col("n"))).first().getLong(0)
+    assert(total == sources.Tables.events(spark, sf).count())
+  }
+}
