@@ -1,8 +1,183 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.sources.Tables
 
-/** Aggregation family (SURVEY §2.B B14-B20) — filled in M3. */
+/** Aggregation family (SURVEY §2.B B14-B20).
+  *
+  * Everything here compiles to partial+final `HashAggregateExec` with
+  * map-side combine — the shuffle carries one row per (group, partition),
+  * so these plans scale with group cardinality, not input size. Floating
+  * aggregates are rounded on both engine and oracle (SURVEY §7: summation
+  * order differs between engines in the last ULPs).
+  */
 object Aggregates {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B14 — the basic hash-agg family (TPC-H Q1 shape).
+    QueryDef(
+      "q_agg_basic",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       round(avg(l_quantity), 6) AS avg_qty,
+          |       min(l_extendedprice) AS min_price,
+          |       max(l_extendedprice) AS max_price,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // B15 — exact distinct counts (expand + two-phase agg in Spark).
+    QueryDef(
+      "q_agg_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       count(DISTINCT l_partkey) AS nd_parts,
+          |       count(DISTINCT l_suppkey) AS nd_supps,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // B16 — HLL++ approximate distinct. No hash oracle (estimator differs
+    // engine-to-engine by design); RegistrySpec + AggregatesSpec assert
+    // tolerance vs the exact count instead.
+    QueryDef(
+      "q_agg_approx_distinct",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+
+    // B17 — ROLLUP with grouping() disambiguation of the NULL rows.
+    QueryDef(
+      "q_rollup",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("g"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"), col("sum_qty"), col("g"))
+          .orderBy(col("flag"), col("status"), col("g"))
+      },
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       count(*) AS n,
+          |       round(sum(l_quantity), 2) AS sum_qty,
+          |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY flag, status, g""".stripMargin)
+    ),
+
+    // B18 — central-moment statistics. DuckDB's skewness/kurtosis are
+    // bias-corrected sample estimators while Spark's are population (g1 /
+    // excess g2), so the oracle derives the population forms from raw
+    // moments instead of using DuckDB's named functions.
+    QueryDef(
+      "q_agg_stats",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+              .as("covar_qty_price"),
+            round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+            round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT l_returnflag AS f, avg(l_extendedprice) AS ax
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag,
+          |       round(stddev_samp(l_quantity), 6) AS std_qty,
+          |       round(var_samp(l_quantity), 6) AS var_qty,
+          |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+          |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+          |       round(avg(pow(l_extendedprice - ax, 3))
+          |             / pow(avg(pow(l_extendedprice - ax, 2)), 1.5), 6) AS skew_price,
+          |       round(avg(pow(l_extendedprice - ax, 4))
+          |             / pow(avg(pow(l_extendedprice - ax, 2)), 2) - 3, 6) AS kurt_price
+          |FROM lineitem JOIN a ON l_returnflag = a.f
+          |GROUP BY l_returnflag, ax ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // B19 — exact median / interpolated quantiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, both linear interpolation).
+    QueryDef(
+      "q_agg_quantile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("q25_qty"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 6).as("q75_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+          |       round(quantile_cont(l_quantity, 0.25), 6) AS q25_qty,
+          |       round(quantile_cont(l_extendedprice, 0.75), 6) AS q75_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // B20 — collect_set, sorted + stringified for deterministic compare.
+    QueryDef(
+      "q_agg_collect",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+              .as("priorities"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(
+        """SELECT o_orderstatus,
+          |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+          |       count(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    )
+  )
 }

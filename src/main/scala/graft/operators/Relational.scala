@@ -1,8 +1,201 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.sources.Tables
 
-/** Filters, projections, joins (SURVEY §2.B B5-B13) — filled in M3. */
+/** Filters, projections, and the join family (SURVEY §2.B B5-B13).
+  *
+  * Scale posture: equi-joins shuffle on their keys (SMJ/shuffled-hash per
+  * Catalyst's choice); dimension tables (`part`, `customer`, `nation`)
+  * are broadcast — at 100 TB the fact side never moves for those. The
+  * non-equi band join deliberately broadcasts its tiny build side; the
+  * as-of join is a single windowed shuffle (see [[AsOf]]).
+  */
 object Relational {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B5 — compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL.
+    // All of it pushes to the parquet scan (PushedFilters in explain).
+    QueryDef(
+      "q_filter",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(
+            col("l_quantity").between(5, 45) &&
+            (col("l_returnflag").isin("A", "R") || col("l_linestatus") === "O") &&
+            !(col("l_discount") < 0.01) &&
+            col("l_shipdate").isNotNull &&
+            col("l_returnflag").like("%A%"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+          |FROM lineitem
+          |WHERE l_quantity BETWEEN 5 AND 45
+          |  AND (l_returnflag IN ('A','R') OR l_linestatus = 'O')
+          |  AND NOT (l_discount < 0.01)
+          |  AND l_shipdate IS NOT NULL
+          |  AND l_returnflag LIKE '%A%'
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // B6 + B35 — computed projection with conditionals.
+    QueryDef(
+      "q_project",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            when(col("l_quantity") < 10, "small")
+              .when(col("l_quantity") < 35, "medium")
+              .otherwise("large").as("bucket"),
+            coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+          |       l_extendedprice * (1.0 - l_discount) AS revenue,
+          |       CASE WHEN l_quantity < 10 THEN 'small'
+          |            WHEN l_quantity < 35 THEN 'medium'
+          |            ELSE 'large' END AS bucket,
+          |       coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // B7 — inner equi-join chain across the star schema.
+    QueryDef(
+      "q_join_inner",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .select(o("o_orderkey"), c("c_custkey"), c("c_name"), n("n_name"),
+            o("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_orderkey, c_custkey, c_name, n_name, o_totalprice
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |            JOIN nation ON c_nationkey = n_nationkey
+          |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // B8 — broadcast join: `part` is a dimension; the lineitem side never
+    // shuffles for the join (only for the aggregation).
+    QueryDef(
+      "q_join_broadcast",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("p_brand"))
+      },
+      Some(
+        """SELECT p_brand,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       count(*) AS n
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
+    // B9 — left outer join + aggregation over the nullable side.
+    QueryDef(
+      "q_join_outer",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(
+        """SELECT c_custkey, count(o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+          |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // B10 — left semi (EXISTS) and left anti (NOT EXISTS), tagged and
+    // unioned so one deterministic result covers both.
+    QueryDef(
+      "q_join_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey")).withColumn("tag", lit("has_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey")).withColumn("tag", lit("no_orders"))
+        semi.unionByName(anti).orderBy(col("c_custkey"), col("tag"))
+      },
+      Some(
+        """SELECT c_custkey, 'has_orders' AS tag FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |UNION ALL
+          |SELECT c_custkey, 'no_orders' AS tag FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey, tag""".stripMargin)
+    ),
+
+    // B11/B13 — non-equi band join (theta). Build side is tiny, so Spark
+    // plans BroadcastNestedLoop — the right call; a range-bucketed
+    // pre-partition would replace it at scale.
+    QueryDef(
+      "q_join_range",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+        val c = Tables.customer(s, dir)
+        c.join(broadcast(sup),
+            c("c_acctbal") >= sup("s_acctbal") - 100.0 &&
+            c("c_acctbal") <= sup("s_acctbal") + 100.0)
+          .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some(
+        """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+          |FROM customer JOIN supplier
+          |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+          |ORDER BY s_suppkey, c_custkey""".stripMargin)
+    ),
+
+    // B12 — as-of join: each event picks up the id of the latest
+    // purchase event (<= its ts) by the same user. See [[AsOf]].
+    QueryDef(
+      "q_join_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsOf.lastEarlier(
+            e.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", ts = "ts", payload = "purchase_id")
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id, p.purchase_id
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin)
+    )
+  )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class RelationalSpec extends SparkSpec {
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    val plan = q("q_join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no full sort)") {
+    val plan = q("q_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("q_filter pushes predicates to the parquet scan") {
+    val plan = q("q_filter").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"plan was:\n$plan")
+    assert(plan.contains("l_quantity"), "quantity bound not pushed")
+  }
+
+  test("as-of join: every purchase event matches itself") {
+    val e = sources.Tables.events(spark, sf)
+    val res = q("q_join_asof")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"))
+    val selfMatched = res.join(purchases, "event_id")
+      .filter(col("purchase_id") === col("event_id"))
+    assert(selfMatched.count() == purchases.count())
+  }
+
+  test("as-of join: purchase_id is never later than the event") {
+    val e = sources.Tables.events(spark, sf).select(
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val bad = q("q_join_asof").filter(col("purchase_id").isNotNull)
+      .join(e, "purchase_id")
+      .join(sources.Tables.events(spark, sf).select(col("event_id"), col("ts")), "event_id")
+      .filter(col("p_ts") > col("ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("semi + anti partition the customer set") {
+    val n = q("q_join_semi_anti").count()
+    assert(n == sources.Tables.customer(spark, sf).count())
+  }
+
+  test("approx distinct within 10% of exact") {
+    val ap = q("q_agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ex = q("q_agg_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ex.foreach { case (k, exact) =>
+      val approx = ap(k)
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"$k: approx=$approx exact=$exact")
+    }
+  }
+
+  test("rollup adds per-flag and grand-total rows") {
+    val df = q("q_rollup")
+    assert(df.filter(col("flag") === "ALL" && col("status") === "ALL").count() == 1)
+    assert(df.filter(col("g") === 1).count() > 0) // per-flag subtotals
+  }
+
+  test("window rank is deterministic across partitionings") {
+    def run(n: Int) = sources.Tables.orders(spark, sf).repartition(n)
+      .select(col("o_orderkey"), row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(run(2) == run(13))
+  }
+}
