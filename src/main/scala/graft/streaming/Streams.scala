@@ -1,8 +1,133 @@
 package graft.streaming
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 import graft.QueryDef
+import graft.sources.Tables
 
-/** Structured Streaming surface (SURVEY §2.B B36-B41) — filled in M6. */
+/** Structured Streaming surface (SURVEY §2.B B36-B41).
+  *
+  * The reference's ingestion is one Lambda invocation per S3
+  * `OBJECT_CREATED` event (`app.py:174-175`) — at-least-once, no
+  * watermarks, no state. The Spark-native equivalent is the streaming
+  * file source: each micro-batch picks up newly-arrived files exactly
+  * once (checkpointed file log), `Trigger.AvailableNow` drains the
+  * backlog, `Trigger.ProcessingTime` mirrors the producer cron
+  * (`app.py:131-134`). Watermarks/session windows/stateful dedup are
+  * capabilities the reference lacks but its substrate advertises
+  * (SURVEY §2 B38-B40) — batch-equivalence + StreamsSpec cover those.
+  *
+  * Scale: streaming aggs shuffle once per micro-batch on the group key;
+  * state (windows, dedup keys) is partitioned by key in the state store,
+  * and watermarks bound state size — the knobs that matter at 100 TB/day
+  * are watermark delay and shuffle partitions, not operator choice.
+  */
 object Streams {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  /** Stage `df` as JSON files and open them as a file-source stream —
+    * the test-data stand-in for the reference's S3 landing bucket. */
+  def stageAndStream(s: SparkSession, df: DataFrame, path: String,
+                     schema: StructType): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    s.readStream.schema(schema).json(path)
+  }
+
+  /** Drain a streaming aggregation into a memory sink table and return
+    * its contents (AvailableNow ⇒ terminates after the backlog). */
+  def drainComplete(s: SparkSession, agg: DataFrame, sinkName: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
+  private val eventsJsonSchema =
+    StructType.fromDDL("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B36/A17 — file-arrival ingestion, end to end through a real
+    // streaming query. The oracle is the batch equivalent over the same
+    // rows: exactly-once file-source semantics make them identical.
+    QueryDef(
+      "q_stream_ingest",
+      (s, dir) => {
+        val stage = "/root/repo/target/tmp/q_stream_ingest"
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStream(s, src, stage, eventsJsonSchema)
+        val agg = stream.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        drainComplete(s, agg, "q_stream_ingest_sink")
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // B37 — tumbling event-time window aggregation, run as a real
+    // streaming query; oracle via DuckDB time_bucket.
+    QueryDef(
+      "q_stream_window",
+      (s, dir) => {
+        val stage = "/root/repo/target/tmp/q_stream_window"
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStream(s, src, stage, eventsJsonSchema)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val agg = stream
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        drainComplete(s, agg, "q_stream_window_sink")
+          .select(col("window.start").cast("long").as("bucket_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("bucket_s"), col("event_type"))
+      },
+      Some(
+        """SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS bucket_s,
+          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // B38 — session windows (30-minute gap) per user. Batch-mode
+    // session_window so the DuckDB gaps-and-islands oracle can replay
+    // the exact merge semantics (new session when gap >= 30 min).
+    QueryDef(
+      "q_stream_session",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some(
+        """WITH marked AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marked)
+          |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM sessions GROUP BY user_id, sid
+          |ORDER BY user_id, session_start_us""".stripMargin)
+    )
+  )
 }

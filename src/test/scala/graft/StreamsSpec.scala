@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+class StreamsSpec extends SparkSpec {
+
+  private val schema =
+    StructType.fromDDL("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+
+  private def freshDir(name: String): String = {
+    val p = s"/root/repo/target/tmp/streams_spec/$name"
+    val dir = Paths.get(p)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(dir)
+    p
+  }
+
+  test("B36: streaming file-source agg equals batch agg over same files") {
+    val dir = freshDir("equiv")
+    val src = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    src.write.mode("overwrite").json(dir)
+
+    val batch = spark.read.schema(schema).json(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect().toSeq
+
+    val agg = spark.readStream.schema(schema).json(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val streamed = streaming.Streams.drainComplete(spark, agg, "equiv_sink")
+      .orderBy(col("event_type")).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("B39: watermark drops a far-late event; on-time windows finalize") {
+    val dir = freshDir("late")
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], file: String): Unit =
+      rows.toDF("event_id", "ts_str")
+        .select(col("event_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          unix_micros(to_timestamp(col("ts_str"))).as("ts_us"),
+          lit(0L).as("user_id"))
+        .coalesce(1).write.mode("append").json(dir)
+
+    // batch 1: on-time events in hour 10 of day 2
+    write(Seq((1L, "2024-01-02 10:00:10"), (2L, "2024-01-02 10:20:00")), "b1")
+    val stream = spark.readStream.schema(schema).json(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: advances watermark well past day 2 hour 10, plus one
+      // far-late day-1 event that must be dropped
+      write(Seq((3L, "2024-01-02 23:00:00"), (4L, "2024-01-01 00:00:05")), "b2")
+      q.processAllAvailable()
+      // batch 3: one more on-time row so closed windows flush
+      write(Seq((5L, "2024-01-02 23:30:00")), "b3")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_sink").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hour10 = java.time.Instant.parse("2024-01-02T10:00:00Z").getEpochSecond
+    val day1 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(out.get(hour10).contains(2L), s"on-time window missing: $out")
+    assert(!out.contains(day1), s"late event leaked into results: $out")
+  }
+
+  test("B40: dropDuplicatesWithinWatermark dedups repeated event ids") {
+    val dir = freshDir("dedup")
+    import spark.implicits._
+    Seq((1L, "2024-01-02 10:00:00"), (1L, "2024-01-02 10:00:30"),
+        (2L, "2024-01-02 10:01:00"))
+      .toDF("event_id", "ts_str")
+      .select(col("event_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+        unix_micros(to_timestamp(col("ts_str"))).as("ts_us"), lit(0L).as("user_id"))
+      .write.mode("append").json(dir)
+    val dedup = spark.readStream.schema(schema).json(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_sink").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("B40: flatMapGroupsWithState running per-user count matches batch") {
+    val dir = freshDir("state")
+    val src = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    src.write.mode("overwrite").json(dir)
+    import spark.implicits._
+    val counted = spark.readStream.schema(schema).json(dir)
+      .as[(Long, Long, String, Double, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Double, Long)],
+         state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }.toDF("user_id", "running_n")
+    val q = counted.writeStream.format("memory").queryName("state_sink")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // last emitted running_n per user == batch count
+    val last = spark.table("state_sink").groupBy(col("user_id"))
+      .agg(max(col("running_n")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = sources.Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == batch)
+  }
+
+  test("B41: parquet sink with checkpoint writes exactly the input rows") {
+    val dir = freshDir("sink_src")
+    val out = freshDir("sink_out")
+    val ckpt = freshDir("sink_ckpt")
+    val src = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    src.write.mode("overwrite").json(dir)
+    val q = spark.readStream.schema(schema).json(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == src.count())
+  }
+}
