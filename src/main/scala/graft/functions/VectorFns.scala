@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * codegen'd higher-order functions (SURVEY §2.B B47) — no UDF in the hot
+  * path, so whole-stage codegen fuses the fold into the surrounding plan.
+  *
+  * Elements are cast to double BEFORE the fold: both our oracle (DuckDB)
+  * and this code then execute the identical left-to-right IEEE double
+  * op sequence, making results reproducible across engines (float32
+  * accumulation — what DuckDB's `list_cosine_similarity` does internally
+  * — drifts up to ~2e-7, which is visible at round-6 comparisons).
+  */
+object VectorFns {
+
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  /** Σ aᵢ·bᵢ with double accumulation, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Σ aᵢ² with double accumulation. */
+  def sumSq(a: Column): Column =
+    aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(sumSq(a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** The equivalent DuckDB SQL fragments, kept adjacent so query oracles
+    * stay in lockstep with the Spark expressions above. */
+  object OracleSql {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def sumSq(a: String): String =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosine(a: String, b: String): String =
+      s"(${dot(a, b)} / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)})))"
+  }
+}

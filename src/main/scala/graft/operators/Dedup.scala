@@ -1,9 +1,194 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.functions.{TextFns, VectorFns}
+import graft.sources.Tables
 
-/** Dedup family: exact, MinHash LSH, SimHash, n-gram Jaccard,
-  * embedding-cosine near-dup (SURVEY §2.B B45-B46 + north star) — M7. */
+/** Deduplication family over `documents` / `embeddings` (SURVEY §2.B
+  * B45-B46 + north star): exact content hash, n-gram Jaccard, MinHash
+  * LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - exact dedup = one hash-shuffle on the content digest;
+  *  - n-gram Jaccard = explode + equi-join on shingle — pair work only
+  *    where shingles actually collide (plus a frequency cap for
+  *    stop-shingles in production);
+  *  - MinHash LSH = candidates meet only inside (band, signature)
+  *    buckets: the self-join is n² per bucket, not per corpus;
+  *  - SimHash = 64-bit signature, candidates via 16-bit chunk equality
+  *    (pigeonhole: hamming ≤ 3 ⇒ some chunk equal);
+  *  - embedding near-dup = brute pair scan here; the LSH-bucketed path in
+  *    [[Similarity.annIndex]] is the same operator's scale route.
+  */
 object Dedup {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  /** documents → (doc_id, shs: distinct word-3-gram shingles). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.shingles3(col("text")).as("shs"))
+      .filter(size(col("shs")) >= 1)
+
+  /** Candidate pairs sharing ≥1 MinHash LSH band, exact-verified. */
+  def minhashNearDups(docs: DataFrame, k: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    val rows = k / bands
+    val sig = docs
+      .withColumn("mh", TextFns.minhash(col("shs"), k))
+      .select(col("doc_id"), col("shs"),
+        posexplode(TextFns.bandSignatures(col("mh"), bands, rows))
+          .as(Seq("band", "sig")))
+    val a = sig.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("shs").as("shs_a"))
+    val b = sig.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("shs").as("shs_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", round(TextFns.jaccard(col("shs_a"), col("shs_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc from the token multiset — pure SQL (64
+    * per-bit majority sums), no UDF. */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col(textCol))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"b$i"))
+    val aggCols = count(lit(1)).as("n") +: bitSums
+    val agg = th.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"b$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, candidates via
+    * 16-bit chunk banding (complete for maxHamming ≤ 3 by pigeonhole). */
+  def simhashNearDups(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ck")))
+    val a = chunked.select(col("chunk"), col("ck"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ck"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B45 — exact content dedup via digest (one shuffle on md5).
+    QueryDef(
+      "q_dedup_content",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("content_md5"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("keeper_id"))
+      },
+      Some(
+        """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin)
+    ),
+
+    // North star — exact n-gram (3-shingle) Jaccard pairs, fully
+    // SQL-expressible, oracle replays it in DuckDB.
+    QueryDef(
+      "q_dedup_ngram",
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+          .select(col("doc_id"), explode(col("shs")).as("s"))
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard", round(
+            col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(ts) - 1),
+          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+          |  FROM tok WHERE len(ts) >= 3),
+          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          |FROM inter
+          |JOIN sz sa ON doc_a = sa.doc_id
+          |JOIN sz sb ON doc_b = sb.doc_id
+          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // North star — MinHash LSH with exact verification. No SQL oracle
+    // (xxhash64 signatures aren't reproducible in DuckDB); DedupSpec
+    // asserts equality with the brute-force q_dedup_ngram pairs.
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) =>
+        minhashNearDups(docShingles(s, dir), k = 64, bands = 16, threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
+      None
+    ),
+
+    // North star — SimHash near-dup (hamming ≤ 3 on 64-bit signatures).
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) =>
+        simhashNearDups(simhash(Tables.documents(s, dir), "text"), maxHamming = 3)
+          .orderBy(col("doc_a"), col("doc_b")),
+      None
+    ),
+
+    // North star — embedding-cosine near-dup pairs (brute pair scan;
+    // LSH path = Similarity.annIndex). Oracled with the double-precision
+    // cosine formula.
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("cos", round(VectorFns.cosine(col("ea"), col("eb")), 6))
+          .filter(col("cos") >= 0.45)
+          .select(col("vec_a"), col("vec_b"), col("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       round(${VectorFns.OracleSql.cosine("a.embedding", "b.embedding")}, 6) AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE round(${VectorFns.OracleSql.cosine("a.embedding", "b.embedding")}, 6) >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin)
+    )
+  )
 }

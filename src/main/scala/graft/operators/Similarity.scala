@@ -1,9 +1,114 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.QueryDef
+import graft.functions.VectorFns
+import graft.sources.Tables
 
-/** Vector similarity search: brute-force cosine top-k + LSH ANN
-  * (SURVEY §2.B B47) — M7. */
+/** Vector similarity search over `embeddings.embedding` (SURVEY §2.B B47).
+  *
+  * Two paths:
+  *  - **Brute-force top-k** (`q_similarity_topk`): broadcast the (small)
+  *    query set against the corpus, exact double-precision cosine, per-query
+  *    window rank. The corpus side streams through codegen — no shuffle of
+  *    the corpus at all; this is the right plan whenever |queries| is small,
+  *    at any corpus scale.
+  *  - **LSH-bucketed ANN** (`q_similarity_ann`): sign-of-projection random
+  *    hyperplane LSH, OR-amplified across `Tables` hash tables of `Planes`
+  *    bits each. Candidates only meet inside a bucket, so the self-join cost
+  *    drops from n² to Σ bucket². Hyperplanes are derived from a fixed seed —
+  *    fully deterministic, reproducible across runs and cluster sizes.
+  *    At 100 TB the bucket join shuffles on (table, bucket) — the classic
+  *    scale-out ANN shape (see PAPERS.md, distributed similarity search).
+  */
 object Similarity {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  /** Deterministic unit-free hyperplanes: values from a seeded PRNG so every
+    * run/partitioning sees identical buckets. */
+  def hyperplanes(nTables: Int, planesPerTable: Int, dim: Int,
+                  seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(planesPerTable)(Array.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Bucket id of `vec` in one table: one sign bit per hyperplane. */
+  def bucketFor(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFns.dot(vec, lit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus exploded to one row per (table, bucket) — the ANN index. */
+  def annIndex(vectors: DataFrame, idCol: String, vecCol: String,
+               nTables: Int = 4, planesPerTable: Int = 2): DataFrame = {
+    val planes = hyperplanes(nTables, planesPerTable, dim = 64)
+    val tables = (0 until nTables).map { t =>
+      vectors.select(col(idCol), col(vecCol),
+        lit(t).as("lsh_table"), bucketFor(col(vecCol), planes(t)).as("lsh_bucket"))
+    }
+    tables.reduce(_ unionByName _)
+  }
+
+  private def topkBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+      .withColumn("cos", round(VectorFns.cosine(col("qvec"), col("nvec")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B47(a) — exact cosine top-k, oracled against DuckDB with the
+    // double-precision formula (NOT list_cosine_similarity: float32).
+    QueryDef(
+      "q_similarity_topk",
+      (s, dir) => topkBrute(s, dir, nQueries = 5, k = 10),
+      Some(
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |         round(${VectorFns.OracleSql.cosine("q.embedding", "c.embedding")}, 6) AS cos
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT qid, nid, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+           |  FROM scored)
+           |SELECT qid, rnk, nid, cos FROM ranked WHERE rnk <= 10
+           |ORDER BY qid, rnk""".stripMargin)
+    ),
+
+    // B47(b) — LSH ANN: per-vector top-3 among same-bucket candidates.
+    // No oracle (bucket membership depends on the seeded hyperplanes);
+    // SimilaritySpec asserts recall against brute force at sf0.001.
+    QueryDef(
+      "q_similarity_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val idx = annIndex(e, "vec_id", "embedding")
+        val left = idx.select(col("lsh_table"), col("lsh_bucket"),
+          col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val right = idx.select(col("lsh_table"), col("lsh_bucket"),
+          col("vec_id").as("nid"), col("embedding").as("nvec"))
+        val cands = left.join(right, Seq("lsh_table", "lsh_bucket"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+          .dropDuplicates("qid", "nid")
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        cands.withColumn("cos", round(VectorFns.cosine(col("qvec"), col("nvec")), 6))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None
+    )
+  )
 }

@@ -1,9 +1,169 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
+import graft.functions.TextFns
+import graft.sources.Tables
 
-/** Text analysis: tokenize, quality scoring, language-ID, fingerprint
-  * (SURVEY §2.B B48 + north star) — M7. */
+/** Text analysis over `documents` (SURVEY §2.B B48 + north star):
+  * token statistics, quality scoring, heuristic language-ID, and
+  * content fingerprinting. All per-row column expressions (plus one
+  * window for fingerprint dup counts) — embarrassingly parallel, no
+  * shuffle except where aggregation is the point.
+  */
 object TextAnalysis {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words.map(lit): _*)))
+      .cast(LongType)
+
+  private val StopEn = Seq("the", "and", "of", "to", "in", "is")
+  private val StopEs = Seq("el", "la", "de", "que", "y", "en")
+  private val StopDe = Seq("der", "die", "und", "das", "ist", "von")
+  private val StopFr = Seq("le", "les", "et", "des", "un", "une")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // North star — token counting: whitespace tokens + a BPE-ish regex
+    // segmentation (letter runs / digit runs / single symbols).
+    QueryDef(
+      "q_text_tokens",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(ts).cast(LongType).as("n_tokens"),
+            size(array_distinct(ts)).cast(LongType).as("n_distinct"),
+            round(
+              aggregate(transform(ts, t => length(t).cast(DoubleType)),
+                lit(0.0), (a, v) => a + v) / size(ts).cast(DoubleType), 6)
+              .as("avg_token_len"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+              .cast(LongType).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |       len(string_split(lower(text), ' ')) AS n_tokens,
+          |       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+          |       round(list_sum(list_transform(string_split(lower(text), ' '),
+          |             t -> CAST(len(t) AS DOUBLE)))
+          |             / len(string_split(lower(text), ' ')), 6) AS avg_token_len,
+          |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — quality scoring: length/stopword/vocabulary-diversity
+    // ratios folded into one bounded score.
+    QueryDef(
+      "q_text_quality",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast(LongType).as("n_chars"),
+            size(ts).cast(LongType).as("n_tokens"),
+            countIn(ts, StopEn).as("n_stop"),
+            size(array_distinct(ts)).cast(LongType).as("n_distinct"))
+          .select(
+            col("doc_id"), col("n_chars"), col("n_tokens"),
+            round(col("n_stop").cast(DoubleType) / col("n_tokens"), 6)
+              .as("stopword_ratio"),
+            round(col("n_distinct").cast(DoubleType) / col("n_tokens"), 6)
+              .as("distinct_ratio"),
+            round(
+              lit(0.4) * (col("n_stop").cast(DoubleType) / col("n_tokens")) +
+              lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens")) +
+              lit(0.3) * least(lit(1.0), col("n_chars").cast(DoubleType) / 500.0), 6)
+              .as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         string_split(lower(text), ' ') AS ts FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_chars, len(ts) AS n_tokens,
+          |         len(list_filter(ts, x -> x IN ('the','and','of','to','in','is'))) AS n_stop,
+          |         len(list_distinct(ts)) AS n_distinct
+          |  FROM t)
+          |SELECT doc_id, n_chars, n_tokens,
+          |       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+          |       round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+          |       round(0.4 * (n_stop * 1.0 / n_tokens)
+          |           + 0.3 * (n_distinct * 1.0 / n_tokens)
+          |           + 0.3 * least(1.0, n_chars / 500.0), 6) AS quality_score
+          |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — heuristic language ID: stopword-profile scores per
+    // language + a Han-script check, argmax with fixed priority.
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            countIn(ts, StopEn).as("s_en"),
+            countIn(ts, StopEs).as("s_es"),
+            countIn(ts, StopDe).as("s_de"),
+            countIn(ts, StopFr).as("s_fr"),
+            when(col("text").rlike("\\p{IsHan}"), lit(100L)).otherwise(lit(0L))
+              .as("s_zh"))
+          .withColumn("predicted",
+            when(col("s_zh") > greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr")), "zh")
+              .when(col("s_en") + col("s_es") + col("s_de") + col("s_fr") === 0, "und")
+              .when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+              .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+              .when(col("s_de") >= col("s_fr"), "de")
+              .otherwise("fr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang AS labeled_lang, text,
+          |         string_split(lower(text), ' ') AS ts FROM documents),
+          |sc AS (
+          |  SELECT doc_id, labeled_lang,
+          |    len(list_filter(ts, x -> x IN ('the','and','of','to','in','is'))) AS s_en,
+          |    len(list_filter(ts, x -> x IN ('el','la','de','que','y','en'))) AS s_es,
+          |    len(list_filter(ts, x -> x IN ('der','die','und','das','ist','von'))) AS s_de,
+          |    len(list_filter(ts, x -> x IN ('le','les','et','des','un','une'))) AS s_fr,
+          |    CASE WHEN regexp_matches(text, '\p{Han}') THEN 100 ELSE 0 END AS s_zh
+          |  FROM t)
+          |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
+          |       CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+          |            WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+          |            WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+          |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+          |            WHEN s_de >= s_fr THEN 'de'
+          |            ELSE 'fr' END AS predicted
+          |FROM sc ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — document fingerprint: digest of the sorted distinct
+    // token set (word-order-insensitive normalization) + dup-group size.
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => {
+        val fp = md5(concat_ws(" ",
+          sort_array(array_distinct(TextFns.tokens(col("text"))))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fp.as("fingerprint"))
+          .withColumn("n_same_fp", count(lit(1)).over(w))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |       md5(array_to_string(list_sort(list_distinct(
+          |         string_split(lower(text), ' '))), ' ')) AS fingerprint,
+          |       count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
+          |         string_split(lower(text), ' '))), ' '))) AS n_same_fp
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("minhash LSH pairs == brute-force ngram-jaccard pairs (sf0.001)") {
+    val lsh = q("q_dedup_minhash").select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = q("q_dedup_ngram").select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"lsh-only: ${lsh -- brute}; missed: ${brute -- lsh}")
+    assert(brute.nonEmpty)
+  }
+
+  test("simhash: near-dup docs (jaccard>=0.9) appear with small hamming") {
+    val near = q("q_dedup_ngram").filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = q("q_dedup_simhash").select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (near.isEmpty) 1.0 else (near & sh).size.toDouble / near.size
+    assert(recall >= 0.5, s"simhash recall $recall over ${near.size} near-dup pairs")
+  }
+
+  test("ann: top-1 recall >= 0.5 against brute force on strong pairs") {
+    val e = sources.Tables.embeddings(spark, sf)
+    val strong = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(strong.nonEmpty)
+    val ann = q("q_similarity_ann").select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = strong.count { case (a, b) => ann.contains((a, b)) || ann.contains((b, a)) }
+    val recall = found.toDouble / strong.size
+    assert(recall >= 0.5, s"ANN recall $recall on ${strong.size} strong pairs")
+    assert(e.count() > 0)
+  }
+
+  test("similarity topk: ranks are 1..10 per query, cosine non-increasing") {
+    val rows = q("q_similarity_topk").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("langid: predicted is a known code and scores are consistent") {
+    val df = q("q_text_langid")
+    val preds = df.select(col("predicted")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+    val bad = df.filter(col("predicted") === "en" &&
+      col("s_en") < greatest(col("s_es"), col("s_de"), col("s_fr"))).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: identical token sets share fingerprints (permutation-insensitive)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha beta"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(md5(concat_ws(" ",
+      sort_array(array_distinct(functions.TextFns.tokens(col("text")))))).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal decode: deterministic, bounded, row-complete") {
+    val a = q("q_multimodal_decode").collect()
+    val b = q("q_multimodal_decode").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == sources.Tables.documents(spark, sf).count())
+    a.foreach { r =>
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 1920)   // width
+      assert(r.getInt(3) >= 64 && r.getInt(3) < 1080)   // height
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
+}
