@@ -26,6 +26,7 @@ object Sessions {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    functions.Functions.registerAll(spark)
     spark
   }
 }

@@ -24,8 +24,10 @@ object TextFns {
           element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
   }
 
-  /** MinHash signature: for each of `k` salted hash functions, the min
-    * xxhash64 over the shingle set. One array column, no UDF. */
+  /** MinHash signature (reference HOF form): for each of `k` salted hash
+    * functions, the min xxhash64 over the shingle set. The production
+    * path is the aggregate-shaped variant inside
+    * [[graft.operators.Dedup.minhashNearDups]] — same idea, codegen'd. */
   def minhash(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(1), lit(k)),
       j => array_min(transform(shingleSet, x => xxhash64(x, j))))
@@ -42,4 +44,19 @@ object TextFns {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Word-3-gram shingle IDs as longs: tokens are hashed once, each
+    * shingle id is the hash of its token-hash triple. Same equivalence
+    * classes as the string shingles in [[shingles3]] (modulo ~1e-11
+    * 64-bit collisions), but no per-position string building and no
+    * O(n²) `array_distinct` — the hot-path form for dedup at scale
+    * (dedupe AFTER explode, distributed, instead). NOT deduplicated. */
+  def shingleHashes3(text: Column): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    when(size(th) < 3, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(th) - 2),
+        i => xxhash64(element_at(th, i), element_at(th, i + 1),
+          element_at(th, i + 2))))
+  }
 }

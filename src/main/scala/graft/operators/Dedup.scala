@@ -24,32 +24,67 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** documents → (doc_id, shs: distinct word-3-gram shingles). */
+  /** documents → exploded distinct (doc_id, h) shingle-hash table.
+    * Dedup happens AFTER the explode (distributed hash shuffle) — doing
+    * it per-row with `array_distinct` is O(n²) string compares per doc
+    * and was the single hottest stage of the whole bench at sf0.1. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.shingles3(col("text")).as("shs"))
-      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"),
+        explode(TextFns.shingleHashes3(col("text"))).as("h"))
+      .dropDuplicates("doc_id", "h")
 
-  /** Candidate pairs sharing ≥1 MinHash LSH band, exact-verified. */
-  def minhashNearDups(docs: DataFrame, k: Int, bands: Int,
+  /** Exact Jaccard for an id-pair set, from the shingle-hash table:
+    * intersection via equi-join restricted to the candidates, sizes via
+    * one aggregate — never materializes per-doc arrays. */
+  private def exactJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Candidate pairs sharing ≥1 MinHash LSH band, exact-verified.
+    *
+    * Shaped for codegen end to end: input is the exploded (doc_id, h)
+    * shingle-hash table; the k permutation-mins are k
+    * `min(xxhash64(h, j))` aggregate columns in one HashAggregateExec
+    * (no interpreted higher-order lambdas — the HOF form in
+    * [[TextFns.minhash]] was ~6× slower at sf0.1; ANSI mode rules out
+    * cheaper multiplicative mixing via long-overflow errors). One
+    * shuffle on doc_id for the signature, one on (band, sig) for the
+    * bucket join — both scale with corpus size, never with pair count.
+    * Exact verification touches only candidate pairs. */
+  def minhashNearDups(sh: DataFrame, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
     val rows = k / bands
-    val sig = docs
-      .withColumn("mh", TextFns.minhash(col("shs"), k))
-      .select(col("doc_id"), col("shs"),
-        posexplode(TextFns.bandSignatures(col("mh"), bands, rows))
-          .as(Seq("band", "sig")))
-    val a = sig.select(col("band"), col("sig"),
-      col("doc_id").as("doc_a"), col("shs").as("shs_a"))
-    val b = sig.select(col("band"), col("sig"),
-      col("doc_id").as("doc_b"), col("shs").as("shs_b"))
-    a.join(b, Seq("band", "sig"))
+    val minCols = (1 to k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    // raw (non-distinct) instances: min over a multiset equals min over
+    // the set, and skipping the pre-dedup lets the partial min-agg run
+    // map-side against the scan — the shuffle carries 64 longs per doc,
+    // not one row per shingle instance
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((1 to k).map(j => col(s"m$j")): _*).as("mh"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(TextFns.bandSignatures(col("mh"), bands, rows))
+        .as(Seq("band", "sig")))
+    val cand = banded.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("shs_a"), col("shs_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", round(TextFns.jaccard(col("shs_a"), col("shs_b")), 6))
+    // exact verification needs SET semantics — dedupe on this branch only
+    exactJaccard(cand, sh.dropDuplicates("doc_id", "h"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash per doc from the token multiset — pure SQL (64
@@ -110,11 +145,13 @@ object Dedup {
     QueryDef(
       "q_dedup_ngram",
       (s, dir) => {
+        // all-pairs enumeration on the 64-bit shingle hash: same equality
+        // classes as the string shingles (collision odds ~1e-11 at this
+        // cardinality), far cheaper join keys
         val sh = docShingles(s, dir)
-          .select(col("doc_id"), explode(col("shs")).as("s"))
         val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
         inter
@@ -153,9 +190,12 @@ object Dedup {
     // asserts equality with the brute-force q_dedup_ngram pairs.
     QueryDef(
       "q_dedup_minhash",
-      (s, dir) =>
-        minhashNearDups(docShingles(s, dir), k = 64, bands = 16, threshold = 0.5)
-          .orderBy(col("doc_a"), col("doc_b")),
+      (s, dir) => {
+        val raw = Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextFns.shingleHashes3(col("text"))).as("h"))
+        minhashNearDups(raw, k = 64, bands = 16, threshold = 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
       None
     ),
 
@@ -178,7 +218,7 @@ object Dedup {
         val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos", round(VectorFns.cosine(col("ea"), col("eb")), 6))
+          .withColumn("cos", round(VectorFns.cosineFast(col("ea"), col("eb")), 6))
           .filter(col("cos") >= 0.45)
           .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))

@@ -57,7 +57,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
     val scored = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
-      .withColumn("cos", round(VectorFns.cosine(col("qvec"), col("nvec")), 6))
+      .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
@@ -92,17 +92,26 @@ object Similarity {
       "q_similarity_ann",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+        // candidates carry ONLY ids through the bucket join + dedup
+        // shuffle; the 64-float vectors re-attach afterwards via two
+        // broadcast joins — at sf0.1 this cut the shuffled bytes ~30×.
         val idx = annIndex(e, "vec_id", "embedding")
-        val left = idx.select(col("lsh_table"), col("lsh_bucket"),
-          col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val right = idx.select(col("lsh_table"), col("lsh_bucket"),
-          col("vec_id").as("nid"), col("embedding").as("nvec"))
-        val cands = left.join(right, Seq("lsh_table", "lsh_bucket"))
+          .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
+        val cands = idx.select(col("lsh_table"), col("lsh_bucket"),
+            col("vec_id").as("qid"))
+          .join(idx.select(col("lsh_table"), col("lsh_bucket"),
+            col("vec_id").as("nid")), Seq("lsh_table", "lsh_bucket"))
           .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"), col("qvec"), col("nvec"))
+          .select(col("qid"), col("nid"))
           .dropDuplicates("qid", "nid")
+        val withVecs = cands
+          .join(broadcast(e.select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"))), "qid")
+          .join(broadcast(e.select(col("vec_id").as("nid"),
+            col("embedding").as("nvec"))), "nid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-        cands.withColumn("cos", round(VectorFns.cosine(col("qvec"), col("nvec")), 6))
+        withVecs
+          .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
           .withColumn("rnk", row_number().over(w).cast(LongType))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("rnk"), col("nid"), col("cos"))

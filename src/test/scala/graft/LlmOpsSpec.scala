@@ -36,6 +36,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("cosine_sim expression is bit-identical to the HOF composition") {
+    val e = sources.Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("va") < col("vb")).limit(5000)
+    val mismatches = pairs
+      .withColumn("hof", functions.VectorFns.cosine(col("ea"), col("eb")))
+      .withColumn("fast", functions.VectorFns.cosineFast(col("ea"), col("eb")))
+      .filter(col("hof") =!= col("fast")) // bitwise: NaN-free data
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("similarity topk: ranks are 1..10 per query, cosine non-increasing") {
     val rows = q("q_similarity_topk").collect()
     val byQ = rows.groupBy(_.getLong(0))
