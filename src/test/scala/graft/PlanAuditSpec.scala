@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit (SURVEY §7 "100-TB posture"): these tests pin the
+  * physical-plan properties that matter at scale, so a regression that
+  * silently de-optimizes a query (lost pushdown, lost broadcast, global
+  * window) fails CI rather than surfacing as a 100× slowdown on a real
+  * cluster. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("scan queries push filters and prune columns at the parquet scan") {
+    val p = plan("q_scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "projection must prune unused columns from the scan")
+  }
+
+  test("dimension joins broadcast (fact side never shuffles for the join)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"),
+      "customer/nation are dimension-sized; planner should broadcast")
+  }
+
+  test("flagship aggregates in two phases (partial + final)") {
+    val p = plan("q_flagship")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_avg") || p.contains("partial"), p)
+  }
+
+  test("no window in any declared query lacks partitionBy (no global-window antipattern)") {
+    Registry.all.foreach { qd =>
+      val pl = qd.fn(spark, sf).queryExecution.optimizedPlan.toString
+      // a Window over an empty partition spec renders as 'windowspecdefinition(<sort>' with
+      // no partition columns before the sort spec; cheap heuristic: flag single-partition windows
+      val bad = pl.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(") && l.contains("ROWS BETWEEN") &&
+          l.matches(".*windowspecdefinition\\((?:[^,]+ (?:ASC|DESC)).*"))
+      assert(!bad, s"${qd.name} appears to use a global (un-partitioned) window:\n$pl")
+    }
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // AQE finalizes (and codegen-wraps) the plan only on execution;
+    // toString renders WholeStageCodegen spans as "*(id)" prefixes
+    val df = q("q_flagship")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
+  }
+
+  test("as-of join is one shuffle, not a nested-loop join") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must stay windowed, not quadratic:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("cosine hot path uses the native expression, not interpreted HOFs") {
+    val p = q("q_dedup_embedding").queryExecution.optimizedPlan.toString
+    assert(p.contains("cosine_sim") || p.contains("cosinesimilarity"),
+      s"expected native cosine expression in plan:\n$p")
+  }
+
+  test("top-k never global-sorts the full input") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+}
