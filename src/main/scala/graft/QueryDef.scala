@@ -26,6 +26,7 @@ object Registry {
     operators.Flagship.defs ++
       operators.TierA.defs ++
       operators.Relational.defs ++
+      operators.Analytics.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.SetOps.defs ++

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Composed analytic pipelines (SURVEY §5: "TPC-H-style query shapes are
+  * natural declared queries") — multi-join + aggregate + top-k chains that
+  * exercise the operator families together the way a real workload does.
+  *
+  * Plan shapes to note at scale: the dimension chain
+  * (region→nation→customer) broadcasts into the fact joins; revenue
+  * aggregations are partial+final on the join output; top-k never global
+  * sorts. These are the query shapes AQE's join re-planning and skew
+  * handling exist for.
+  */
+object Analytics {
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q3 shape: top-10 open orders of one segment by revenue.
+    QueryDef(
+      "q_top_orders_by_revenue",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        val li = Tables.lineitem(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(revenue), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // TPC-H Q5 shape: revenue by nation through the full dimension chain.
+    QueryDef(
+      "q_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(revenue), 2).as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(
+        """SELECT r_name, n_name,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       count(DISTINCT o_orderkey) AS n_orders
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    ),
+
+    // Time-bucketed revenue rollup (monthly business report shape).
+    QueryDef(
+      "q_revenue_by_month",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(
+            round(sum(revenue), 2).as("revenue"),
+            round(avg(col("l_discount")), 6).as("avg_discount"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("month"))
+      },
+      Some(
+        """SELECT date_trunc('month', o_orderdate) AS month,
+          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       round(avg(l_discount), 6) AS avg_discount,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Per-customer lifetime-value panel: multi-agg + date arithmetic over
+    // an outer join (customers with no orders keep zero rows).
+    QueryDef(
+      "q_customer_ltv",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("lifetime_value"),
+            min(col("o_orderdate")).cast("date").as("first_order"),
+            max(col("o_orderdate")).cast("date").as("last_order"),
+            datediff(max(to_date(col("o_orderdate"))), min(to_date(col("o_orderdate"))))
+              .cast(LongType).as("active_days"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(
+        """SELECT c_custkey, c_mktsegment,
+          |       count(o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o_totalprice), 0.0), 2) AS lifetime_value,
+          |       CAST(min(o_orderdate) AS DATE) AS first_order,
+          |       CAST(max(o_orderdate) AS DATE) AS last_order,
+          |       date_diff('day', CAST(min(o_orderdate) AS DATE),
+          |                 CAST(max(o_orderdate) AS DATE)) AS active_days
+          |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)
+    )
+  )
+}
