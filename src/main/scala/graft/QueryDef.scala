@@ -30,6 +30,7 @@ object Registry {
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.SetOps.defs ++
+      operators.TopK.defs ++
       functions.Scalars.defs ++
       functions.Extensions.defs ++
       sources.Timeseries.defs ++

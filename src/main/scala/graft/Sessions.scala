@@ -27,6 +27,12 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.Functions.registerAll(spark)
+    // custom operator strategies (public extension point, works post-hoc
+    // on an existing session unlike withExtensions)
+    if (!spark.experimental.extraStrategies.contains(plans.TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKStrategy
+    }
     spark
   }
 }

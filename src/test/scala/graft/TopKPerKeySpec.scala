@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TopK
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private def windowEquivalent(k: Int) = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  test("custom operator output == row_number window formulation") {
+    for (k <- Seq(1, 3, 7)) {
+      val custom = TopK.topKPerKey(
+        sources.Tables.orders(spark, sf)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), k)
+        .orderBy(col("o_custkey"), col("rank")).collect().toSeq
+      val win = windowEquivalent(k)
+        .orderBy(col("o_custkey"), col("rank")).collect().toSeq
+      assert(custom == win, s"k=$k mismatch")
+    }
+  }
+
+  test("plans as partial + final with an exchange between (map-side bound)") {
+    val df = TopK.topKPerKey(
+      sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    // renders as: TopKPerKey ..., false  <- Exchange <- TopKPerKey ..., true
+    val p = df.queryExecution.executedPlan.toString
+    val finalIdx = p.indexOf("rank#")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    val partialIdx = p.lastIndexOf("TopKPerKey")
+    assert(p.contains("TopKPerKey"), p)
+    assert(finalIdx >= 0 && exchangeIdx > 0 && partialIdx > exchangeIdx,
+      s"expected final <- exchange <- partial ordering in:\n$p")
+    assert(p.indexOf("TopKPerKey") < exchangeIdx, s"final must sit above the exchange:\n$p")
+  }
+
+  test("result invariant to input partitioning") {
+    val base = sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TopK.topKPerKey(df, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+        .orderBy(col("o_custkey"), col("rank")).collect().toSeq
+    assert(run(base) == run(base.repartition(13)))
+  }
+
+  test("k larger than group size yields the whole group, ranked") {
+    val out = TopK.topKPerKey(
+      sources.Tables.nation(spark, sf), Seq("n_regionkey"),
+      Seq(("n_nationkey", true)), 1000)
+    assert(out.count() == sources.Tables.nation(spark, sf).count())
+    assert(out.filter(col("rank") === 1).count() == 5) // one per region
+  }
+
+  test("unknown column raises a clear error") {
+    intercept[IllegalArgumentException] {
+      TopK.topKPerKey(sources.Tables.nation(spark, sf),
+        Seq("nope"), Seq(("n_nationkey", true)), 1)
+    }
+  }
+}
