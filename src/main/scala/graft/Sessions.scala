@@ -27,11 +27,17 @@ object Sessions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.Functions.registerAll(spark)
-    // custom operator strategies (public extension point, works post-hoc
-    // on an existing session unlike withExtensions)
+    // custom operator strategies + optimizer rules (public extension
+    // points that work post-hoc on an existing session, unlike
+    // withExtensions; GraftExtensions offers the spark.sql.extensions
+    // wiring for externally-built sessions)
     if (!spark.experimental.extraStrategies.contains(plans.TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(plans.RewriteRowNumberTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RewriteRowNumberTopK
     }
     spark
   }

@@ -115,12 +115,15 @@ final case class TopKPerKeyExec(
         val joined = new JoinedRow
         val finalProj = UnsafeProjection.create(
           (childOutput :+ rankAttr).map(_.dataType).toArray)
+        // rank type follows the attr: LongType from the public API,
+        // IntegerType when substituted for row_number() by the rewrite rule
+        val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
         heaps.forEach { (_, heap) =>
           val rows = new java.util.ArrayList[InternalRow](heap)
           rows.sort(cmp)
           var i = 0
           while (i < rows.size()) {
-            rankRow.setLong(0, i + 1L)
+            if (rankIsInt) rankRow.setInt(0, i + 1) else rankRow.setLong(0, i + 1L)
             out += finalProj(joined(rows.get(i), rankRow)).copy()
             i += 1
           }

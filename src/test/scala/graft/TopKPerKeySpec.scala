@@ -62,6 +62,30 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out.filter(col("rank") === 1).count() == 5) // one per region
   }
 
+  test("optimizer rule rewrites row_number+filter into TopKPerKeyNode") {
+    val df = windowEquivalent(3)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"rewrite did not fire:\n$opt")
+    // and the rewritten plan still returns the window-formulation answer
+    val viaRule = df.orderBy(col("o_custkey"), col("rank")).collect().toSeq
+    val direct = TopK.topKPerKey(
+      sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_custkey"), col("rank")).collect().toSeq
+    assert(viaRule.map(r => (r.getLong(0), r.getLong(1))) ==
+      direct.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("rule does NOT fire for rank() or frame-modified windows") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val rankDf = sources.Tables.orders(spark, sf)
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(!rankDf.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("unknown column raises a clear error") {
     intercept[IllegalArgumentException] {
       TopK.topKPerKey(sources.Tables.nation(spark, sf),
