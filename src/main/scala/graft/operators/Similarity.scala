@@ -51,6 +51,24 @@ object Similarity {
     tables.reduce(_ unionByName _)
   }
 
+  /** IVF-style index: assign every vector to its nearest of `nCells`
+    * centroids (deterministically seeded from the corpus itself: the
+    * `nCells` lowest-id vectors act as seeds — cheap, reproducible, and
+    * good enough without an iterative k-means pass; swap in trained
+    * centroids at scale). Search probes only the query's `nProbe` nearest
+    * cells, so the pair work drops from n² to ~n²·nProbe/nCells. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                nCells: Int): DataFrame = {
+    val cents = vectors.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cent"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
   private def topkBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < nQueries)
@@ -111,6 +129,31 @@ object Similarity {
             col("embedding").as("nvec"))), "nid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         withVecs
+          .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None
+    ),
+
+    // B47(c) — IVF-partitioned ANN: top-3 neighbors within each vector's
+    // cell. Complements the LSH path: cells are data-adaptive (centroid
+    // Voronoi regions) where LSH buckets are data-oblivious. No oracle
+    // (cell assignment is index-dependent); LlmOpsSpec checks recall.
+    QueryDef(
+      "q_similarity_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val assigned = ivfAssign(e, "vec_id", "embedding", nCells = 16)
+        val a = assigned.select(col("cell_id"), col("vec_id").as("qid"),
+          col("embedding").as("qvec"))
+        val b = assigned.select(col("cell_id"), col("vec_id").as("nid"),
+          col("embedding").as("nvec"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        a.join(b, Seq("cell_id"))
+          .filter(col("qid") =!= col("nid"))
           .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
           .withColumn("rnk", row_number().over(w).cast(LongType))
           .filter(col("rnk") <= 3)

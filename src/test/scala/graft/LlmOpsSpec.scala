@@ -36,6 +36,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
+    val e = sources.Tables.embeddings(spark, sf)
+    val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
+    assert(assigned.count() == e.count())
+    assert(assigned.select(col("cell_id")).distinct().count() <= 16)
+    val strong = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(strong.nonEmpty)
+    val ivf = q("q_similarity_ivf").select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = strong.count { case (a, b) => ivf.contains((a, b)) || ivf.contains((b, a)) }
+    // single-probe IVF on near-orthogonal vectors recovers a minority of
+    // strong pairs (measured 4/14 at sf0.01; LSH gets 11/14 — that's why
+    // both paths exist); deterministic, so pin a non-vacuous floor
+    assert(found >= 1, s"IVF found $found of ${strong.size} strong pairs")
+  }
+
   test("cosine_sim expression is bit-identical to the HOF composition") {
     val e = sources.Tables.embeddings(spark, sf)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))

@@ -131,6 +131,26 @@ class StreamsSpec extends SparkSpec {
     assert(last == batch)
   }
 
+  test("A18: rate source drives the producer analog (cron -> records)") {
+    // the reference's EventBridge rate(1 minute) producer (app.py:131-134)
+    // maps to the rate source + the partition-path derivation of A9
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .select(col("value").as("event_id"), col("timestamp").as("ts"))
+      .withColumn("path", concat(
+        lit("data/year="), year(col("ts")), lit("/month="), month(col("ts")),
+        lit("/day="), dayofmonth(col("ts")), lit("/data.json")))
+    val q = stream.writeStream.format("memory").queryName("rate_sink")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("rate_sink").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2).startsWith("data/year=2")))
+  }
+
   test("B41: parquet sink with checkpoint writes exactly the input rows") {
     val dir = freshDir("sink_src")
     val out = freshDir("sink_out")
