@@ -132,6 +132,45 @@ object TierA {
           |FROM events ORDER BY event_id""".stripMargin)
     ),
 
+    // B2 — CSV round-trip: write events as CSV, read back with explicit
+    // schema + options; oracle aggregates the source directly.
+    QueryDef(
+      "q_scan_csv",
+      (s, dir) => {
+        val out = "/root/repo/target/tmp/q_scan_csv"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("header", "true").csv(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // B4 — in-memory temp view + the SQL entry point.
+    QueryDef(
+      "q_sql_view",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("graft_events")
+        s.sql(
+          """SELECT event_type, user_id, count(*) AS n,
+            |       round(avg(value), 6) AS avg_value
+            |FROM graft_events
+            |GROUP BY event_type, user_id
+            |ORDER BY event_type, user_id""".stripMargin)
+      },
+      Some(
+        """SELECT event_type, user_id, count(*) AS n,
+          |       round(avg(value), 6) AS avg_value
+          |FROM events GROUP BY event_type, user_id
+          |ORDER BY event_type, user_id""".stripMargin)
+    ),
+
     // A7 — partitioned object-store JSON sink + read-back (reference:
     // producer `put_object` under `data/year=…/`, `src/lambda_producer.py:20-27`).
     // Round-trips through a real partitioned JSON write; the oracle computes
