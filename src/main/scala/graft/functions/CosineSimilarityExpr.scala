@@ -106,5 +106,8 @@ object Functions {
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -31,7 +31,7 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(TextFns.shingleHashes3(col("text"))).as("h"))
+        explode(graft.functions.ShingleHashes(col("text"), 3)).as("h"))
       .dropDuplicates("doc_id", "h")
 
   /** Exact Jaccard for an id-pair set, from the shingle-hash table:
@@ -192,7 +192,7 @@ object Dedup {
       "q_dedup_minhash",
       (s, dir) => {
         val raw = Tables.documents(s, dir).select(col("doc_id"),
-          explode(TextFns.shingleHashes3(col("text"))).as("h"))
+          explode(graft.functions.ShingleHashes(col("text"), 3)).as("h"))
         minhashNearDups(raw, k = 64, bands = 16, threshold = 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
