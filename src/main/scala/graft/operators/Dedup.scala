@@ -56,9 +56,9 @@ object Dedup {
     * Shaped for codegen end to end: input is the exploded (doc_id, h)
     * shingle-hash table; the k permutation-mins are k
     * `min(xxhash64(h, j))` aggregate columns in one HashAggregateExec
-    * (no interpreted higher-order lambdas — the HOF form in
-    * [[TextFns.minhash]] was ~6× slower at sf0.1; ANSI mode rules out
-    * cheaper multiplicative mixing via long-overflow errors). One
+    * (no interpreted higher-order lambdas — a per-element HOF form was
+    * ~6× slower at sf0.1; ANSI mode rules out cheaper multiplicative
+    * mixing via long-overflow errors). One
     * shuffle on doc_id for the signature, one on (band, sig) for the
     * bucket join — both scale with corpus size, never with pair count.
     * Exact verification touches only candidate pairs. */
