@@ -26,11 +26,22 @@ object Sessions {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensureConfigured(spark)
+    spark
+  }
+
+  /** Idempotent per-session setup that also works on sessions built
+    * OUTSIDE this library (e.g. a test harness's own SparkSession):
+    * runtime-settable configs, native function registration, and the
+    * custom strategy/rule via the public `spark.experimental` extension
+    * points (GraftExtensions offers the spark.sql.extensions wiring as
+    * the spark-submit alternative). Every declared query calls this, so
+    * the library has no hidden session prerequisites. */
+  def ensureConfigured(spark: SparkSession): Unit = {
+    // nanosAsLong is runtime-settable; without it the events table's
+    // TIMESTAMP(NANOS) column is rejected outright by Spark 4
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.Functions.registerAll(spark)
-    // custom operator strategies + optimizer rules (public extension
-    // points that work post-hoc on an existing session, unlike
-    // withExtensions; GraftExtensions offers the spark.sql.extensions
-    // wiring for externally-built sessions)
     if (!spark.experimental.extraStrategies.contains(plans.TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKStrategy
@@ -39,6 +50,5 @@ object Sessions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.RewriteRowNumberTopK
     }
-    spark
   }
 }

@@ -13,11 +13,18 @@ object SparkEntry {
   /** Flagship query (reference analytic, SURVEY §2 A6) on sf0.001;
     * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q_flagship").fn(spark, "/root/testdata/sf0.001")
+    queries("q_flagship")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each query
+    * self-configures the session (Sessions.ensureConfigured) so the
+    * contract holds on ANY SparkSession the driver hands us. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.fn).toMap
+    Registry.all.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        Sessions.ensureConfigured(s)
+        q.fn(s, dir)
+      }
+    }.toMap
 
   /** DuckDB-equivalent SQL per oracled query (driver hash-compare). */
   def oracleSql: Map[String, String] =
