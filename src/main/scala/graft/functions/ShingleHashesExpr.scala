@@ -33,8 +33,9 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-    // split on single spaces, matching TextFns.tokens(split(lower, " "))
-    val tokens = text.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark's split()
+    // and DuckDB's string_split token classes exactly
+    val tokens = text.split(" ", -1)
     if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](tokens.length)
     var i = 0
