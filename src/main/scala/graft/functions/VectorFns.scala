@@ -38,6 +38,11 @@ object VectorFns {
   def cosineFast(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Native codegen'd dot product (see [[DotProduct]]); combine with
+    * precomputed [[l2Norm]]s on pair scans to cut per-pair work 3×. */
+  def dotFast(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** The equivalent DuckDB SQL fragments, kept adjacent so query oracles
     * stay in lockstep with the Spark expressions above. */
   object OracleSql {

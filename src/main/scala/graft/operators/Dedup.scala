@@ -214,11 +214,18 @@ object Dedup {
     QueryDef(
       "q_dedup_embedding",
       (s, dir) => {
+        // norms precomputed once per VECTOR; the n²/2 pair scan then does
+        // one multiply-add per element (dot_product) — bit-identical to
+        // cosine_sim since the norm fold order is unchanged
         val e = Tables.embeddings(s, dir)
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+          .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos", round(VectorFns.cosineFast(col("ea"), col("eb")), 6))
+          .withColumn("cos", round(
+            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
           .filter(col("cos") >= 0.45)
           .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))

@@ -61,8 +61,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("cosine hot path uses the native expression, not interpreted HOFs") {
     val p = q("q_dedup_embedding").queryExecution.optimizedPlan.toString
-    assert(p.contains("cosine_sim") || p.contains("cosinesimilarity"),
-      s"expected native cosine expression in plan:\n$p")
+    // expressions render under their class-derived pretty names
+    assert(p.contains("dotproduct") || p.contains("cosinesimilarity"),
+      s"expected native vector expression in plan:\n$p")
   }
 
   test("top-k never global-sorts the full input") {
