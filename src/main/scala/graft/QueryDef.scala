@@ -31,7 +31,9 @@ object Registry {
       operators.Windows.defs ++
       operators.SetOps.defs ++
       operators.TopK.defs ++
+      operators.Reshape.defs ++
       functions.Scalars.defs ++
+      functions.Scalars2.defs ++
       functions.Extensions.defs ++
       sources.Timeseries.defs ++
       streaming.Streams.defs ++

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Reshaping operators: pivot (long→wide), unpivot/melt (wide→long), and
+  * the null-safe equality join. Pivot with an explicit value list stays a
+  * single partial+final aggregation (no extra pass to discover values —
+  * the form to use at scale); unpivot is a zero-shuffle Expand.
+  */
+object Reshape {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Long→wide: per returnflag, one quantity-sum column per linestatus.
+    QueryDef(
+      "q_pivot",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(round(sum(col("l_quantity")), 2))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag,
+          |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+          |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Wide→long: melt the per-rate columns into (metric, rate) rows.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_discount"), col("l_tax"))
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = Array(col("l_discount"), col("l_tax")),
+            variableColumnName = "metric",
+            valueColumnName = "rate")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS rate
+          |FROM lineitem
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS rate
+          |FROM lineitem
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+    ),
+
+    // Null-safe equality (<=>): nulls match nulls, unlike plain =.
+    QueryDef(
+      "q_join_nullsafe",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_returnflag"), lit("N")).as("flag"))
+        val dim = li.select(col("flag")).distinct()
+          .withColumn("flag_label", coalesce(col("flag"), lit("unflagged")))
+        li.join(dim, li("flag") <=> dim("flag"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("flag_label"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS flag
+          |  FROM lineitem),
+          |dim AS (
+          |  SELECT flag, coalesce(flag, 'unflagged') AS flag_label
+          |  FROM (SELECT DISTINCT flag FROM li))
+          |SELECT l_orderkey, l_linenumber, flag_label
+          |FROM li JOIN dim ON li.flag IS NOT DISTINCT FROM dim.flag
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    )
+  )
+}

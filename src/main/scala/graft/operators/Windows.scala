@@ -49,6 +49,34 @@ object Windows {
           |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // B21(b) — distribution ranks: cume_dist / percent_rank / nth_value.
+    QueryDef(
+      "q_window_rank2",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            round(cume_dist().over(w), 6).as("cd"),
+            round(percent_rank().over(w), 6).as("pr"),
+            nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey,
+          |       round(cume_dist() OVER w, 6) AS cd,
+          |       round(percent_rank() OVER w, 6) AS pr,
+          |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+          |         ORDER BY o_totalprice, o_orderkey
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |         AS second_order
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // B22 — analytic offsets: lag/lead/first per user timeline.
     QueryDef(
       "q_window_lag",
