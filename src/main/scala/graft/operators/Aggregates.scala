@@ -104,6 +104,50 @@ object Aggregates {
           |ORDER BY flag, status, g""".stripMargin)
     ),
 
+    // B17(b) — CUBE (all four grouping combinations) via the SQL API,
+    // plus GROUPING SETS semantics pinned by the same query.
+    QueryDef(
+      "q_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+        s.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+            |       coalesce(l_linestatus, 'ALL') AS status,
+            |       count(*) AS n,
+            |       round(sum(l_extendedprice), 2) AS sum_price,
+            |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g
+            |FROM graft_lineitem
+            |GROUP BY CUBE (l_returnflag, l_linestatus)
+            |ORDER BY flag, status, g""".stripMargin)
+      },
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       count(*) AS n,
+          |       round(sum(l_extendedprice), 2) AS sum_price,
+          |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY flag, status, g""".stripMargin)
+    ),
+
+    // B19(b) — approximate quantiles (t-digest-style sketch in Spark; no
+    // hash oracle since estimators differ by design — AggregatesSpec
+    // bounds it against the exact percentile instead).
+    QueryDef(
+      "q_agg_approx_quantile",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+            expr("approx_percentile(l_extendedprice, array(0.1, 0.9), 1000)")
+              .getItem(0).as("approx_p10"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+
     // B18 — central-moment statistics. DuckDB's skewness/kurtosis are
     // bias-corrected sample estimators while Spark's are population (g1 /
     // excess g2), so the oracle derives the population forms from raw

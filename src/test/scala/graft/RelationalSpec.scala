@@ -58,6 +58,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx quantile within 10% of exact percentile") {
+    val approx = q("q_agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex < 0.1, s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
   test("rollup adds per-flag and grand-total rows") {
     val df = q("q_rollup")
     assert(df.filter(col("flag") === "ALL" && col("status") === "ALL").count() == 1)
