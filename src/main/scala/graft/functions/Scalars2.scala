@@ -66,6 +66,43 @@ object Scalars2 {
           |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // B32(c) — predicate higher-order functions over arrays.
+    QueryDef(
+      "q_scalar_hof_pred",
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            exists(col("embedding"), x => x > 0.2f).as("any_big"),
+            forall(col("embedding"), x => abs(x) < lit(1.0f)).as("all_unit"),
+            size(filter(col("embedding"), (x, i) => i % 2 === 0 && x > 0.0f))
+              .cast(LongType).as("n_pos_even_idx"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """SELECT vec_id,
+          |       len(list_filter(embedding, x -> x > 0.2)) > 0 AS any_big,
+          |       len(list_filter(embedding, x -> abs(x) < 1.0)) = len(embedding) AS all_unit,
+          |       len(list_filter(embedding, (x, i) -> (i - 1) % 2 = 0 AND x > 0.0))
+          |         AS n_pos_even_idx
+          |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
+    // Deterministic Bernoulli sampling: same seed + same input layout ⇒
+    // identical sample (SamplingSpec pins run-to-run equality). No SQL
+    // oracle: the sample set is a function of Spark's partition-seeded
+    // RNG, which DuckDB cannot replay.
+    QueryDef(
+      "q_sample",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      None
+    ),
+
     QueryDef(
       "q_scalar_bits",
       (s, dir) => {

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("q_sample is deterministic run-to-run and ~10% sized") {
+    val a = q("q_sample").collect().toSeq
+    val b = q("q_sample").collect().toSeq
+    assert(a == b)
+    val total = sources.Tables.lineitem(spark, sf).count()
+    assert(a.length > total * 0.05 && a.length < total * 0.2)
+  }
+
+  test("100TB layout recipe: range-partition + sort-within + partitionBy write") {
+    val out = "/root/repo/target/tmp/layout_demo"
+    val li = sources.Tables.lineitem(spark, sf)
+    // the write shape for a large fact table: range-partition on the
+    // pruning key, sort within partitions for min/max row-group skipping,
+    // hive-partition on the coarse time column
+    li.withColumn("ship_year", year(col("l_shipdate")))
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite")
+      .partitionBy("ship_year")
+      .parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    // partition pruning: a ship_year filter must prune the file listing
+    val pruned = back.filter(col("ship_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"), plan)
+    assert(pruned.count() ==
+      li.filter(year(col("l_shipdate")) === 1995).count())
+
+    // range partitioning: per input-file orderkey ranges must not overlap
+    // within a hive partition (sorted, range-split layout)
+    val ranges = back
+      .withColumn("f", input_file_name())
+      .groupBy(col("ship_year"), col("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect()
+      .groupBy(_.getInt(0))
+    ranges.foreach { case (_, files) =>
+      val sorted = files.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toList
+      sorted.sliding(2).foreach {
+        case List((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"file ranges overlap: $sorted")
+        case _ =>
+      }
+    }
+  }
+}
