@@ -87,6 +87,28 @@ object Timeseries {
       None
     ),
 
+    // A6+A1 at REFERENCE SCALE — the reference's worst-case job is
+    // count=1000 days × 86,400 rows/day = 86.4M rows generated +
+    // aggregated within its 5-minute Lambda budget on 8 cores
+    // (BASELINE.md: ≈288k rows/s). This query runs the identical
+    // workload shape, sized by scale factor (sf0.1 ⇒ the full 1000-day
+    // worst case), so BENCH_r*.json carries a direct throughput
+    // comparison against the reference envelope. No oracle (generator);
+    // rows>0 check + TimeseriesSpec cover it.
+    QueryDef(
+      "q_reference_scale",
+      (s, dir) => {
+        val days =
+          if (dir.contains("sf0.1")) 1000      // the reference's max job
+          else if (dir.contains("sf0.01")) 100
+          else 10
+        generate(s, "2021-01-01", days)
+          .groupBy(col("name")).agg(avg(col("y")).as("mean_y"))
+          .agg(round(stddev_samp(col("mean_y")), 9).as("std_of_means"))
+      },
+      None
+    ),
+
     // A6+A1 — the reference pipeline in miniature, end to end: a
     // producer-style {count} record sizes the generation window
     // (`layer/python/dask_processing.py:29-31`), then the flagship
