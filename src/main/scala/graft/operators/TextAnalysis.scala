@@ -144,6 +144,129 @@ object TextAnalysis {
           |FROM sc ORDER BY doc_id""".stripMargin)
     ),
 
+    // North star — PII-style scrubbing: regex-rewrite sensitive-looking
+    // spans (emails, long digit runs, bearer-ish tokens) to placeholders.
+    // Synthetic spans are injected from existing columns so the rewrite
+    // has real work to do on this corpus.
+    QueryDef(
+      "q_text_scrub",
+      (s, dir) => {
+        val withPii = concat(
+          col("text"), lit(" contact-"), col("source"),
+          lit("@example.com id:"), col("doc_id") * 1000000 + 123456)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), withPii.as("raw"))
+          .select(
+            col("doc_id"),
+            regexp_replace(
+              regexp_replace(col("raw"),
+                "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+              "\\d{6,}", "<NUM>").as("scrubbed"),
+            size(regexp_extract_all(col("raw"),
+              lit("[a-z0-9._-]+@[a-z0-9.-]+"), lit(0)))
+              .cast(org.apache.spark.sql.types.LongType).as("n_emails"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH raw AS (
+          |  SELECT doc_id,
+          |         text || ' contact-' || source || '@example.com id:' ||
+          |           CAST(doc_id * 1000000 + 123456 AS VARCHAR) AS raw
+          |  FROM documents)
+          |SELECT doc_id,
+          |       regexp_replace(
+          |         regexp_replace(raw, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+          |         '\d{6,}', '<NUM>', 'g') AS scrubbed,
+          |       len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+')) AS n_emails
+          |FROM raw ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — within-document repetition ratio (Gopher-style
+    // quality signal): fraction of word-2-grams that are repeats.
+    QueryDef(
+      "q_text_repetition",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        val grams = transform(
+          sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+        Tables.documents(s, dir)
+          .filter(size(TextFns.tokens(col("text"))) >= 2)
+          .select(
+            col("doc_id"),
+            size(grams).cast(org.apache.spark.sql.types.LongType).as("n_2grams"),
+            size(array_distinct(grams))
+              .cast(org.apache.spark.sql.types.LongType).as("n_distinct_2grams"))
+          .withColumn("repetition_ratio", round(
+            lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         list_transform(range(1, len(ts)),
+          |           i -> ts[i] || ' ' || ts[i+1]) AS grams
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |        FROM documents)
+          |  WHERE len(ts) >= 2)
+          |SELECT doc_id,
+          |       len(grams) AS n_2grams,
+          |       len(list_distinct(grams)) AS n_distinct_2grams,
+          |       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+          |         AS repetition_ratio
+          |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — benchmark decontamination: per corpus doc, the
+    // fraction of its 3-shingles that appear anywhere in a "benchmark"
+    // set (here: the src0 documents); flag docs above 50% overlap. The
+    // classic eval-contamination sweep, shaped as explode + semi-ish
+    // join + ratio — scales exactly like the n-gram dedup join.
+    QueryDef(
+      "q_text_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = docs.select(col("doc_id"), col("source"),
+            explode(graft.functions.ShingleHashes(col("text"), 3)).as("h"))
+          .dropDuplicates("doc_id", "h")
+        val bench = sh.filter(col("source") === "src0")
+          .select(col("h")).distinct()
+        val corpus = sh.filter(col("source") =!= "src0")
+        val hits = corpus.join(bench, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+          .join(hits, Seq("doc_id"), "left_outer")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("overlap", round(
+            col("n_hit").cast("double") / col("n_sh"), 6))
+          .withColumn("contaminated", col("overlap") >= 0.5)
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            col("overlap"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, source,
+          |         unnest(list_transform(range(1, len(ts) - 1),
+          |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+          |  FROM tok WHERE len(ts) >= 3),
+          |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+          |corpus AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+          |hits AS (
+          |  SELECT doc_id, count(*) AS n_hit FROM corpus
+          |  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id)
+          |SELECT sizes.doc_id, n_sh,
+          |       coalesce(n_hit, 0) AS n_hit,
+          |       round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) AS overlap,
+          |       round(coalesce(n_hit, 0) * 1.0 / n_sh, 6) >= 0.5 AS contaminated
+          |FROM sizes LEFT OUTER JOIN hits ON sizes.doc_id = hits.doc_id
+          |ORDER BY sizes.doc_id""".stripMargin)
+    ),
+
     // North star — document fingerprint: digest of the sorted distinct
     // token set (word-order-insensitive normalization) + dup-group size.
     QueryDef(
