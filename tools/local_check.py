@@ -41,12 +41,15 @@ def fetch_sorted(con, sql):
 def cells_equal(a, b):
     if a == b:
         return True
-    # int/float numeric cross-type equality (e.g. DuckDB DECIMAL vs double)
+    # numeric cross-type equality only (e.g. DuckDB DECIMAL vs double) —
+    # deliberately EXACT, no epsilon: the driver hash-compares, so any
+    # tolerance here would hide a real failure (verified: all oracles are
+    # bit-exact both sides thanks to both-sides rounding)
     try:
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb))
+        return fa == fb
     except (TypeError, ValueError):
         return False
 
