@@ -182,5 +182,7 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }

@@ -87,8 +87,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per doc from the token multiset — pure SQL (64
-    * per-bit majority sums), no UDF. */
+  /** 64-bit SimHash per doc from the token multiset, aggregate-shaped
+    * (explode → 64 per-bit majority sums). Kept as the distributed
+    * reference form; the production path is the native per-row
+    * [[graft.functions.SimHash64]] expression, which produces identical
+    * signatures (spec-asserted) with zero shuffle. */
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
     val th = docs
       .select(col("doc_id"), explode(TextFns.tokens(col(textCol))).as("t"))
@@ -203,7 +206,10 @@ object Dedup {
     QueryDef(
       "q_dedup_simhash",
       (s, dir) =>
-        simhashNearDups(simhash(Tables.documents(s, dir), "text"), maxHamming = 3)
+        simhashNearDups(
+          Tables.documents(s, dir).select(col("doc_id"),
+            graft.functions.SimHash64(col("text")).as("simhash")),
+          maxHamming = 3)
           .orderBy(col("doc_a"), col("doc_b")),
       None
     ),

@@ -186,10 +186,10 @@ object TextAnalysis {
     QueryDef(
       "q_text_repetition",
       (s, dir) => {
-        val ts = TextFns.tokens(col("text"))
-        val grams = transform(
-          sequence(lit(1), size(ts) - 1),
-          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+        // hashed 2-gram ids (same equality classes as the string grams —
+        // see ShingleHashes): distinct-counting longs instead of building
+        // and O(n²)-deduping per-position strings
+        val grams = graft.functions.ShingleHashes(col("text"), 2)
         Tables.documents(s, dir)
           .filter(size(TextFns.tokens(col("text"))) >= 2)
           .select(

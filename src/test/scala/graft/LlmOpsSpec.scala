@@ -53,6 +53,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(found >= 1, s"IVF found $found of ${strong.size} strong pairs")
   }
 
+  test("native simhash64 signatures == aggregate-form signatures") {
+    val docs = sources.Tables.documents(spark, sf)
+    val native = docs.select(col("doc_id"),
+      functions.SimHash64(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = operators.Dedup.simhash(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == agg)
+  }
+
   test("cosine_sim expression is bit-identical to the HOF composition") {
     val e = sources.Tables.embeddings(spark, sf)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
