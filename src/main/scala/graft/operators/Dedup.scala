@@ -230,8 +230,14 @@ object Dedup {
         val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos", round(
-            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          .withColumn("cos_raw",
+            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+          // raw prefilter before round(): round() is BigDecimal-based and
+          // dominates when applied to every pair; any pair whose rounded
+          // value reaches 0.45 has raw >= 0.4499995, so the superset
+          // filter is exact-semantics-preserving
+          .filter(col("cos_raw") >= 0.4499)
+          .withColumn("cos", round(col("cos_raw"), 6))
           .filter(col("cos") >= 0.45)
           .select(col("vec_a"), col("vec_b"), col("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
