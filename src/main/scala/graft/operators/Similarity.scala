@@ -111,8 +111,12 @@ object Similarity {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         // candidates carry ONLY ids through the bucket join + dedup
-        // shuffle; the 64-float vectors re-attach afterwards via two
-        // broadcast joins — at sf0.1 this cut the shuffled bytes ~30×.
+        // shuffle; the 64-float vectors re-attach afterwards via plain
+        // shuffle joins keyed on nid then qid. No broadcast hint: the
+        // corpus is unbounded (100 TB posture), so forcing a broadcast of
+        // the embeddings relation caps at driver/executor memory. The qid
+        // join leaves the stream hash-partitioned on qid, which the
+        // top-k window reuses without another exchange.
         val idx = annIndex(e, "vec_id", "embedding")
           .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
         val cands = idx.select(col("lsh_table"), col("lsh_bucket"),
@@ -123,10 +127,10 @@ object Similarity {
           .select(col("qid"), col("nid"))
           .dropDuplicates("qid", "nid")
         val withVecs = cands
-          .join(broadcast(e.select(col("vec_id").as("qid"),
-            col("embedding").as("qvec"))), "qid")
-          .join(broadcast(e.select(col("vec_id").as("nid"),
-            col("embedding").as("nvec"))), "nid")
+          .join(e.select(col("vec_id").as("nid"),
+            col("embedding").as("nvec")), "nid")
+          .join(e.select(col("vec_id").as("qid"),
+            col("embedding").as("qvec")), "qid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         withVecs
           .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))

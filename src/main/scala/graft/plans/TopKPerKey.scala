@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Custom whole-operator stack (SURVEY §2 escape hatch (c), spark_guide
   * "Custom operator"): per-key bounded top-k.
@@ -15,18 +15,30 @@ import org.apache.spark.sql.types.LongType
   * The DataFrame idiom — `row_number().over(partitionBy(k).orderBy(o))`
   * then `filter(rn <= n)` — shuffles EVERY row of every key and sorts
   * full partitions, even though only k rows per key survive. This
-  * operator keeps a bounded heap per key instead, in two phases mirroring
-  * partial/final aggregation:
+  * operator runs in two phases mirroring partial/final aggregation:
   *
-  *   scan → [TopKPerKeyExec partial]  (map-side: ≤k rows/key/partition)
+  *   scan → [TopKPerKeyExec partial]  (map-side: ≤k rows/key/partition,
+  *                                     bounded per-key heaps)
   *        → shuffle on key            (carries ≤k·partitions rows per key,
   *                                     not the full input)
-  *        → [TopKPerKeyExec final]    (merge heaps, emit rank 1..k)
+  *        → sort (keys, ordering)     (Spark's spillable external sort,
+  *                                     via requiredChildOrdering)
+  *        → [TopKPerKeyExec final]    (streaming rank scan, O(1) state)
   *
   * At 100 TB with, say, k=3 and 10⁶ keys, the exchange moves ~k·keys
   * rows per map partition instead of the whole fact table — the same
   * reason map-side combine exists for aggregates. Skewed keys degrade to
   * at most k·partitions rows, bounded regardless of key frequency.
+  *
+  * Memory posture (both phases bounded):
+  *  - the partial phase caps its heap map at `maxPartialKeys` distinct
+  *    keys per partition (conf `graft.topk.maxPartialKeys`); rows for
+  *    keys beyond the budget pass through unbuffered — the final phase
+  *    still filters them, so the cap trades shuffle volume for memory,
+  *    never correctness;
+  *  - the final phase holds no per-key state at all: it demands
+  *    (keys, ordering)-sorted input, which Spark satisfies with its
+  *    spillable SortExec, and emits ranks in one streaming pass.
   *
   * The logical node is planned by [[TopKStrategy]] (registered through
   * `spark.experimental.extraStrategies` in `Sessions.build`); rank is
@@ -55,13 +67,14 @@ object TopKPerKeyNode {
       AttributeReference(rankName, LongType, nullable = false)(), child)
 }
 
-/** Physical bounded-heap top-k; `partial` controls the two-phase split. */
+/** Physical bounded top-k; `partial` controls the two-phase split. */
 final case class TopKPerKeyExec(
     keys: Seq[Attribute],
     ordering: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
     partial: Boolean,
+    maxPartialKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -75,60 +88,78 @@ final case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // the final phase streams over sorted groups; EnsureRequirements plants
+  // Spark's spillable SortExec here, so high key cardinality spills to
+  // disk instead of growing an in-heap map
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(a => SortOrder(a, Ascending)) ++ ordering)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(a => SortOrder(a, Ascending)) ++ ordering
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyIdx = keys.map(a => childOutput.indexWhere(_.exprId == a.exprId)).toArray
     val sortOrders = ordering
-    val isPartial = partial
     val kk = k
 
-    child.execute().mapPartitions { iter =>
-      // codegen'd comparator over the child row layout
-      val cmp = new LazilyGeneratedOrdering(sortOrders, childOutput)
-      // per-key bounded heaps: worst row at the head for O(log k) eviction
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      val keyProj = UnsafeProjection.create(keyIdx.map(childOutput), childOutput)
-      val reverseCmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
-      }
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row).copy()
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverseCmp)
-          heaps.put(key, heap)
+    if (partial) {
+      val maxKeys = maxPartialKeys
+      child.execute().mapPartitions { iter =>
+        // codegen'd comparator over the child row layout
+        val cmp = new LazilyGeneratedOrdering(sortOrders, childOutput)
+        // per-key bounded heaps: worst row at the head for O(log k) eviction
+        val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+        val keyProj = UnsafeProjection.create(keyIdx.map(childOutput), childOutput)
+        val reverseCmp = new java.util.Comparator[InternalRow] {
+          override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
         }
-        if (heap.size < kk) {
-          heap.add(row.copy())
-        } else if (cmp.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        val combined = iter.flatMap { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < maxKeys) {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, reverseCmp)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) {
+            // over the key budget: ship the row as-is; the final phase
+            // filters it — memory stays bounded at maxKeys·k rows
+            Iterator.single(row)
+          } else {
+            if (heap.size < kk) heap.add(row.copy())
+            else if (cmp.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+            Iterator.empty
+          }
+        }
+        // ++ is by-name: the drain runs only after the input is consumed
+        combined ++ {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          heaps.forEach((_, heap) => heap.forEach(r => out += r))
+          out.iterator
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      if (isPartial) {
-        heaps.forEach((_, heap) => heap.forEach(r => out += r))
-        out.iterator
-      } else {
+    } else {
+      val rankIsInt = rankAttr.dataType == IntegerType
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(keyIdx.map(childOutput), childOutput)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
         val finalProj = UnsafeProjection.create(
           (childOutput :+ rankAttr).map(_.dataType).toArray)
-        // rank type follows the attr: LongType from the public API,
-        // IntegerType when substituted for row_number() by the rewrite rule
-        val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
-        heaps.forEach { (_, heap) =>
-          val rows = new java.util.ArrayList[InternalRow](heap)
-          rows.sort(cmp)
-          var i = 0
-          while (i < rows.size()) {
-            if (rankIsInt) rankRow.setInt(0, i + 1) else rankRow.setLong(0, i + 1L)
-            out += finalProj(joined(rows.get(i), rankRow)).copy()
-            i += 1
-          }
+        var curKey: UnsafeRow = null
+        var rank = 0L
+        iter.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rank = 1L }
+          else rank += 1L
+          if (rank <= kk) {
+            // rank type follows the attr: LongType from the public API,
+            // IntegerType when substituted for row_number() by the rewrite
+            if (rankIsInt) rankRow.setInt(0, rank.toInt) else rankRow.setLong(0, rank)
+            Iterator.single(finalProj(joined(row, rankRow)): InternalRow)
+          } else Iterator.empty
         }
-        out.iterator
       }
     }
   }
@@ -137,15 +168,18 @@ final case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Plans [[TopKPerKeyNode]] as partial → (exchange via distribution
-  * requirement) → final. Registered in `Sessions.build`. */
+/** Plans [[TopKPerKeyNode]] as partial → (exchange + sort via
+  * distribution/ordering requirements) → final. Registered in
+  * `Sessions.build`. */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, ordering, k, rankAttr, child) =>
+      val maxPartialKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.topk.maxPartialKeys", "131072").toInt
       val part = TopKPerKeyExec(keys, ordering, k, rankAttr,
-        partial = true, planLater(child))
+        partial = true, maxPartialKeys, planLater(child))
       TopKPerKeyExec(keys, ordering, k, rankAttr,
-        partial = false, part) :: Nil
+        partial = false, maxPartialKeys, part) :: Nil
     case _ => Nil
   }
 }

@@ -69,4 +69,23 @@ class PlanAuditSpec extends SparkSpec {
   test("top-k never global-sorts the full input") {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("q_similarity_ann never broadcasts the embeddings corpus") {
+    // no broadcast HINT anywhere: the corpus is unbounded, so any forced
+    // broadcast of it is a scale-killer regardless of what the planner
+    // does on tiny test data
+    val opt = q("q_similarity_ann").queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("broadcast"),
+      s"q_similarity_ann must not carry broadcast hints:\n$opt")
+    // and when the corpus is too big to auto-broadcast (threshold off,
+    // the 100 TB situation), the whole plan degrades to shuffle joins
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q_similarity_ann")
+      assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+        s"vector re-attach must survive a non-broadcastable corpus:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
 }

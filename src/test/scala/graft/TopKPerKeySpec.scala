@@ -86,6 +86,44 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!rankDf.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("high key cardinality stays correct under a tiny partial-key budget") {
+    // keys ≈ rows (o_orderkey is unique) and a 16-key map budget: almost
+    // every row takes the pass-through path, so this pins that the cap
+    // trades shuffle volume — never correctness — and that the final
+    // phase ranks from sorted input without per-key state
+    val prev = spark.conf.getOption("graft.topk.maxPartialKeys")
+    try {
+      spark.conf.set("graft.topk.maxPartialKeys", "16")
+      val orders = sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val out = TopK.topKPerKey(orders, Seq("o_orderkey"),
+        Seq(("o_totalprice", false), ("o_custkey", true)), 2)
+      assert(out.count() == orders.count(), "unique keys: every row survives")
+      assert(out.filter(col("rank") =!= 1).count() == 0)
+      // and a many-rows-per-key shape still matches the window formulation
+      val custom = TopK.topKPerKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .orderBy(col("o_custkey"), col("rank")).collect().toSeq
+      assert(custom == windowEquivalent(3)
+        .orderBy(col("o_custkey"), col("rank")).collect().toSeq)
+    } finally {
+      spark.conf.unset("graft.topk.maxPartialKeys")
+      prev.foreach(spark.conf.set("graft.topk.maxPartialKeys", _))
+    }
+  }
+
+  test("final phase demands sorted input (spillable SortExec below it)") {
+    val df = TopK.topKPerKey(
+      sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val p = df.queryExecution.executedPlan.toString
+    val finalIdx = p.indexOf("TopKPerKey")
+    val sortIdx = p.indexOf("Sort [o_custkey")
+    assert(finalIdx >= 0 && sortIdx > finalIdx,
+      s"expected Sort (keys ++ ordering) between exchange and final exec:\n$p")
+  }
+
   test("unknown column raises a clear error") {
     intercept[IllegalArgumentException] {
       TopK.topKPerKey(sources.Tables.nation(spark, sf),
