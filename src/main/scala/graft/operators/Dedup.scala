@@ -34,6 +34,45 @@ object Dedup {
         explode(graft.functions.ShingleHashes(col("text"), 3)).as("h"))
       .dropDuplicates("doc_id", "h")
 
+  /** Drops shingles present in more than `maxDf` documents before any
+    * self-join. A corpus-wide stop-shingle (boilerplate, template
+    * headers) matches every doc against every doc — the self-join on it
+    * is df² rows, squaring the corpus at 100 TB. High-df shingles carry
+    * no dedup signal (they don't discriminate), so capping them bounds
+    * the join at maxDf² per shingle while leaving near-dup detection —
+    * driven by rare shingles — intact. `sh` must be distinct per
+    * (doc_id, h). */
+  def dfCapShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("h")),
+      "h")
+
+  /** N-gram Jaccard near-dup pairs with a document-frequency cap:
+    * sizes and intersections both computed over the capped shingle set,
+    * so the score is the exact Jaccard of the rare-shingle profiles. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, maxDf: Long,
+                        minJaccard: Double): DataFrame = {
+    val sh0 = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), n)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val sh = dfCapShingles(sh0, maxDf)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact Jaccard for an id-pair set, from the shingle-hash table:
     * intersection via equi-join restricted to the candidates, sizes via
     * one aggregate — never materializes per-doc arrays. */
@@ -147,33 +186,24 @@ object Dedup {
     // SQL-expressible, oracle replays it in DuckDB.
     QueryDef(
       "q_dedup_ngram",
-      (s, dir) => {
+      (s, dir) =>
         // all-pairs enumeration on the 64-bit shingle hash: same equality
         // classes as the string shingles (collision odds ~1e-11 at this
-        // cardinality), far cheaper join keys
-        val sh = docShingles(s, dir)
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard", round(
-            col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+        // cardinality), far cheaper join keys; df cap (64 docs) keeps a
+        // corpus-wide stop-shingle from squaring the self-join
+        ngramJaccardPairs(Tables.documents(s, dir), n = 3, maxDf = 64,
+            minJaccard = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-          |sh AS (
+          |sh0 AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(
           |    range(1, len(ts) - 1),
           |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
           |  FROM tok WHERE len(ts) >= 3),
+          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+          |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           |inter AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

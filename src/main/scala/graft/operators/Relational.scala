@@ -130,6 +130,49 @@ object Relational {
           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
     ),
 
+    // B9 — right outer join: every order survives; customers filtered
+    // out of the build side surface as nulls.
+    QueryDef(
+      "q_join_outer_right",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "right_outer")
+          .select(o("o_orderkey"), o("o_custkey"), o("o_totalprice"),
+            c("c_name"), c("c_acctbal"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+          |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          |RIGHT OUTER JOIN orders ON c_custkey = o_custkey
+          |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // B9 — full outer join with unmatched rows on BOTH sides: rich
+    // customers with no big orders, and big orders whose customer
+    // misses the acctbal filter. Sort keys coalesced so Spark/DuckDB
+    // null-ordering defaults can't diverge.
+    QueryDef(
+      "q_join_outer_full",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(
+            coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+            o("o_orderkey"), o("o_totalprice"), c("c_name"), c("c_acctbal"))
+          .orderBy(col("custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+      },
+      Some(
+        """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+          |       o_orderkey, o_totalprice, c_name, c_acctbal
+          |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+          |  ON c_custkey = o_custkey
+          |ORDER BY custkey, coalesce(o_orderkey, -1)""".stripMargin)
+    ),
+
     // B10 — left semi (EXISTS) and left anti (NOT EXISTS), tagged and
     // unioned so one deterministic result covers both.
     QueryDef(

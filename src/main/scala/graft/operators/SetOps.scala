@@ -85,6 +85,34 @@ object SetOps {
           |ORDER BY nk, tag""".stripMargin)
     ),
 
+    // B27 — intersectAll / exceptAll (multiset semantics: copies
+    // preserved), aggregated to (value, tag, n) so the duplicate counts
+    // themselves are what's compared — intersectAll keeps
+    // min(count_l, count_r) copies, exceptAll keeps count_l - count_r.
+    QueryDef(
+      "q_setops_all",
+      (s, dir) => {
+        val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+        val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+        val both = cn.intersectAll(sn).withColumn("tag", lit("both_all"))
+        val diff = cn.exceptAll(sn).withColumn("tag", lit("cust_minus_supp"))
+        both.unionByName(diff)
+          .groupBy(col("nk"), col("tag"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("nk"), col("tag"))
+      },
+      Some(
+        """SELECT nk, tag, count(*) AS n FROM (
+          |  SELECT nk, 'both_all' AS tag FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    INTERSECT ALL SELECT s_nationkey FROM supplier)
+          |  UNION ALL
+          |  SELECT nk, 'cust_minus_supp' AS tag FROM (
+          |    SELECT c_nationkey AS nk FROM customer
+          |    EXCEPT ALL SELECT s_nationkey FROM supplier))
+          |GROUP BY nk, tag ORDER BY nk, tag""".stripMargin)
+    ),
+
     // B28/B45 — exact dedup with a deterministic representative (min id
     // per key); `dropDuplicates` keeps an arbitrary row, so the library
     // canonicalizes via groupBy — same plan shape, stable output.

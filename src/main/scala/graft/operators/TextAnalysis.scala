@@ -267,6 +267,58 @@ object TextAnalysis {
           |ORDER BY sizes.doc_id""".stripMargin)
     ),
 
+    // B48 — TF-IDF: term frequency per (doc, term), document frequency
+    // per term, tf·ln(N/df), top-5 terms per doc. The corpus size N
+    // arrives as a broadcast 1-row aggregate (never a driver-side
+    // count), and the final per-doc top-k is the row_number()+filter
+    // idiom, which RewriteRowNumberTopK turns into the bounded
+    // TopKPerKey operator — at 100 TB the ranking never shuffles more
+    // than k rows per doc per partition.
+    QueryDef(
+      "q_text_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = docs
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(
+            col("tf").cast(DoubleType) *
+              log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        scored
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+          |         round(tf.tf * ln(n_docs * 1.0 / dfq.df), 6) AS tfidf
+          |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+          |ranked AS (
+          |  SELECT doc_id, term, tf, df, tfidf,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY tfidf DESC, term) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked
+          |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)
+    ),
+
     // North star — document fingerprint: digest of the sorted distinct
     // token set (word-order-insensitive normalization) + dup-group size.
     QueryDef(

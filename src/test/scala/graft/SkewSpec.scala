@@ -18,6 +18,31 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("ngram dedup df cap: a corpus-wide stop-shingle cannot square the join") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate 5-gram, then unique words:
+    // uncapped, the shared shingles alone pair all docs against all docs
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"the quick brown fox jumps unique$i word${i}a word${i}b word${i}c")
+    }.toDF("doc_id", "text")
+    val uncapped = operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, maxDf = Long.MaxValue, minJaccard = 0.0)
+    assert(uncapped.count() == 60L * 59 / 2,
+      "stop-shingles pair every doc with every doc when uncapped")
+    // with the cap, the hot shingles drop from the join input entirely…
+    val sh = docs.select(col("doc_id"),
+        explode(functions.ShingleHashes(col("text"), 3)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val capped = operators.Dedup.dfCapShingles(sh, maxDf = 10)
+    val hotLeft = capped.groupBy(col("h")).count()
+      .filter(col("count") > 10).count()
+    assert(hotLeft == 0, "no shingle above the df cap may reach the self-join")
+    // …and the unique remainders produce no pairs at all
+    assert(operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, maxDf = 10, minJaccard = 0.0)
+      .count() == 0)
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val hot = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "id")
