@@ -172,17 +172,30 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session-level registration of graft's native SQL functions. */
+/** Session-level registration of graft's native SQL functions.
+  *
+  * `specs` is the single source of truth for the SQL surface — both
+  * [[registerAll]] (runtime registration used by `Sessions
+  * .ensureConfigured`) and [[graft.GraftExtensions]] (the
+  * `spark.sql.extensions` wiring for spark-submit sessions) iterate it,
+  * so the two paths can never drift. */
 object Functions {
-  def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
-  }
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** (sql name, implementing class, builder) for every native function. */
+  val specs: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    ("simhash64", classOf[SimHash64],
+      exprs => SimHash64(exprs(0))))
+
+  def registerAll(spark: SparkSession): Unit =
+    specs.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

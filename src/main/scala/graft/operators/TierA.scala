@@ -137,7 +137,7 @@ object TierA {
     QueryDef(
       "q_scan_csv",
       (s, dir) => {
-        val out = "/root/repo/target/tmp/q_scan_csv"
+        val out = graft.Staging.dir("q_scan_csv")
         Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("header", "true").csv(out)
@@ -178,7 +178,7 @@ object TierA {
     QueryDef(
       "q_partitioned_write",
       (s, dir) => {
-        val out = s"/root/repo/target/tmp/q_partitioned_write"
+        val out = graft.Staging.dir("q_partitioned_write")
         val e = Tables.events(s, dir)
         e.select(
             col("event_id"), col("value"),

@@ -26,24 +26,32 @@ import graft.sources.Tables
   */
 object Streams {
 
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Stage `df` as JSON files and open them as a file-source stream —
-    * the test-data stand-in for the reference's S3 landing bucket. */
-  def stageAndStream(s: SparkSession, df: DataFrame, path: String,
+    * the test-data stand-in for the reference's S3 landing bucket.
+    * Staged under [[graft.Staging]]'s per-JVM tmp root, so concurrent
+    * runs never collide. */
+  def stageAndStream(s: SparkSession, df: DataFrame, name: String,
                      schema: StructType): DataFrame = {
+    val path = graft.Staging.dir(name)
     df.write.mode("overwrite").json(path)
     s.readStream.schema(schema).json(path)
   }
 
   /** Drain a streaming aggregation into a memory sink table and return
-    * its contents (AvailableNow ⇒ terminates after the backlog). */
+    * its contents (AvailableNow ⇒ terminates after the backlog). The
+    * sink name is uniquified per call so re-running a query inside one
+    * JVM (bench warm-up + measure) never races a previous sink. */
   def drainComplete(s: SparkSession, agg: DataFrame, sinkName: String): DataFrame = {
+    val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
     val q = agg.writeStream
-      .format("memory").queryName(sinkName)
+      .format("memory").queryName(unique)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sinkName)
+    s.table(unique)
   }
 
   private val eventsJsonSchema =
@@ -57,11 +65,10 @@ object Streams {
     QueryDef(
       "q_stream_ingest",
       (s, dir) => {
-        val stage = "/root/repo/target/tmp/q_stream_ingest"
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, stage, eventsJsonSchema)
+        val stream = stageAndStream(s, src, "q_stream_ingest", eventsJsonSchema)
         val agg = stream.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         drainComplete(s, agg, "q_stream_ingest_sink")
@@ -77,11 +84,10 @@ object Streams {
     QueryDef(
       "q_stream_window",
       (s, dir) => {
-        val stage = "/root/repo/target/tmp/q_stream_window"
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, stage, eventsJsonSchema)
+        val stream = stageAndStream(s, src, "q_stream_window", eventsJsonSchema)
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
