@@ -46,4 +46,65 @@ object AsOf {
   def lastEarlier(left: DataFrame, right: DataFrame, key: String, ts: String,
                   payload: Column, payloadName: String): DataFrame =
     lastEarlier(left, right.withColumn(payloadName, payload), key, ts, payloadName)
+
+  /** `merge_asof(direction="forward")`: payload of the right row with the
+    * SMALLEST `ts >= left.ts` within the key. Same single-shuffle window
+    * shape as [[lastEarlier]], mirrored: left rows sort before right rows
+    * on equal ts, so a same-instant right row lands in the
+    * currentRow..following frame (ties match, distance 0). */
+  def firstLater(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 payload: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__tag", lit(0)).withColumn(payload, lit(null).cast(
+      right.schema(payload).dataType))
+    val r = right.select(col(key), col(ts), lit(1).as("__tag"), col(payload))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.select((leftCols.map(col) :+ col("__tag") :+ col(payload)): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn(payload, first(col(payload), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .drop("__tag")
+  }
+
+  /** `merge_asof(direction="nearest")`: payload of the right row whose
+    * `ts` is closest in either direction; exact ties go backward (the
+    * pandas convention). Both directional candidates come from ONE
+    * unioned, key-partitioned sort — two window frames over the same
+    * exchange, still a single shuffle. Right rows sort before left rows
+    * on equal ts, so a same-instant match is found by the backward frame
+    * at distance 0 and wins any tie. */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+              payload: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    val leftCols = left.columns
+    val tsType = right.schema(ts).dataType
+    val rpType = StructType(Seq(
+      StructField("ts", tsType), StructField("p", right.schema(payload).dataType)))
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__rp", lit(null).cast(rpType))
+    val r = right.select(col(key), col(ts), lit(0).as("__tag"),
+      struct(col(ts).as("ts"), col(payload).as("p")).as("__rp"))
+    val base = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+    val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // exact integer distances for timestamps (µs) — a double cast could
+    // collapse a 1 µs difference into a spurious tie
+    def dist(a: Column, b: Column): Column = tsType match {
+      case TimestampType => unix_micros(a) - unix_micros(b)
+      case _ => a.cast("double") - b.cast("double")
+    }
+    l.select((leftCols.map(col) :+ col("__tag") :+ col("__rp")): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", last(col("__rp"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rp"), ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 1)
+      .withColumn(payload,
+        when(col("__f").isNull, col("__b.p"))
+          .when(col("__b").isNull, col("__f.p"))
+          .when(dist(col(ts), col("__b.ts")) <= dist(col("__f.ts"), col(ts)),
+            col("__b.p"))
+          .otherwise(col("__f.p")))
+      .drop("__tag", "__rp", "__b", "__f")
+  }
 }

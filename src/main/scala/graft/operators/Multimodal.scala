@@ -64,7 +64,40 @@ object Multimodal {
           |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 
-    // B49(b) — partition-parallel decode via typed mapPartitions over
+    // B49(b) — production ingest path: real files on disk read through
+    // `spark.read.format("binaryFile")` (path/length/content/modTime —
+    // the schema an image/audio lake lands with). The corpus is staged
+    // as one file per document (distributed text write partitioned by
+    // doc_id; the writer appends '\n'), then read back as opaque bytes;
+    // doc_id recovers from the partition path. Oracled bit-exactly:
+    // length and md5 of the staged bytes against DuckDB over the source
+    // text.
+    QueryDef(
+      "q_multimodal_binfile",
+      (s, dir) => {
+        val out = graft.Staging.dir("q_multimodal_binfile")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").partitionBy("doc_id").format("text").save(out)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "part-*")
+          .option("recursiveFileLookup", "true")
+          .load(out)
+          .select(
+            regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+              .cast(LongType).as("doc_id"),
+            col("length"),
+            md5(col("content")).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          |       octet_length(encode(text || chr(10))) AS length,
+          |       md5(text || chr(10)) AS digest
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // B49(c) — partition-parallel decode via typed mapPartitions over
     // (id, blob) batches; STUB codec (see decodeStub). No oracle —
     // hash-derived fields aren't SQL-reproducible; MultimodalSpec pins
     // determinism and ranges.

@@ -239,6 +239,69 @@ object Relational {
           |FROM events e ASOF LEFT JOIN p
           |  ON e.user_id = p.user_id AND e.ts >= p.ts
           |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // B12 — as-of join, forward direction: the EARLIEST purchase at or
+    // after each event's ts. See [[AsOf.firstLater]].
+    QueryDef(
+      "q_join_asof_fwd",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsOf.firstLater(
+            e.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", ts = "ts", payload = "purchase_id")
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id, p.purchase_id
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts <= p.ts
+          |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // B12 — as-of join, nearest direction (ties backward, the pandas
+    // convention). Oracle replays it as backward+forward ASOF joins and
+    // an exact-µs distance compare. See [[AsOf.nearest]].
+    QueryDef(
+      "q_join_asof_nearest",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsOf.nearest(
+            e.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", ts = "ts", payload = "purchase_id")
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+          |b AS (
+          |  SELECT e.event_id, e.user_id, e.ts, p.ts AS bts, p.purchase_id AS bid
+          |  FROM events e ASOF LEFT JOIN p
+          |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+          |f AS (
+          |  SELECT e.event_id, p.ts AS fts, p.purchase_id AS fid
+          |  FROM events e ASOF LEFT JOIN p
+          |    ON e.user_id = p.user_id AND e.ts <= p.ts)
+          |SELECT b.event_id, b.user_id,
+          |       CASE WHEN fid IS NULL THEN bid
+          |            WHEN bid IS NULL THEN fid
+          |            WHEN epoch_us(b.ts) - epoch_us(bts)
+          |                   <= epoch_us(fts) - epoch_us(b.ts) THEN bid
+          |            ELSE fid END AS purchase_id
+          |FROM b JOIN f ON b.event_id = f.event_id
+          |ORDER BY b.event_id""".stripMargin)
     )
   )
 }

@@ -52,11 +52,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
   }
 
-  test("as-of join is one shuffle, not a nested-loop join") {
-    val p = plan("q_join_asof")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"as-of must stay windowed, not quadratic:\n$p")
-    assert(p.contains("Window"))
+  test("as-of joins (all directions) are windowed, never nested-loop") {
+    for (name <- Seq("q_join_asof", "q_join_asof_fwd", "q_join_asof_nearest")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must stay windowed, not quadratic:\n$p")
+      assert(p.contains("Window"))
+    }
   }
 
   test("cosine hot path uses the native expression, not interpreted HOFs") {
