@@ -53,6 +53,34 @@ object Reshape {
           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
     ),
 
+    // fillna / replace / dropna (the DataFrameNaFunctions surface — the
+    // dd.fillna/dropna/replace parity ops). Nulls are manufactured from
+    // real columns since the test tables carry none.
+    QueryDef(
+      "q_nulls_handling",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_n"),
+            when(col("o_totalprice") < 50000, lit(null).cast("double"))
+              .otherwise(col("o_totalprice")).as("price_n"))
+          .na.fill(Map("price_n" -> 0.0))
+          .na.replace("status_n", Map("F" -> "finished"))
+          .na.drop(Seq("status_n"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_orderkey,
+          |       CASE WHEN nullif(o_orderstatus, 'O') = 'F' THEN 'finished'
+          |            ELSE nullif(o_orderstatus, 'O') END AS status_n,
+          |       CASE WHEN o_totalprice < 50000 THEN 0.0
+          |            ELSE o_totalprice END AS price_n
+          |FROM orders
+          |WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+          |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // Null-safe equality (<=>): nulls match nulls, unlike plain =.
     QueryDef(
       "q_join_nullsafe",
