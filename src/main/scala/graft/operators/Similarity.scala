@@ -61,12 +61,18 @@ object Similarity {
                 nCells: Int): DataFrame = {
     val cents = vectors.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
+    // argmax via max(struct(sim, -cell_id)): lexicographic struct max ==
+    // best sim with ties to the lowest cell id. Unlike a row_number
+    // window (which would shuffle all n·nCells joined rows, vectors
+    // included), the aggregate partial-combines map-side — the exchange
+    // carries one row per vector regardless of nCells.
     vectors.crossJoin(broadcast(cents))
       .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max(struct(col("sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
+      .select(col(idCol), col(vecCol), (-col("best.neg_cell")).as("cell_id"))
   }
 
   private def topkBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
