@@ -148,6 +148,37 @@ object Similarity {
       None
     ),
 
+    // North star — per-label centroids of L2-normalized embeddings
+    // (mean-pooling: class centroids for nearest-centroid classification
+    // / clustering seeds). posexplode + (label, pos) aggregate: fully
+    // partial-combined map-side, shuffle carries 64·|labels| sums per
+    // partition regardless of corpus size.
+    QueryDef(
+      "q_embed_centroids",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val nrm = VectorFns.l2Norm(col("embedding"))
+        e.select(col("label"),
+            posexplode(transform(col("embedding"), x => x.cast("double") / nrm))
+              .as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).cast(LongType).as("i"), col("v"))
+          .groupBy(col("label"), col("i"))
+          .agg(round(avg(col("v")), 6).as("c"), count(lit(1)).as("n"))
+          .orderBy(col("label"), col("i"))
+      },
+      Some(
+        s"""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+           |n AS (
+           |  SELECT label, embedding,
+           |         sqrt(${VectorFns.OracleSql.sumSq("embedding")}) AS nrm
+           |  FROM embeddings)
+           |SELECT label, i,
+           |       round(avg(CAST(embedding[i] AS DOUBLE) / nrm), 6) AS c,
+           |       count(*) AS n
+           |FROM n CROSS JOIN pos
+           |GROUP BY label, i ORDER BY label, i""".stripMargin)
+    ),
+
     // B47(c) — IVF-partitioned ANN: top-3 neighbors within each vector's
     // cell. Complements the LSH path: cells are data-adaptive (centroid
     // Voronoi regions) where LSH buckets are data-oblivious. No oracle

@@ -319,6 +319,32 @@ object TextAnalysis {
           |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)
     ),
 
+    // North star — training-shard packing summary: deterministic shard
+    // assignment (doc_id mod N — reproducible across runs and cluster
+    // sizes) with per-shard doc/token budgets, the bookkeeping a
+    // dataset-sharding step emits before writing training files.
+    QueryDef(
+      "q_data_shard",
+      (s, dir) => {
+        val nTok = size(TextFns.tokens(col("text"))).cast(LongType)
+        Tables.documents(s, dir)
+          .select(pmod(col("doc_id"), lit(8)).as("shard"), nTok.as("n_tokens"))
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy(col("shard"))
+      },
+      Some(
+        """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+          |       sum(len(string_split(lower(text), ' '))) AS total_tokens,
+          |       min(len(string_split(lower(text), ' '))) AS min_tokens,
+          |       max(len(string_split(lower(text), ' '))) AS max_tokens
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // North star — document fingerprint: digest of the sorted distinct
     // token set (word-order-insensitive normalization) + dup-group size.
     QueryDef(
