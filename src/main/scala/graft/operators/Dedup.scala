@@ -244,8 +244,41 @@ object Dedup {
       None
     ),
 
-    // North star — embedding-cosine near-dup pairs (brute pair scan;
-    // LSH path = Similarity.annIndex). Oracled with the double-precision
+    // North star — embedding near-dup at scale: LSH-bucketed candidate
+    // pairs (ids only through the bucket join), vectors re-attached via
+    // shuffle joins, exact cosine filter. THE production default for
+    // this operator — pair work is Σ bucket², never n²; the brute form
+    // below exists as the oracled reference. No SQL oracle (bucket
+    // membership depends on the seeded hyperplanes); LlmOpsSpec asserts
+    // the pairs are a subset of the brute pairs with matching cosines
+    // and recall ≥ 0.5 on strong pairs.
+    QueryDef(
+      "q_dedup_embedding_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
+        val cands = Similarity.annCandidates(e, "vec_id", "embedding")
+          .filter(col("qid") < col("nid"))
+          .select(col("qid").as("vec_a"), col("nid").as("vec_b"))
+        cands
+          .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+            col("nrm").as("na")), "vec_a")
+          .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+            col("nrm").as("nb")), "vec_b")
+          .withColumn("cos_raw",
+            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cos_raw") >= 0.4499)
+          .withColumn("cos", round(col("cos_raw"), 6))
+          .filter(col("cos") >= 0.45)
+          .select(col("vec_a"), col("vec_b"), col("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      None
+    ),
+
+    // North star — embedding-cosine near-dup pairs (brute pair scan —
+    // the oracled REFERENCE form; the declared scale path is
+    // q_dedup_embedding_lsh above). Oracled with the double-precision
     // cosine formula.
     QueryDef(
       "q_dedup_embedding",

@@ -75,6 +75,21 @@ object Similarity {
       .select(col(idCol), col(vecCol), (-col("best.neg_cell")).as("cell_id"))
   }
 
+  /** Candidate id-pairs sharing ≥1 LSH bucket — ids only, so the bucket
+    * self-join and the (qid, nid) dedup shuffle never carry vectors.
+    * Shared by the ANN search and the LSH embedding-dedup paths. */
+  def annCandidates(vectors: DataFrame, idCol: String, vecCol: String,
+                    nTables: Int = 4, planesPerTable: Int = 2): DataFrame = {
+    val idx = annIndex(vectors, idCol, vecCol, nTables, planesPerTable)
+      .select(col("lsh_table"), col("lsh_bucket"), col(idCol))
+    idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("qid"))
+      .join(idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("nid")),
+        Seq("lsh_table", "lsh_bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+  }
+
   private def topkBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < nQueries)
@@ -123,15 +138,7 @@ object Similarity {
         // the embeddings relation caps at driver/executor memory. The qid
         // join leaves the stream hash-partitioned on qid, which the
         // top-k window reuses without another exchange.
-        val idx = annIndex(e, "vec_id", "embedding")
-          .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
-        val cands = idx.select(col("lsh_table"), col("lsh_bucket"),
-            col("vec_id").as("qid"))
-          .join(idx.select(col("lsh_table"), col("lsh_bucket"),
-            col("vec_id").as("nid")), Seq("lsh_table", "lsh_bucket"))
-          .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"))
-          .dropDuplicates("qid", "nid")
+        val cands = annCandidates(e, "vec_id", "embedding")
         val withVecs = cands
           .join(e.select(col("vec_id").as("nid"),
             col("embedding").as("nvec")), "nid")

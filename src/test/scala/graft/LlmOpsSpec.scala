@@ -36,6 +36,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.5") {
+    val brute = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assume(brute.nonEmpty)
+    val lsh = q("q_dedup_embedding_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.contains(pair), s"LSH pair $pair not in brute-force set")
+      assert(brute(pair) == cos, s"cosine mismatch on $pair")
+    }
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH dedup recall $recall on ${brute.size} pairs")
+  }
+
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
     val e = sources.Tables.embeddings(spark, sf)
     val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
