@@ -31,6 +31,7 @@ object Registry {
       operators.Windows.defs ++
       operators.SetOps.defs ++
       operators.TopK.defs ++
+      operators.Skew.defs ++
       operators.Reshape.defs ++
       functions.Scalars.defs ++
       functions.Scalars2.defs ++

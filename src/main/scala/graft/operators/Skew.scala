@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
 
 /** Skew-salting recipe (SURVEY §7 "salting for skewed keys") as a
   * reusable operator rather than folklore.
@@ -31,4 +33,28 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("bigint"))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The salted join as a declared, oracled operator: semantically a
+    // plain inner join (the oracle IS the plain join), physically spread
+    // over `factor` reducers per key — so the correctness gate pins that
+    // salting never changes results.
+    QueryDef(
+      "q_join_skew_salted",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        saltedJoin(li, o, "l_orderkey", factor = 8,
+            saltSource = Seq("l_orderkey", "l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    )
+  )
 }
