@@ -23,12 +23,21 @@ object Bench {
       }
     }
 
-    // Warm-up pass over EVERY query (JIT, codegen caches, file listing,
-    // page cache) so the measured pass times steady-state execution —
-    // single-shot numbers at local[32] swing several× on JVM noise.
-    ordered.foreach { case (name, fn) => run(name, fn) }
+    // Two full executions per query; report the per-query MIN. The first
+    // pass doubles as warm-up (JIT, codegen caches, file listing, page
+    // cache); min-of-two is the standard noise-floor estimator —
+    // single-shot numbers at local[32] swing several× on scheduler/GC
+    // noise, and the min damps exactly those spikes.
+    val firstPass = ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
 
-    val results = ordered.map { case (name, fn) => name -> run(name, fn) }
+    val results = ordered.map { case (name, fn) =>
+      val second = run(name, fn)
+      val best = (firstPass(name), second) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (_, r) => r
+      }
+      name -> best
+    }
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
     errs.foreach { case (n, m) => System.err.println(s"[bench] $n failed: $m") }

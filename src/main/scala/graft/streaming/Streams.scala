@@ -103,6 +103,33 @@ object Streams {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // B40 — stateful streaming dedup: the staged input is DOUBLED, so
+    // the per-type counts only match the batch oracle if
+    // dropDuplicates("event_id") state actually suppresses the second
+    // copy of every event across micro-batches. State is partitioned by
+    // event_id in the state store; production pairs this with
+    // dropDuplicatesWithinWatermark to bound it (StreamsSpec covers the
+    // watermarked variant).
+    QueryDef(
+      "q_stream_dedup",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val doubled = src.unionAll(src)
+        val stream = stageAndStream(s, doubled, "q_stream_dedup", eventsJsonSchema)
+        val agg = stream
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        drainComplete(s, agg, "q_stream_dedup_sink")
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // B38 — session windows (30-minute gap) per user. Batch-mode
     // session_window so the DuckDB gaps-and-islands oracle can replay
     // the exact merge semantics (new session when gap >= 30 min).
