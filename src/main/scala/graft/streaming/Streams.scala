@@ -54,8 +54,25 @@ object Streams {
     s.table(unique)
   }
 
+  /** Drain an append-mode streaming query (joins, watermarked appends)
+    * into a memory sink and return its contents. */
+  def drainAppend(s: SparkSession, df: DataFrame, sinkName: String): DataFrame = {
+    val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(unique)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(unique)
+  }
+
   private val eventsJsonSchema =
     StructType.fromDDL("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+
+  private val eventsUserJsonSchema =
+    StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, ts_us LONG")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -128,6 +145,43 @@ object Streams {
       Some(
         """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // B36-41 — watermarked stream-stream interval join: purchases joined
+    // to same-user clicks up to 2 hours earlier, both sides real file
+    // streams. AvailableNow drains the staged backlog in order, so no
+    // row is watermark-late and the append output equals the batch
+    // interval join — which is exactly what the DuckDB oracle replays.
+    // State scales like any stream-stream join: keyed by user_id, rows
+    // retained only within the watermark + interval bound.
+    QueryDef(
+      "q_stream_join",
+      (s, dir) => {
+        val path = graft.Staging.dir("q_stream_join")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .write.mode("overwrite").json(path)
+        def side(tpe: String, user: String, id: String, ts: String) =
+          s.readStream.schema(eventsUserJsonSchema).json(path)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(user), col("event_id").as(id),
+              timestamp_micros(col("ts_us")).as(ts))
+            .withWatermark(ts, "1 hour")
+        val joined = side("purchase", "p_user", "purchase_id", "p_ts")
+          .join(side("click", "c_user", "click_id", "c_ts"),
+            expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"))
+          .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+        drainAppend(s, joined, "q_stream_join_sink")
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some(
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+          |FROM events p JOIN events c
+          |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND p.user_id = c.user_id
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'
+          |ORDER BY purchase_id, click_id""".stripMargin)
     ),
 
     // B38 — session windows (30-minute gap) per user. Batch-mode
