@@ -70,6 +70,44 @@ object Extensions {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // B42-44 companion — the dask `groupby.apply` analog: arbitrary
+    // per-group code via typed KeyValueGroupedDataset.flatMapGroups
+    // (one shuffle, groups streamed through a spillable sort — the
+    // scalable escape hatch when an aggregate genuinely can't be
+    // expressed in agg columns). Trimmed mean per flag: quantities are
+    // integer-valued doubles, so the fold is exact and order-invariant,
+    // keeping the result bit-deterministic and oracle-able.
+    QueryDef(
+      "q_groupby_apply",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"))
+          .as[(String, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (flag: String, it: Iterator[(String, Double)]) =>
+            var n = 0L; var sum = 0.0
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            it.foreach { case (_, q) =>
+              n += 1; sum += q
+              if (q < mn) mn = q
+              if (q > mx) mx = q
+            }
+            if (n > 2) Iterator((flag, n, (sum - mn - mx) / (n - 2).toDouble))
+            else Iterator.empty
+          }
+          .toDF("l_returnflag", "n", "trimmed_mean")
+          .withColumn("trimmed_mean", round(col("trimmed_mean"), 6))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round((sum(l_quantity) - min(l_quantity) - max(l_quantity))
+          |             / (count(*) - 2), 6) AS trimmed_mean
+          |FROM lineitem GROUP BY l_returnflag HAVING count(*) > 2
+          |ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // B44 — generator / UDTF: explode one row per word.
     QueryDef(
       "q_explode_words",
