@@ -72,6 +72,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("no unexpected nested-loop/cartesian join anywhere in the registry") {
+    // quadratic joins are allowed ONLY where they're the documented
+    // intent: a tiny broadcast build side (band join, query set,
+    // centroid set) or the oracled brute-force reference form
+    val allowed = Set(
+      "q_join_range",       // band join, tiny broadcast build side
+      "q_similarity_topk",  // corpus x broadcast 5-query set
+      "q_similarity_ivf",   // corpus x broadcast 16 centroids
+      "q_dedup_embedding",  // brute reference form (scale path = _lsh)
+      "q_text_tfidf")       // 1-row broadcast (corpus-size scalar attach)
+    Registry.all.foreach { qd =>
+      val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
+      val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
+      if (!allowed(qd.name)) {
+        assert(!quad, s"${qd.name} plans a quadratic join:\n$p")
+      }
+    }
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
