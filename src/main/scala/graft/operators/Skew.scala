@@ -39,21 +39,25 @@ object Skew {
     // The salted join as a declared, oracled operator: semantically a
     // plain inner join (the oracle IS the plain join), physically spread
     // over `factor` reducers per key — so the correctness gate pins that
-    // salting never changes results.
+    // salting never changes results. The replicated side is the SMALL
+    // one (supplier): factor× replication of a dimension is cheap, and
+    // that asymmetry is exactly when salting beats letting one hot fact
+    // key melt a reducer.
     QueryDef(
       "q_join_skew_salted",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        val o = Tables.orders(s, dir)
-          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-        saltedJoin(li, o, "l_orderkey", factor = 8,
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        saltedJoin(li, sup, "l_suppkey", factor = 8,
             saltSource = Seq("l_orderkey", "l_linenumber"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some(
-        """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
-          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, s_name
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     )
   )
