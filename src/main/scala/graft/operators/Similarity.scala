@@ -186,6 +186,45 @@ object Similarity {
            |GROUP BY label, i ORDER BY label, i""".stripMargin)
     ),
 
+    // North star — int8-style vector quantization: per-vector min/max
+    // affine scale, codes via floor() (identical IEEE double ops both
+    // engines — round() tie rules differ, floor never does). Pure
+    // per-row expressions: zero shuffle, embarrassingly parallel at any
+    // corpus size. Output keeps the code-sum as a compact checksum of
+    // the full code vector.
+    QueryDef(
+      "q_embed_quantize",
+      (s, dir) => {
+        val emb = transform(col("embedding"), x => x.cast("double"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            array_min(emb).as("mn"), array_max(emb).as("mx"), emb.as("e"))
+          .filter(col("mx") > col("mn"))
+          .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+          .select(
+            col("vec_id"),
+            round(col("mn"), 6).as("mn_r"),
+            round(col("mx"), 6).as("mx_r"),
+            aggregate(
+              transform(col("e"), x => floor((x - col("mn")) / col("scale"))),
+              lit(0.0), (a, v) => a + v).cast(LongType).as("code_sum"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |m AS (
+          |  SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx
+          |  FROM d)
+          |SELECT vec_id, round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
+          |       CAST(list_sum(list_transform(e,
+          |         x -> floor((x - mn) / ((mx - mn) / 255.0)))) AS BIGINT)
+          |         AS code_sum
+          |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin)
+    ),
+
     // B47(c) — IVF-partitioned ANN: top-3 neighbors within each vector's
     // cell. Complements the LSH path: cells are data-adaptive (centroid
     // Voronoi regions) where LSH buckets are data-oblivious. No oracle
