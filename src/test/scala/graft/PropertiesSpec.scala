@@ -43,6 +43,48 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("as-of all directions match a brute-force reference on random frames") {
+    import spark.implicits._
+    val asofGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] = for {
+      left <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 20L)
+      } yield (k, ts))
+      right <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 20L)
+      } yield (k, ts))
+    } yield (left.distinct,
+      // unique payload per (k, ts) — the operator's documented contract
+      right.distinct.map { case (k, t) => (k, t, k * 100 + t) })
+
+    check("asof vs brute", Prop.forAll(asofGen) { case (l, r) =>
+      val left = l.toDF("k", "ts")
+      val right = r.toDF("k", "ts", "payload")
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("k"), col("ts"), col("payload"))
+          .collect().map(x => (x.getLong(0), x.getLong(1),
+            if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+      // brute references
+      def backward(k: Long, ts: Long) =
+        r.filter(p => p._1 == k && p._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      def forward(k: Long, ts: Long) =
+        r.filter(p => p._1 == k && p._2 >= ts).sortBy(_._2).headOption.map(_._3)
+      def near(k: Long, ts: Long) = {
+        val cand = r.filter(_._1 == k)
+        if (cand.isEmpty) None
+        else {
+          val best = cand.map(p => (math.abs(p._2 - ts), p._2 > ts, p._3)).min
+          Some(best._3) // min on (distance, isForward): ties go backward
+        }
+      }
+      val expB = l.map { case (k, t) => (k, t, backward(k, t)) }.toSet
+      val expF = l.map { case (k, t) => (k, t, forward(k, t)) }.toSet
+      val expN = l.map { case (k, t) => (k, t, near(k, t)) }.toSet
+      got(operators.AsOf.lastEarlier(left, right, "k", "ts", "payload")) == expB &&
+        got(operators.AsOf.firstLater(left, right, "k", "ts", "payload")) == expF &&
+        got(operators.AsOf.nearest(left, right, "k", "ts", "payload")) == expN
+    }, n = 15)
+  }
+
   test("join cardinality bounds: semi <= left, inner <= left*right") {
     import spark.implicits._
     check("join bounds", Prop.forAll(rowsGen, rowsGen) { (l, r) =>
