@@ -4,6 +4,20 @@ import org.apache.spark.sql.functions._
 
 class FlagshipSpec extends SparkSpec {
 
+  test("persist(): re-used stage reads from InMemoryTableScan (dd.persist parity)") {
+    // the reference pipeline persists the parsed frame before fan-out
+    // (dask df.persist()); the Spark analog is cache() — pin that a
+    // second action actually hits the columnar cache, not the source
+    val df = sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).count().cache()
+    try {
+      df.count() // materialize
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"expected cached scan in:\n$p")
+    } finally df.unpersist()
+  }
+
   test("q_flagship returns one finite sample-std of per-type means") {
     val rows = q("q_flagship").collect()
     assert(rows.length == 1)
