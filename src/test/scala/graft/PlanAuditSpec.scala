@@ -91,6 +91,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_text_tfidf's per-doc top-k plans as the bounded TopKPerKey operator") {
+    // the row_number()+filter idiom must keep rewriting even through the
+    // cast/Project Catalyst inserts between the filter and the window
+    val opt = q("q_text_tfidf").queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"rewrite lost:\n$opt")
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
