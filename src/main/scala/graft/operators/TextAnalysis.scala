@@ -319,6 +319,38 @@ object TextAnalysis {
           |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)
     ),
 
+    // North star — fuzzy near-dup scoring: Levenshtein distance between
+    // each document and the next one from the same source (prefix-capped
+    // so the O(n·m) DP stays bounded per pair). The window pairing keeps
+    // the pair count linear in the corpus — the shape to use when edit
+    // distance verifies candidates from a cheaper blocking stage.
+    QueryDef(
+      "q_text_editdist",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"),
+            lead(col("text"), 1).over(w).as("next_text"))
+          .filter(col("next_text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            levenshtein(substring(col("text"), 1, 100),
+              substring(col("next_text"), 1, 100)).cast(LongType).as("edit_dist"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH paired AS (
+          |  SELECT doc_id, source, text,
+          |         lead(text, 1) OVER (PARTITION BY source ORDER BY doc_id)
+          |           AS next_text
+          |  FROM documents)
+          |SELECT doc_id, source,
+          |       levenshtein(substring(text, 1, 100),
+          |                   substring(next_text, 1, 100)) AS edit_dist
+          |FROM paired WHERE next_text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin)
+    ),
+
     // North star — training-shard packing summary: deterministic shard
     // assignment (doc_id mod N — reproducible across runs and cluster
     // sizes) with per-shard doc/token budgets, the bookkeeping a
