@@ -159,6 +159,9 @@ object Streams {
       (s, dir) => {
         val path = graft.Staging.dir("q_stream_join")
         Tables.events(s, dir)
+          // only the two joined types can contribute — staging the rest
+          // would just be dead IO through both stream reads
+          .filter(col("event_type").isin("purchase", "click"))
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"))
           .write.mode("overwrite").json(path)
