@@ -7,8 +7,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `--conf spark.sql.extensions=graft.GraftExtensions`): registers the
   * custom planner strategy, optimizer rule, and EVERY native function
   * from [[functions.Functions.specs]] — the same list
-  * `Sessions.ensureConfigured` registers, so the two wiring paths expose
-  * an identical SQL surface. */
+  * `Sessions.ensureConfigured` registers, so the two paths expose the
+  * identical function/strategy/rule surface.
+  *
+  * Extensions cannot set session confs: reading the `events` table's
+  * TIMESTAMP(NANOS) parquet additionally needs
+  * `--conf spark.sql.legacy.parquet.nanosAsLong=true` on the submit
+  * line (Spark 4 errors on that type otherwise —
+  * `Sessions.ensureConfigured` sets it for the programmatic path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.TopKStrategy)

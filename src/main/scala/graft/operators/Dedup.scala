@@ -24,16 +24,6 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** documents → exploded distinct (doc_id, h) shingle-hash table.
-    * Dedup happens AFTER the explode (distributed hash shuffle) — doing
-    * it per-row with `array_distinct` is O(n²) string compares per doc
-    * and was the single hottest stage of the whole bench at sf0.1. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 3)).as("h"))
-      .dropDuplicates("doc_id", "h")
-
   /** Drops shingles present in more than `maxDf` documents before any
     * self-join. A corpus-wide stop-shingle (boilerplate, template
     * headers) matches every doc against every doc — the self-join on it
@@ -51,7 +41,10 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs with a document-frequency cap:
     * sizes and intersections both computed over the capped shingle set,
-    * so the score is the exact Jaccard of the rare-shingle profiles. */
+    * so the score is the exact Jaccard of the rare-shingle profiles.
+    * Shingle dedup happens AFTER the explode (distributed hash shuffle)
+    * — per-row `array_distinct` is O(n²) string compares per doc and
+    * was the single hottest stage of the whole bench at sf0.1. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, maxDf: Long,
                         minJaccard: Double): DataFrame = {
     val sh0 = docs

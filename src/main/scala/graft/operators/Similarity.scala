@@ -174,16 +174,21 @@ object Similarity {
           .orderBy(col("label"), col("i"))
       },
       Some(
-        s"""WITH pos AS (SELECT unnest(range(1, 65)) AS i),
-           |n AS (
+        // positions derive from each row's OWN length (unnest(range) is
+        // per-row), mirroring the Spark posexplode — a fixed-width cross
+        // join would silently diverge on any non-64-wide vector
+        s"""WITH n AS (
            |  SELECT label, embedding,
            |         sqrt(${VectorFns.OracleSql.sumSq("embedding")}) AS nrm
-           |  FROM embeddings)
+           |  FROM embeddings),
+           |x AS (
+           |  SELECT label, embedding, nrm,
+           |         unnest(range(1, len(embedding) + 1)) AS i
+           |  FROM n)
            |SELECT label, i,
            |       round(avg(CAST(embedding[i] AS DOUBLE) / nrm), 6) AS c,
            |       count(*) AS n
-           |FROM n CROSS JOIN pos
-           |GROUP BY label, i ORDER BY label, i""".stripMargin)
+           |FROM x GROUP BY label, i ORDER BY label, i""".stripMargin)
     ),
 
     // North star — int8-style vector quantization: per-vector min/max

@@ -51,7 +51,12 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(unique)
+    // resolve the plan, then unregister the name: the returned frame
+    // keeps the sink relation alive, but repeated invocations no longer
+    // pin every past sink in the catalog for the session's lifetime
+    val out = s.table(unique)
+    s.catalog.dropTempView(unique)
+    out
   }
 
   /** Drain an append-mode streaming query (joins, watermarked appends)
@@ -64,7 +69,9 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(unique)
+    val out = s.table(unique)
+    s.catalog.dropTempView(unique)
+    out
   }
 
   private val eventsJsonSchema =
@@ -165,12 +172,17 @@ object Streams {
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"))
           .write.mode("overwrite").json(path)
+        // watermark delay spans the whole staged window: oracle equality
+        // must not depend on the backlog landing in ONE micro-batch (a
+        // 1-hour delay would drop older rows if the file source ever
+        // split the backlog); real late-drop semantics are pinned by
+        // StreamsSpec with controlled multi-batch input
         def side(tpe: String, user: String, id: String, ts: String) =
           s.readStream.schema(eventsUserJsonSchema).json(path)
             .filter(col("event_type") === tpe)
             .select(col("user_id").as(user), col("event_id").as(id),
               timestamp_micros(col("ts_us")).as(ts))
-            .withWatermark(ts, "1 hour")
+            .withWatermark(ts, "365 days")
         val joined = side("purchase", "p_user", "purchase_id", "p_ts")
           .join(side("click", "c_user", "click_id", "c_ts"),
             expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"))
