@@ -52,7 +52,15 @@ object Bench {
       "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture gets truncated by some harnesses; persist the full
+    // per-query map so rounds stay diffable for every query
+    val outFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

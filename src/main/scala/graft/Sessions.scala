@@ -30,6 +30,41 @@ object Sessions {
     spark
   }
 
+  /** Object-store (s3a) posture for a 100 TB deployment. Local test runs
+    * never touch S3, so these are NOT applied by [[build]] — they are the
+    * documented, reviewed config a cluster submit adds via `--conf`, or
+    * programmatically with `s3aDefaults.foreach { case (k, v) =>
+    * builder.config(k, v) }`. Values are public Hadoop/Spark s3a guidance:
+    *
+    *  - magic committer: S3 has no atomic rename; the classic
+    *    FileOutputCommitter either double-copies (v1) or is unsafe under
+    *    failure (v2). The magic committer writes task output straight to
+    *    the destination via multipart uploads that only complete on job
+    *    commit — zero-rename, correct under task retry.
+    *  - directory.marker.retention=keep: skips delete-marker churn on
+    *    every directory write (safe on any post-3.3 Hadoop fleet).
+    *  - block-size/readahead/maxConnections: parquet column chunks arrive
+    *    via ranged GETs; 128M partitions + 1M readahead keeps a 1000-task
+    *    scan from thrashing connections.
+    *  - `fs.s3a.experimental.input.fadvise=random` belongs on clusters
+    *    whose scans are parquet-dominated (columnar seeks, not full-file
+    *    streams); left out of the defaults because it penalizes
+    *    whole-file formats (CSV/JSON/binaryFile).
+    */
+  val s3aDefaults: Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep",
+    "spark.hadoop.fs.s3a.block.size" -> "128M",
+    "spark.hadoop.fs.s3a.readahead.range" -> "1M",
+    "spark.hadoop.fs.s3a.connection.maximum" -> "200",
+    "spark.hadoop.fs.s3a.fast.upload" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> "134217728")
+
   /** Idempotent per-session setup that also works on sessions built
     * OUTSIDE this library (e.g. a test harness's own SparkSession):
     * runtime-settable configs, native function registration, and the

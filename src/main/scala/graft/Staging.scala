@@ -19,4 +19,24 @@ object Staging {
   }
 
   def dir(name: String): String = s"$root/$name"
+
+  /** Persistent content-keyed staging: `build` runs only if the keyed
+    * dir hasn't been staged yet (marker file), then every later run —
+    * including the bench's second pass and future JVMs — reuses it.
+    * For inputs that are a pure function of the key (test-table slices):
+    * re-staging them each run would make a read-path benchmark measure
+    * file creation instead. */
+  def cached(key: String)(build: String => Unit): String = synchronized {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_cache", key)
+    val marker = base.resolve("_GRAFT_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      build(base.toString) // Spark mode("overwrite") clears partial leftovers
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    base.toString
+  }
+
+  /** Filesystem-safe cache-key fragment for a path-like input. */
+  def keyOf(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 }

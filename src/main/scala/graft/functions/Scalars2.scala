@@ -88,19 +88,25 @@ object Scalars2 {
           |FROM embeddings ORDER BY vec_id""".stripMargin)
     ),
 
-    // Deterministic Bernoulli sampling: same seed + same input layout ⇒
-    // identical sample (SamplingSpec pins run-to-run equality). No SQL
-    // oracle: the sample set is a function of Spark's partition-seeded
-    // RNG, which DuckDB cannot replay.
+    // Deterministic ~10% sampling keyed on the row identity, not a
+    // partition-seeded RNG: `(key mod N) = slot` yields the SAME sample
+    // for any cluster size, partition layout, or engine — the property a
+    // training-data pipeline needs for reproducible held-out splits.
+    // Replayable in plain SQL, so it carries a full hash oracle
+    // (`.sample()`'s RNG stream, by contrast, is Spark-internal).
     QueryDef(
       "q_sample",
       (s, dir) => {
         Tables.lineitem(s, dir)
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .filter(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(10)) === 3)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
-      None
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity
+          |FROM lineitem
+          |WHERE (l_orderkey * 7 + l_linenumber) % 10 = 3
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
 
     QueryDef(

@@ -371,7 +371,8 @@ object TextAnalysis {
       },
       Some(
         """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
-          |       sum(len(string_split(lower(text), ' '))) AS total_tokens,
+          |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+          |         AS total_tokens,
           |       min(len(string_split(lower(text), ' '))) AS min_tokens,
           |       max(len(string_split(lower(text), ' '))) AS max_tokens
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)

@@ -67,6 +67,20 @@ object Timeseries {
       uSym(id, 104).as("y"))
   }
 
+  /** Generation window for `q_reference_scale`: the documented override
+    * `graft.referenceScale.days` wins; otherwise days = 10,000 × the
+    * scale factor parsed from the LAST `sf<number>` segment of the data
+    * dir — sf0.1 ⇒ 1000 days (the reference's published worst case),
+    * sf0.01 ⇒ 100, sf0.001 ⇒ 10 — so an unanticipated sf (0.15, 1.0)
+    * scales proportionally instead of silently collapsing to a floor.
+    * Unparseable dirs fall back to the smallest test size (10 days). */
+  def referenceDays(s: SparkSession, dir: String): Int =
+    s.conf.getOption("graft.referenceScale.days").map(_.toInt).getOrElse {
+      val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(dir).toSeq
+        .lastOption.map(_.group(1).toDouble).getOrElse(0.001)
+      math.max(1, math.round(sf * 10000).toInt)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1/A10 — generator shape summary. No SQL oracle (DuckDB cannot
@@ -98,10 +112,7 @@ object Timeseries {
     QueryDef(
       "q_reference_scale",
       (s, dir) => {
-        val days =
-          if (dir.contains("sf0.1")) 1000      // the reference's max job
-          else if (dir.contains("sf0.01")) 100
-          else 10
+        val days = referenceDays(s, dir)
         generate(s, "2021-01-01", days)
           .groupBy(col("name")).agg(avg(col("y")).as("mean_y"))
           .agg(round(stddev_samp(col("mean_y")), 9).as("std_of_means"))

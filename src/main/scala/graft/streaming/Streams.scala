@@ -171,18 +171,24 @@ object Streams {
           .filter(col("event_type").isin("purchase", "click"))
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts")).as("ts_us"))
+          // one event-time-sorted file: arrival order is monotonic in
+          // event time, the same shape a log-structured landing zone
+          // delivers — so a REALISTIC watermark is exact, not just a
+          // drain-everything-before-anything-is-late accident
+          .repartition(1).sortWithinPartitions(col("ts_us"))
           .write.mode("overwrite").json(path)
-        // watermark delay spans the whole staged window: oracle equality
-        // must not depend on the backlog landing in ONE micro-batch (a
-        // 1-hour delay would drop older rows if the file source ever
-        // split the backlog); real late-drop semantics are pinned by
+        // 4 h = join interval (2 h) + 2 h disorder slack — the watermark a
+        // production copy of this query would declare. With monotonic
+        // arrival nothing is ever late, and stream-stream join state is
+        // bounded at watermark + interval (~6 h of rows per user), which
+        // survives 100 TB/day; real late-drop semantics are pinned by
         // StreamsSpec with controlled multi-batch input
         def side(tpe: String, user: String, id: String, ts: String) =
           s.readStream.schema(eventsUserJsonSchema).json(path)
             .filter(col("event_type") === tpe)
             .select(col("user_id").as(user), col("event_id").as(id),
               timestamp_micros(col("ts_us")).as(ts))
-            .withWatermark(ts, "365 days")
+            .withWatermark(ts, "4 hours")
         val joined = side("purchase", "p_user", "purchase_id", "p_ts")
           .join(side("click", "c_user", "click_id", "c_ts"),
             expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"))
@@ -197,6 +203,49 @@ object Streams {
           | AND p.user_id = c.user_id
           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'
           |ORDER BY purchase_id, click_id""".stripMargin)
+    ),
+
+    // A18 — the reference's cron-cadence producer (EventBridge 1-minute
+    // rate → one JSON drop per tick, app.py:131-134 +
+    // lambda_producer.py:20-27) expressed Spark-native: a
+    // Trigger.ProcessingTime stream where each tick ingests exactly one
+    // newly-arrived file (maxFilesPerTrigger=1) and appends to a
+    // partitioned JSON sink with exactly-once checkpointing. The oracle
+    // is batch equivalence over the sink contents — checkpointed file
+    // ingest means the rows that land equal the rows produced, which is
+    // precisely the delta vs the reference's at-least-once Lambda
+    // trigger (app.py:174-175, re-delivery unguarded).
+    QueryDef(
+      "q_stream_cron",
+      (s, dir) => {
+        val n = sinkSeq.incrementAndGet()
+        val in = graft.Staging.dir(s"q_stream_cron_in_$n")
+        val out = graft.Staging.dir(s"q_stream_cron_out_$n")
+        val ckpt = graft.Staging.dir(s"q_stream_cron_ckpt_$n")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+          .repartition(5) // five staged "minutely" producer drops
+          .write.mode("overwrite").json(in)
+        val q = s.readStream.schema(eventsJsonSchema)
+          .option("maxFilesPerTrigger", 1) // one drop per tick, like the cron
+          .json(in)
+          .writeStream
+          .format("json").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .partitionBy("event_type")
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        s.read.json(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // B38 — session windows (30-minute gap) per user. Batch-mode

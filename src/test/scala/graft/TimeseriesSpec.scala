@@ -45,6 +45,20 @@ class TimeseriesSpec extends SparkSpec {
     assert(!std.isNaN && std > 0.0 && std < 0.1)
   }
 
+  test("q_reference_scale sizing: 10,000 x sf, conf override, fallback") {
+    def d(dir: String) = Timeseries.referenceDays(spark, dir)
+    assert(d("/root/testdata/sf0.1") == 1000)   // the reference's max job
+    assert(d("/root/testdata/sf0.01") == 100)
+    assert(d("/root/testdata/sf0.001") == 10)
+    assert(d("/data/sf0.15") == 1500)           // unknown sfs scale, no floor
+    assert(d("/data/sf1") == 10000)
+    assert(d("/no/scale/marker") == 10)         // unparseable -> smallest
+    assert(d("/sf0.5/nested/sf0.01") == 100)    // LAST sf segment wins
+    spark.conf.set("graft.referenceScale.days", "7")
+    try assert(d("/root/testdata/sf0.1") == 7)
+    finally spark.conf.unset("graft.referenceScale.days")
+  }
+
   test("timestamps advance on a 1s grid from start") {
     val first2 = ts.select(col("timestamp").cast("long")).orderBy(col("timestamp"))
       .limit(2).collect().map(_.getLong(0))
