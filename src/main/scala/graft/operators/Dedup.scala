@@ -158,6 +158,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the standard distributed CC loop (each
+    * round: every node takes the min of its own and its neighbors'
+    * labels; converged when no label changes). O(component diameter)
+    * rounds; each round is one equi-join + one partial-combined min-agg,
+    * both shuffling on node id — no step ever materializes a component.
+    * `localCheckpoint` cuts the per-round lineage growth (iterative
+    * plans otherwise double each round); the per-round driver scalar is
+    * the convergence test, not data movement — Σ labels is strictly
+    * decreasing while anything still propagates. Deterministic: labels
+    * are ids, min is order-free. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var prevSum = Option.empty[Long]
+    var converged = false
+    while (!converged) {
+      val nbr = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+        .select(col("dst").as("id"), col("nbr_label"))
+      labels = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).first().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+    }
+    labels.select(col("id").as(idCol), col("label"))
+  }
+
+  /** The q_dedup_ngram pair derivation as a reusable DuckDB CTE chain
+    * ending in `pairs(doc_a, doc_b, jaccard)` — shared by the pair query
+    * and the connected-components grouping so the two oracles can never
+    * drift. */
+  private val NgramPairsCte: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+      |  FROM tok WHERE len(ts) >= 3),
+      |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+      |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id
+      |  JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // B45 — exact content dedup via digest (one shuffle on md5).
@@ -188,27 +253,51 @@ object Dedup {
             minJaccard = 0.5)
           .orderBy(col("doc_a"), col("doc_b")),
       Some(
-        """WITH tok AS (
-          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-          |sh0 AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    range(1, len(ts) - 1),
-          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
-          |  FROM tok WHERE len(ts) >= 3),
-          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
-          |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
-          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2)
-          |SELECT doc_a, doc_b,
-          |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-          |FROM inter
-          |JOIN sz sa ON doc_a = sa.doc_id
-          |JOIN sz sb ON doc_b = sb.doc_id
-          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
-          |ORDER BY doc_a, doc_b""".stripMargin)
+        s"""WITH $NgramPairsCte
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // North star — near-dup pairs → canonical dup GROUPS: connected
+    // components over the q_dedup_ngram pair graph, every document
+    // labeled with its component's min doc_id (the keeper a dedup
+    // pipeline retains). Pairs alone under-remove: with A~B and B~C,
+    // pairwise keep-the-smaller would keep both A and C even though the
+    // chain makes them one duplicate cluster. Oracled via DuckDB's
+    // recursive CTE (transitive closure → min reachable id — exactly the
+    // fixpoint the Spark label-propagation loop computes).
+    QueryDef(
+      "q_dedup_groups",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = ngramJaccardPairs(docs, n = 3, maxDf = 64, minJaccard = 0.5)
+        val groups = connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+          .withColumnRenamed("label", "group_id")
+        val sizes = groups.groupBy(col("group_id"))
+          .agg(count(lit(1)).as("n_in_group"))
+        groups.join(sizes, "group_id")
+          .select(col("doc_id"), col("group_id"), col("n_in_group"),
+            (col("doc_id") === col("group_id")).as("is_keeper"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE $NgramPairsCte,
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(doc_id, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst),
+           |grouped AS (
+           |  SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id),
+           |sizes AS (
+           |  SELECT group_id, count(*) AS n_in_group FROM grouped GROUP BY group_id)
+           |SELECT g.doc_id, g.group_id, s.n_in_group,
+           |       g.doc_id = g.group_id AS is_keeper
+           |FROM grouped g JOIN sizes s USING (group_id)
+           |ORDER BY g.doc_id""".stripMargin)
     ),
 
     // North star — MinHash LSH with exact verification. No SQL oracle

@@ -68,6 +68,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall on ${strong.size} strong pairs")
   }
 
+  test("connected components: chains merge transitively, isolates keep own label") {
+    import spark.implicits._
+    // 1-2, 2-3 chain; 4-5 pair; 6 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup
+      .connectedComponents(nodes, "doc_id", edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedup groups: every near-dup pair lands in one group, keeper is the min") {
+    val pairs = q("q_dedup_ngram").select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val grp = q("q_dedup_groups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(grp(a) == grp(b), s"pair ($a,$b) split across groups")
+    }
+    grp.groupBy(_._2).foreach { case (g, members) =>
+      assert(g == members.keys.min, s"group $g keeper is not the min member")
+    }
+  }
+
   test("native simhash64 signatures == aggregate-form signatures") {
     val docs = sources.Tables.documents(spark, sf)
     val native = docs.select(col("doc_id"),
