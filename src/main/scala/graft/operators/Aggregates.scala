@@ -77,6 +77,32 @@ object Aggregates {
       None
     ),
 
+    // B16+ — MERGEABLE distinct sketches (Apache DataSketches HLL via
+    // Spark's hll_sketch_agg / hll_union_agg): per-group sketches roll
+    // up into a global estimate WITHOUT rescanning rows — the
+    // pre-aggregation pattern a 100 TB deployment relies on (daily
+    // sketch partitions merged into monthly uniques; a plain
+    // approx_count_distinct result can't be merged after the fact).
+    // Deterministic for fixed input, but the sketch estimator is
+    // engine-specific — no SQL oracle; AggregatesSpec pins ±5% vs exact
+    // distinct counts for every group and the union.
+    QueryDef(
+      "q_sketch_rollup",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sk"))
+        val perEst = per.select(col("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"))
+        val union = per
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+            .as("est_distinct"))
+          .select(lit("__all__").as("source"), col("est_distinct"))
+        perEst.unionAll(union).orderBy(col("source"))
+      },
+      None
+    ),
+
     // B17 — ROLLUP with grouping() disambiguation of the NULL rows.
     QueryDef(
       "q_rollup",

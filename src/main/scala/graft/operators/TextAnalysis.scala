@@ -378,6 +378,36 @@ object TextAnalysis {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // North star — corpus n-gram statistics: top-20 bigrams by frequency
+    // (the vocabulary/boilerplate profile a pretraining pipeline reports
+    // per shard). explode → count is one partial-combined agg (shuffle
+    // carries distinct bigrams, not token instances); the top-20 is
+    // TakeOrderedAndProject — no global sort of the bigram table.
+    QueryDef(
+      "q_text_ngrams",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(explode(
+            when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT string_split(lower(text), ' ') AS ts FROM documents),
+          |bg AS (
+          |  SELECT unnest(list_transform(range(1, len(ts)),
+          |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+          |  FROM tok WHERE len(ts) >= 2)
+          |SELECT bigram, count(*) AS n FROM bg
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+    ),
+
     // North star — document fingerprint: digest of the sorted distinct
     // token set (word-order-insensitive normalization) + dup-group size.
     QueryDef(

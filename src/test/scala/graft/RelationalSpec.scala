@@ -58,6 +58,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch rollup: per-source and merged-union estimates within 5% of exact") {
+    val docs = sources.Tables.documents(spark, sf)
+    val est = q("q_sketch_rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exactPer = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.select(col("doc_id")).distinct().count()
+    (exactPer + ("__all__" -> exactAll)).foreach { case (k, exact) =>
+      assert(math.abs(est(k) - exact) / exact < 0.05,
+        s"$k: sketch=${est(k)} exact=$exact")
+    }
+  }
+
   test("approx quantile within 10% of exact percentile") {
     val approx = q("q_agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
