@@ -14,7 +14,78 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** One-time (per JVM, per source dir) bucketed staging of orders +
+    * lineitem for [[q_join_bucketed]]: both sides written with
+    * `bucketBy(8, <orderkey>).sortBy(<orderkey>)` into external tables
+    * under [[graft.Staging]]. This is the 100 TB co-located layout: a
+    * fact table bucketed on its join key joins (and pre-aggregates)
+    * with ZERO exchanges — the shuffle is paid once at write time and
+    * amortized over every subsequent join. Memoized per dir so the
+    * bench's second pass measures the join, not the staging write. */
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, String) =
+    bucketedReady.computeIfAbsent(dir, _ => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (o, l) = (s"g_orders_b$key", s"g_lineitem_b$key")
+      s.sql(s"DROP TABLE IF EXISTS $o")
+      s.sql(s"DROP TABLE IF EXISTS $l")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", graft.Staging.dir(o)).saveAsTable(o)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", graft.Staging.dir(l)).saveAsTable(l)
+      (o, l)
+    })
+
   val defs: Seq[QueryDef] = Seq(
+
+    // B7 at the 100 TB layout — co-located join over bucketed tables:
+    // both sides bucketed+sorted on the join key, so the sort-merge join
+    // AND the per-order aggregate run with zero exchanges (PlanAuditSpec
+    // pins the no-shuffle plan; the only exchange left is the final
+    // ORDER BY's range partitioning). The oracle replays the identical
+    // join over the raw parquet — bucketing must not change a single
+    // row.
+    QueryDef(
+      "q_join_bucketed",
+      (s, dir) => {
+        val (o, l) = bucketedTables(s, dir)
+        // per-row cast to DECIMAL before the sum: decimal addition is
+        // exact, so the group total is independent of summation order —
+        // bucketed-sorted input sums in a different order than the
+        // oracle's scan, and a double sum can cross a 2-dp rounding
+        // boundary on ULP differences. The 4-dp sum is emitted UNrounded
+        // (prices/discounts are 2-dp, so line revenue is exactly 4-dp):
+        // rounding it to 2 dp would land on genuine .005 ties where
+        // Spark (decimal HALF_UP) and DuckDB (binary double) disagree.
+        val lineRev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")
+        s.table(o).join(s.table(l), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(lineRev).cast("double").as("revenue"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice"), 2).as("total_r"),
+            col("n_lines"), col("revenue"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |       round(o_totalprice, 2) AS total_r,
+          |       count(*) AS n_lines,
+          |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderkey, o_orderpriority, o_totalprice
+          |ORDER BY o_orderkey""".stripMargin)
+    ),
 
     // B5 — compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL.
     // All of it pushes to the parquet scan (PushedFilters in explain).

@@ -29,13 +29,17 @@ object Streams {
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stage `df` as JSON files and open them as a file-source stream —
-    * the test-data stand-in for the reference's S3 landing bucket.
-    * Staged under [[graft.Staging]]'s per-JVM tmp root, so concurrent
-    * runs never collide. */
+    * the test-data stand-in for the reference's S3 landing bucket. The
+    * staged frames are pure functions of (query, source dir), so the
+    * write happens once per key and every later run (bench second pass,
+    * future JVMs) re-reads the cached files — each stream query still
+    * reprocesses from scratch (fresh sink + temp checkpoint per call);
+    * only the producer side of the harness is cached. */
   def stageAndStream(s: SparkSession, df: DataFrame, name: String,
-                     schema: StructType): DataFrame = {
-    val path = graft.Staging.dir(name)
-    df.write.mode("overwrite").json(path)
+                     schema: StructType, dir: String): DataFrame = {
+    val path = graft.Staging.cached(s"${name}_${graft.Staging.keyOf(dir)}") {
+      tgt => df.write.mode("overwrite").json(tgt)
+    }
     s.readStream.schema(schema).json(path)
   }
 
@@ -92,7 +96,7 @@ object Streams {
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_ingest", eventsJsonSchema)
+        val stream = stageAndStream(s, src, "q_stream_ingest", eventsJsonSchema, dir)
         val agg = stream.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         drainComplete(s, agg, "q_stream_ingest_sink")
@@ -111,7 +115,7 @@ object Streams {
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_window", eventsJsonSchema)
+        val stream = stageAndStream(s, src, "q_stream_window", eventsJsonSchema, dir)
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -141,7 +145,7 @@ object Streams {
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
         val doubled = src.unionAll(src)
-        val stream = stageAndStream(s, doubled, "q_stream_dedup", eventsJsonSchema)
+        val stream = stageAndStream(s, doubled, "q_stream_dedup", eventsJsonSchema, dir)
         val agg = stream
           .dropDuplicates("event_id")
           .groupBy(col("event_type"))
@@ -164,19 +168,21 @@ object Streams {
     QueryDef(
       "q_stream_join",
       (s, dir) => {
-        val path = graft.Staging.dir("q_stream_join")
-        Tables.events(s, dir)
-          // only the two joined types can contribute — staging the rest
-          // would just be dead IO through both stream reads
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("ts_us"))
-          // one event-time-sorted file: arrival order is monotonic in
-          // event time, the same shape a log-structured landing zone
-          // delivers — so a REALISTIC watermark is exact, not just a
-          // drain-everything-before-anything-is-late accident
-          .repartition(1).sortWithinPartitions(col("ts_us"))
-          .write.mode("overwrite").json(path)
+        val path = graft.Staging.cached(
+          s"q_stream_join_${graft.Staging.keyOf(dir)}") { tgt =>
+          Tables.events(s, dir)
+            // only the two joined types can contribute — staging the rest
+            // would just be dead IO through both stream reads
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+            // one event-time-sorted file: arrival order is monotonic in
+            // event time, the same shape a log-structured landing zone
+            // delivers — so a REALISTIC watermark is exact, not just a
+            // drain-everything-before-anything-is-late accident
+            .repartition(1).sortWithinPartitions(col("ts_us"))
+            .write.mode("overwrite").json(tgt)
+        }
         // 4 h = join interval (2 h) + 2 h disorder slack — the watermark a
         // production copy of this query would declare. With monotonic
         // arrival nothing is ever late, and stream-stream join state is

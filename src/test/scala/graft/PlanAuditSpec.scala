@@ -98,6 +98,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("TopKPerKey"), s"rewrite lost:\n$opt")
   }
 
+  test("q_join_bucketed joins and aggregates with zero hash exchanges") {
+    // both sides bucketed+sorted on the join key: the join AND the
+    // per-order aggregate must reuse the bucketing — the only exchange
+    // allowed is the final ORDER BY's range partitioning. On tiny test
+    // data the planner may broadcast instead (fine, still no shuffle);
+    // the 100 TB case is a non-broadcastable fact side, so pin the
+    // exchange-free SortMergeJoin with the threshold off.
+    assert(!plan("q_join_bucketed").contains("Exchange hashpartitioning"),
+      "bucketed join/agg must not shuffle")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q_join_bucketed")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed SMJ must reuse the bucketing, not shuffle:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
