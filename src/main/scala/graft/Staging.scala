@@ -39,4 +39,13 @@ object Staging {
 
   /** Filesystem-safe cache-key fragment for a path-like input. */
   def keyOf(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Source stamp (total size + newest mtime of the dir's entries) baked
+    * into [[cached]] keys, so a persistent cache can never outlive a
+    * regenerated source dir: new data ⇒ new key ⇒ fresh staging. */
+  def stampOf(path: String): String = {
+    val f = new java.io.File(path)
+    val entries = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty) :+ f
+    s"${entries.map(_.length()).sum}_${entries.map(_.lastModified()).max}"
+  }
 }

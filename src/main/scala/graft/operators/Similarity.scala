@@ -311,8 +311,13 @@ object Similarity {
       "q_similarity_ivf",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+        // materialize the probe assignment once: it feeds BOTH join
+        // branches, and without the checkpoint each branch lazily
+        // re-runs the whole Lloyd training + assignment (~2× the index
+        // build). ~n·nProbe rows of (id, vector, cell) — megabytes per
+        // million vectors, safe to pin
         val probed = ivfProbeAssign(e, "vec_id", "embedding", nCells = 16,
-          trainIters = 2, nProbe = 3)
+          trainIters = 2, nProbe = 3).localCheckpoint()
         val a = probed.select(col("cell_id"), col("vec_id").as("qid"),
           col("embedding").as("qvec"))
         val b = probed.filter(col("probe_rank") === 1)

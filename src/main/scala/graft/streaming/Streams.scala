@@ -37,7 +37,8 @@ object Streams {
     * only the producer side of the harness is cached. */
   def stageAndStream(s: SparkSession, df: DataFrame, name: String,
                      schema: StructType, dir: String): DataFrame = {
-    val path = graft.Staging.cached(s"${name}_${graft.Staging.keyOf(dir)}") {
+    val path = graft.Staging.cached(
+      s"${name}_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") {
       tgt => df.write.mode("overwrite").json(tgt)
     }
     s.readStream.schema(schema).json(path)
@@ -169,7 +170,7 @@ object Streams {
       "q_stream_join",
       (s, dir) => {
         val path = graft.Staging.cached(
-          s"q_stream_join_${graft.Staging.keyOf(dir)}") { tgt =>
+          s"q_stream_join_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") { tgt =>
           Tables.events(s, dir)
             // only the two joined types can contribute — staging the rest
             // would just be dead IO through both stream reads
