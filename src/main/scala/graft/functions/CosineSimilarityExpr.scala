@@ -190,6 +190,8 @@ object Functions {
       exprs => DotProduct(exprs(0), exprs(1))),
     ("shingle_hashes", classOf[ShingleHashes],
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    ("word_ngrams", classOf[WordNgrams],
+      exprs => WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     ("simhash64", classOf[SimHash64],
       exprs => SimHash64(exprs(0))))
 

@@ -93,6 +93,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("native word_ngrams == the HOF composition (incl. short docs)") {
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma delta", "one", "", "x  y", "A B a b")
+      .toDF("text")
+    val toks = split(lower(col("text")), " ")
+    val hof = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val mismatches = docs
+      .select(functions.WordNgrams(col("text"), 2).as("native"), hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("native simhash64 signatures == aggregate-form signatures") {
     val docs = sources.Tables.documents(spark, sf)
     val native = docs.select(col("doc_id"),
