@@ -172,9 +172,12 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // checkpoint the edge list BEFORE symmetrizing: the union's two
+    // branches would otherwise each lazily re-run the (possibly
+    // expensive) pair-derivation plan feeding this
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint()
     var prevSum = Option.empty[Long]

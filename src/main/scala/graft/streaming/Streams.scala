@@ -200,8 +200,17 @@ object Streams {
           .join(side("click", "c_user", "click_id", "c_ts"),
             expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"))
           .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
-        drainAppend(s, joined, "q_stream_join_sink")
+        // streaming state partitions are sized to STATE VOLUME, not scan
+        // width: every micro-batch inits/commits one state store per
+        // shuffle partition per join side, so 32 partitions of near-empty
+        // state are pure fixed overhead. The count is pinned into the
+        // checkpoint at first start (fresh here each run); result is
+        // partition-count-invariant.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try drainAppend(s, joined, "q_stream_join_sink")
           .orderBy(col("purchase_id"), col("click_id"))
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(
         """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
