@@ -44,6 +44,21 @@ object Streams {
     s.readStream.schema(schema).json(path)
   }
 
+  /** Run `body` (which must START its streaming query inside) with
+    * streaming state partitions sized to STATE VOLUME instead of the
+    * session's scan-width default: every micro-batch inits/commits one
+    * state store per shuffle partition per stateful operator, so
+    * near-empty state partitions are pure fixed overhead. The count is
+    * pinned into the query's (fresh) checkpoint at start; results are
+    * partition-count-invariant. On a 100 TB/day stream this is the
+    * same knob pointed the other way — sized UP to keep per-partition
+    * state inside the state-store budget. */
+  def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drain a streaming aggregation into a memory sink table and return
     * its contents (AvailableNow ⇒ terminates after the backlog). The
     * sink name is uniquified per call so re-running a query inside one
@@ -100,7 +115,7 @@ object Streams {
         val stream = stageAndStream(s, src, "q_stream_ingest", eventsJsonSchema, dir)
         val agg = stream.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        drainComplete(s, agg, "q_stream_ingest_sink")
+        withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_ingest_sink"))
           .orderBy(col("event_type"))
       },
       Some(
@@ -121,7 +136,7 @@ object Streams {
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        drainComplete(s, agg, "q_stream_window_sink")
+        withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_window_sink"))
           .select(col("window.start").cast("long").as("bucket_s"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("bucket_s"), col("event_type"))
@@ -151,7 +166,7 @@ object Streams {
           .dropDuplicates("event_id")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        drainComplete(s, agg, "q_stream_dedup_sink")
+        withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_dedup_sink"))
           .orderBy(col("event_type"))
       },
       Some(
@@ -200,17 +215,8 @@ object Streams {
           .join(side("click", "c_user", "click_id", "c_ts"),
             expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"))
           .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
-        // streaming state partitions are sized to STATE VOLUME, not scan
-        // width: every micro-batch inits/commits one state store per
-        // shuffle partition per join side, so 32 partitions of near-empty
-        // state are pure fixed overhead. The count is pinned into the
-        // checkpoint at first start (fresh here each run); result is
-        // partition-count-invariant.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try drainAppend(s, joined, "q_stream_join_sink")
+        withStatePartitions(s, 8)(drainAppend(s, joined, "q_stream_join_sink"))
           .orderBy(col("purchase_id"), col("click_id"))
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(
         """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
