@@ -94,6 +94,25 @@ object Streams {
     out
   }
 
+  /** Drain an update-mode streaming query (mapGroupsWithState et al.)
+    * into a memory sink and return its contents — one row per (key,
+    * micro-batch-with-updates); callers reduce to the final row per key. */
+  def drainUpdate(s: SparkSession, df: DataFrame, sinkName: String): DataFrame = {
+    val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(unique)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(unique)
+    s.catalog.dropTempView(unique)
+    out
+  }
+
+  /** Typed row for the custom-state query. */
+  final case class UserEvent(event_id: Long, user_id: Long, ts_us: Long)
+
   private val eventsJsonSchema =
     StructType.fromDDL("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
 
@@ -318,6 +337,50 @@ object Streams {
           |SELECT event_id, user_id, event_type,
           |       round(value, 6) AS value_final, ts_us
           |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    ),
+
+    // B40 — CUSTOM state machine via typed mapGroupsWithState: per-user
+    // running profile (event count + latest event time) maintained in
+    // GroupState across micro-batches — the escape hatch when built-in
+    // streaming aggregates can't express the state transition. Both
+    // state outputs are order-free (count, max), so the result is exact
+    // under any batch split or within-batch order. Update-mode sink
+    // emits one row per (user, batch-with-updates); the final profile
+    // per user is the one with the highest count (counts are strictly
+    // increasing per key), reduced by one max(struct) aggregate. State
+    // scales per key in the state store; production adds a
+    // GroupStateTimeout to bound it.
+    QueryDef(
+      "q_stream_state",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStream(s, src, "q_stream_state",
+          StructType.fromDDL("event_id LONG, user_id LONG, ts_us LONG"), dir)
+        val updates = stream.as[UserEvent]
+          .groupByKey(_.user_id)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (uid: Long, events: Iterator[UserEvent], st: GroupState[(Long, Long)]) =>
+              val (n0, last0) = st.getOption.getOrElse((0L, Long.MinValue))
+              var n = n0; var last = last0
+              events.foreach { e => n += 1; last = math.max(last, e.ts_us) }
+              st.update((n, last))
+              (uid, n, last)
+          }
+          .toDF("user_id", "n", "last_ts_us")
+        withStatePartitions(s, 8)(
+          drainUpdate(s, updates, "q_stream_state_sink"))
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n"), col("last_ts_us"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.last_ts_us").as("last_ts_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """SELECT user_id, count(*) AS n, max(epoch_us(ts)) AS last_ts_us
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
     // B38 — session windows (30-minute gap) per user. Batch-mode
