@@ -85,6 +85,33 @@ class PropertiesSpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("connected components match brute-force union-find on random graphs") {
+    import spark.implicits._
+    val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 20)
+      nodes = (0L until n.toLong).toList
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (nodes, edges.distinct)
+
+    check("cc vs union-find", Prop.forAll(graphGen) { case (nodes, edges) =>
+      // brute-force union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val got = operators.Dedup.connectedComponents(
+          nodes.toDF("id"), "id", edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }, n = 8)
+  }
+
   test("join cardinality bounds: semi <= left, inner <= left*right") {
     import spark.implicits._
     check("join bounds", Prop.forAll(rowsGen, rowsGen) { (l, r) =>
