@@ -152,6 +152,32 @@ object TierA {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B1-B3 — ORC round-trip: Spark's second built-in columnar format
+    // (same vectorized reader + predicate-pushdown machinery as
+    // parquet); write ORC, read back, aggregate; oracle aggregates the
+    // source directly, so a single corrupted value fails the hash.
+    QueryDef(
+      "q_scan_orc",
+      (s, dir) => {
+        val out = graft.Staging.dir("q_scan_orc")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |       min(value) AS min_v, max(value) AS max_v,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // B4 — in-memory temp view + the SQL entry point.
     QueryDef(
       "q_sql_view",

@@ -166,6 +166,41 @@ object Streams {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // B37 — SLIDING event-time windows (6 h window, 3 h slide): each
+    // event lands in exactly two overlapping windows — distinct
+    // semantics from the tumbling form (state carries window-count ×
+    // groups, and every input row fans out windowDuration/slide times).
+    // Oracle replays the fan-out: per event, the two 3 h-aligned starts
+    // within 6 h.
+    QueryDef(
+      "q_stream_sliding",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStream(s, src, "q_stream_sliding", eventsJsonSchema, dir)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val agg = stream
+          .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainComplete(s, agg, "q_stream_sliding_sink"))
+          .select(col("window.start").cast("long").as("bucket_s"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("bucket_s"), col("event_type"))
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT event_type, value,
+          |         unnest([CAST(epoch(time_bucket(INTERVAL '3 hours', ts)) AS BIGINT),
+          |                 CAST(epoch(time_bucket(INTERVAL '3 hours', ts)) AS BIGINT)
+          |                   - 10800]) AS bucket_s
+          |  FROM events)
+          |SELECT bucket_s, event_type, count(*) AS n,
+          |       round(sum(value), 2) AS sum_value
+          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // B40 — stateful streaming dedup: the staged input is DOUBLED, so
     // the per-type counts only match the batch oracle if
     // dropDuplicates("event_id") state actually suppresses the second
