@@ -104,6 +104,40 @@ object Reshape {
           |SELECT l_orderkey, l_linenumber, flag_label
           |FROM li JOIN dim ON li.flag IS NOT DISTINCT FROM dim.flag
           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // Nested complex types through the parquet sink: build
+    // struct/array/map columns, round-trip them through a real parquet
+    // write + read, then flatten back out. The round-trip is identity,
+    // so the oracle computes the flattened result straight from the
+    // source — any nested-encoding corruption fails the hash.
+    QueryDef(
+      "q_nested_roundtrip",
+      (s, dir) => {
+        val out = graft.Staging.dir("q_nested_roundtrip")
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            struct(col("label").cast("long").as("lbl"),
+              slice(col("embedding"), 1, 4).as("head4")).as("meta"),
+            map(lit("dim"), size(col("embedding")).cast("long"),
+              lit("lbl2"), col("label").cast("long") * 2).as("props"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .select(col("vec_id"),
+            col("meta.lbl").as("lbl"),
+            round(aggregate(transform(col("meta.head4"), x => x.cast("double")),
+              lit(0.0), (a, v) => a + v), 6).as("head4_sum"),
+            element_at(col("props"), "dim").as("dim"),
+            element_at(col("props"), "lbl2").as("lbl2"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+          |       round(list_sum(list_transform(embedding[1:4],
+          |         x -> CAST(x AS DOUBLE))), 6) AS head4_sum,
+          |       CAST(len(embedding) AS BIGINT) AS dim,
+          |       CAST(label AS BIGINT) * 2 AS lbl2
+          |FROM embeddings ORDER BY vec_id""".stripMargin)
     )
   )
 }
