@@ -295,14 +295,20 @@ object Streams {
       "q_stream_cron",
       (s, dir) => {
         val n = sinkSeq.incrementAndGet()
-        val in = graft.Staging.dir(s"q_stream_cron_in_$n")
+        // input drops are a pure function of the source dir — staged
+        // once and reused; the sink + checkpoint are the operator under
+        // test and stay unique per run
+        val in = graft.Staging.cached(
+          s"q_stream_cron_in_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") {
+          tgt =>
+            Tables.events(s, dir)
+              .select(col("event_id"), col("event_type"), col("value"),
+                unix_micros(col("ts")).as("ts_us"))
+              .repartition(5) // five staged "minutely" producer drops
+              .write.mode("overwrite").json(tgt)
+        }
         val out = graft.Staging.dir(s"q_stream_cron_out_$n")
         val ckpt = graft.Staging.dir(s"q_stream_cron_ckpt_$n")
-        Tables.events(s, dir)
-          .select(col("event_id"), col("event_type"), col("value"),
-            unix_micros(col("ts")).as("ts_us"))
-          .repartition(5) // five staged "minutely" producer drops
-          .write.mode("overwrite").json(in)
         val q = s.readStream.schema(eventsJsonSchema)
           .option("maxFilesPerTrigger", 1) // one drop per tick, like the cron
           .json(in)
