@@ -21,18 +21,35 @@ object Staging {
   def dir(name: String): String = s"$root/$name"
 
   /** Persistent content-keyed staging: `build` runs only if the keyed
-    * dir hasn't been staged yet (marker file), then every later run —
-    * including the bench's second pass and future JVMs — reuses it.
-    * For inputs that are a pure function of the key (test-table slices):
-    * re-staging them each run would make a read-path benchmark measure
-    * file creation instead. */
+    * dir hasn't been staged yet, then every later run — including the
+    * bench's second pass and future JVMs — reuses it. For inputs that
+    * are a pure function of the key (test-table slices): re-staging
+    * them each run would make a read-path benchmark measure file
+    * creation instead.
+    *
+    * Concurrency-safe ACROSS JVMs (tests and bench may run at once):
+    * the build lands in a JVM-unique temp dir and is atomically renamed
+    * into place — the keyed dir either exists complete or not at all;
+    * a racing loser discards its copy. */
   def cached(key: String)(build: String => Unit): String = synchronized {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_cache", key)
-    val marker = base.resolve("_GRAFT_STAGED")
-    if (!java.nio.file.Files.exists(marker)) {
-      build(base.toString) // Spark mode("overwrite") clears partial leftovers
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // v2 namespace: only dirs that arrived via the atomic rename below
+    // ever exist here, so existence == complete
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_cache_v2")
+    Files.createDirectories(root)
+    val base = root.resolve(key)
+    if (!Files.exists(base)) {
+      val tmp = Files.createTempDirectory(root, s"_build_")
+      build(tmp.toString) // Spark mode("overwrite") writes INTO tmp
+      try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // another JVM staged the same key first — keep theirs
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      }
     }
     base.toString
   }

@@ -12,6 +12,29 @@ class LayoutSpec extends SparkSpec {
     assert(a.length > total * 0.05 && a.length < total * 0.2)
   }
 
+  test("Staging.cached builds once per key and atomically publishes") {
+    val key = s"spec_cache_${System.nanoTime()}"
+    var builds = 0
+    def stage(): String = Staging.cached(key) { tgt =>
+      builds += 1
+      val p = java.nio.file.Paths.get(tgt, "data.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, "payload".getBytes)
+    }
+    val a = stage()
+    val b = stage()
+    assert(a == b)
+    assert(builds == 1, "second call must reuse the staged dir")
+    assert(new java.io.File(a, "data.txt").exists())
+    // a failed build must not publish the keyed dir
+    val badKey = s"spec_cache_bad_${System.nanoTime()}"
+    intercept[RuntimeException] {
+      Staging.cached(badKey) { _ => throw new RuntimeException("boom") }
+    }
+    assert(!new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_cache_v2/$badKey").exists())
+  }
+
   test("100TB layout recipe: range-partition + sort-within + partitionBy write") {
     val out = "/root/repo/target/tmp/layout_demo"
     val li = sources.Tables.lineitem(spark, sf)
