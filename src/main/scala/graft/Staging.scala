@@ -30,25 +30,38 @@ object Staging {
     * Concurrency-safe ACROSS JVMs (tests and bench may run at once):
     * the build lands in a JVM-unique temp dir and is atomically renamed
     * into place — the keyed dir either exists complete or not at all;
-    * a racing loser discards its copy. */
-  def cached(key: String)(build: String => Unit): String = synchronized {
+    * a racing loser discards its copy, and a failed build publishes
+    * (and leaves) nothing.
+    *
+    * `rev` is the BUILD-RECIPE revision: the cache outlives JVMs and
+    * checkouts, so the key must change whenever the staged CONTENT
+    * recipe changes, not just its inputs — bump the call site's rev
+    * with any edit to its build lambda. */
+  def cached(key: String, rev: Int)(build: String => Unit): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
     // v2 namespace: only dirs that arrived via the atomic rename below
     // ever exist here, so existence == complete
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_cache_v2")
     Files.createDirectories(root)
-    val base = root.resolve(key)
+    val base = root.resolve(s"${key}_r$rev")
     if (!Files.exists(base)) {
       val tmp = Files.createTempDirectory(root, s"_build_")
-      build(tmp.toString) // Spark mode("overwrite") writes INTO tmp
-      try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          // another JVM staged the same key first — keep theirs
-          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
+      try {
+        build(tmp.toString) // Spark mode("overwrite") writes INTO tmp
+        try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.AccessDeniedException =>
+            // another JVM staged the same key first — keep theirs
+            deleteTree(tmp)
+        }
+      } catch {
+        case e: Throwable => deleteTree(tmp); throw e
       }
     }
     base.toString

@@ -192,7 +192,10 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("label"))).first().getLong(0)
+      // coalesce: sum over zero rows is NULL — an empty node set must
+      // converge to an empty result, not NPE
+      val s = labels.agg(coalesce(sum(col("label")), lit(0L)))
+        .first().getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
     }

@@ -82,7 +82,8 @@ object Multimodal {
         // its files) — re-creating them each run would make the bench
         // measure file creation instead of the read
         val out = graft.Staging.cached(
-          s"binfile_mod10_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") { tgt =>
+          s"binfile_mod10_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
           Tables.documents(s, dir)
             .filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("text"))

@@ -27,8 +27,14 @@ object Relational {
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession,
                              dir: String): (String, String) =
-    bucketedReady.computeIfAbsent(dir, _ => {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // memo key includes the source stamp, so a regenerated dir inside a
+    // long-lived JVM re-stages instead of joining stale copies
+    bucketedReady.computeIfAbsent(
+      s"${dir}@${graft.Staging.stampOf(dir)}", _ => {
+      // table identifiers: strictly alphanumeric+underscore (keyOf keeps
+      // dots/dashes, which are invalid in table names)
+      val key = (graft.Staging.keyOf(dir) + "_" + graft.Staging.stampOf(dir))
+        .replaceAll("[^A-Za-z0-9]", "_")
       val (o, l) = (s"g_orders_b$key", s"g_lineitem_b$key")
       s.sql(s"DROP TABLE IF EXISTS $o")
       s.sql(s"DROP TABLE IF EXISTS $l")

@@ -38,9 +38,8 @@ object Streams {
   def stageAndStream(s: SparkSession, df: DataFrame, name: String,
                      schema: StructType, dir: String): DataFrame = {
     val path = graft.Staging.cached(
-      s"${name}_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") {
-      tgt => df.write.mode("overwrite").json(tgt)
-    }
+      s"${name}_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt => df.write.mode("overwrite").json(tgt) }
     s.readStream.schema(schema).json(path)
   }
 
@@ -59,33 +58,18 @@ object Streams {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Drain a streaming aggregation into a memory sink table and return
-    * its contents (AvailableNow ⇒ terminates after the backlog). The
-    * sink name is uniquified per call so re-running a query inside one
-    * JVM (bench warm-up + measure) never races a previous sink. */
-  def drainComplete(s: SparkSession, agg: DataFrame, sinkName: String): DataFrame = {
-    val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(unique)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // resolve the plan, then unregister the name: the returned frame
-    // keeps the sink relation alive, but repeated invocations no longer
-    // pin every past sink in the catalog for the session's lifetime
-    val out = s.table(unique)
-    s.catalog.dropTempView(unique)
-    out
-  }
-
-  /** Drain an append-mode streaming query (joins, watermarked appends)
-    * into a memory sink and return its contents. */
-  def drainAppend(s: SparkSession, df: DataFrame, sinkName: String): DataFrame = {
+  /** Drain a streaming query into a memory sink and return its
+    * contents (AvailableNow ⇒ terminates after the backlog). The sink
+    * name is uniquified per call so re-running a query inside one JVM
+    * (bench warm-up + measure) never races a previous sink; the plan is
+    * resolved and the name unregistered so repeated invocations don't
+    * pin every past sink in the catalog for the session's lifetime. */
+  private def drain(s: SparkSession, df: DataFrame, sinkName: String,
+                    mode: String): DataFrame = {
     val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream
       .format("memory").queryName(unique)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -94,21 +78,18 @@ object Streams {
     out
   }
 
-  /** Drain an update-mode streaming query (mapGroupsWithState et al.)
-    * into a memory sink and return its contents — one row per (key,
+  /** Complete-mode drain (streaming aggregations). */
+  def drainComplete(s: SparkSession, agg: DataFrame, sinkName: String): DataFrame =
+    drain(s, agg, sinkName, "complete")
+
+  /** Append-mode drain (joins, watermarked appends). */
+  def drainAppend(s: SparkSession, df: DataFrame, sinkName: String): DataFrame =
+    drain(s, df, sinkName, "append")
+
+  /** Update-mode drain (mapGroupsWithState et al.) — one row per (key,
     * micro-batch-with-updates); callers reduce to the final row per key. */
-  def drainUpdate(s: SparkSession, df: DataFrame, sinkName: String): DataFrame = {
-    val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory").queryName(unique)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = s.table(unique)
-    s.catalog.dropTempView(unique)
-    out
-  }
+  def drainUpdate(s: SparkSession, df: DataFrame, sinkName: String): DataFrame =
+    drain(s, df, sinkName, "update")
 
   /** Typed row for the custom-state query. */
   final case class UserEvent(event_id: Long, user_id: Long, ts_us: Long)
@@ -239,7 +220,8 @@ object Streams {
       "q_stream_join",
       (s, dir) => {
         val path = graft.Staging.cached(
-          s"q_stream_join_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") { tgt =>
+          s"q_stream_join_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
           Tables.events(s, dir)
             // only the two joined types can contribute — staging the rest
             // would just be dead IO through both stream reads
@@ -299,8 +281,8 @@ object Streams {
         // once and reused; the sink + checkpoint are the operator under
         // test and stay unique per run
         val in = graft.Staging.cached(
-          s"q_stream_cron_in_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}") {
-          tgt =>
+          s"q_stream_cron_in_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
             Tables.events(s, dir)
               .select(col("event_id"), col("event_type"), col("value"),
                 unix_micros(col("ts")).as("ts_us"))

@@ -15,7 +15,7 @@ class LayoutSpec extends SparkSpec {
   test("Staging.cached builds once per key and atomically publishes") {
     val key = s"spec_cache_${System.nanoTime()}"
     var builds = 0
-    def stage(): String = Staging.cached(key) { tgt =>
+    def stage(): String = Staging.cached(key, rev = 1) { tgt =>
       builds += 1
       val p = java.nio.file.Paths.get(tgt, "data.txt")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -29,10 +29,20 @@ class LayoutSpec extends SparkSpec {
     // a failed build must not publish the keyed dir
     val badKey = s"spec_cache_bad_${System.nanoTime()}"
     intercept[RuntimeException] {
-      Staging.cached(badKey) { _ => throw new RuntimeException("boom") }
+      Staging.cached(badKey, rev = 1) { _ => throw new RuntimeException("boom") }
     }
     assert(!new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_cache_v2/$badKey").exists())
+      s"${sys.props("java.io.tmpdir")}/graft_cache_v2/${badKey}_r1").exists())
+    // ...and must not leak its _build_* temp dir into the cache root
+    // (delta-based: another JVM's in-flight build may legitimately exist)
+    def buildDirs() = Option(new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_cache_v2").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("_build_")).map(_.getName).toSet
+    val before = buildDirs()
+    intercept[RuntimeException] {
+      Staging.cached(s"${badKey}2", rev = 1) { _ => throw new RuntimeException("boom") }
+    }
+    assert((buildDirs() -- before).isEmpty)
   }
 
   test("100TB layout recipe: range-partition + sort-within + partitionBy write") {

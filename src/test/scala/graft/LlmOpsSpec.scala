@@ -77,6 +77,9 @@ class LlmOpsSpec extends SparkSpec {
       .connectedComponents(nodes, "doc_id", edges, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // empty node set converges to an empty result, not an NPE on sum(NULL)
+    assert(operators.Dedup.connectedComponents(
+      nodes.limit(0), "doc_id", edges.limit(0), "doc_a", "doc_b").count() == 0)
   }
 
   test("dedup groups: every near-dup pair lands in one group, keeper is the min") {
