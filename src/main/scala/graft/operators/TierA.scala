@@ -178,6 +178,28 @@ object TierA {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B2 — XML round-trip: the XML data source is BUILT-IN since
+    // Spark 4 (donated spark-xml); write with a rowTag, read back with
+    // an explicit schema (the stream-safe idiom — inference is a
+    // second full pass at scale), aggregate; oracle from the source.
+    QueryDef(
+      "q_scan_xml",
+      (s, dir) => {
+        val out = graft.Staging.dir("q_scan_xml")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
+        s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
+          .option("rowTag", "event").format("xml").load(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // B4 — in-memory temp view + the SQL entry point.
     QueryDef(
       "q_sql_view",
