@@ -36,6 +36,29 @@ object TierA {
           |FROM events ORDER BY event_id""".stripMargin)
     ),
 
+    // B34+ — the VARIANT path (Spark 4's binary semi-structured type):
+    // parse once, extract many — at scale this beats per-path
+    // get_json_object re-parses, and the parsed binary pushes through
+    // shuffles. Typed extraction via variant_get; absent paths via
+    // try_variant_get return NULL, matching SQL json-extract semantics.
+    QueryDef(
+      "q_variant",
+      (s, dir) => {
+        val v = parse_json(col("props"))
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            variant_get(v, "$.k", "long").as("k_long"),
+            try_variant_get(v, "$.missing", "string").as("absent"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+          |       json_extract_string(props, '$.missing') AS absent
+          |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
     // A9/A14 — timestamp → Hive-partition path derivation (reference:
     // `src/lambda_producer.py:22-23`; values intentionally NOT zero-padded).
     QueryDef(
