@@ -272,6 +272,35 @@ object Relational {
           |ORDER BY c_custkey, tag""".stripMargin)
     ),
 
+    // B7+ — LATERAL correlated subquery join: per-customer top-1 order,
+    // the SQL form of a dependent join. Catalyst decorrelates it
+    // (DecorrelateInnerQuery) into a ranked join — no per-row subquery
+    // execution survives to the physical plan, so it scales like the
+    // window top-k it becomes. DuckDB runs the same LATERAL shape.
+    QueryDef(
+      "q_join_lateral",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+        s.sql(
+          """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM graft_customer,
+            |LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM graft_orders
+            |  WHERE o_custkey = c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS t
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS t
+          |ORDER BY c_custkey""".stripMargin)
+    ),
+
     // B11/B13 — non-equi band join (theta). Build side is tiny, so Spark
     // plans BroadcastNestedLoop — the right call; a range-bucketed
     // pre-partition would replace it at scale.
