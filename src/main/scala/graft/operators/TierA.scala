@@ -223,6 +223,49 @@ object TierA {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B4+ — RECURSIVE CTE (new in Spark 4): a month spine generated by
+    // recursion from the data's own bounds, left-joined to per-month
+    // order stats — the gap-filling report shape (months with no orders
+    // still emit a zero row). Bounds are two driver-side scalars (one
+    // tiny agg, same as a scalar subquery would be); the oracle derives
+    // identical bounds in SQL, so both spines are equal by value.
+    QueryDef(
+      "q_recursive_spine",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.createOrReplaceTempView("graft_orders_rec")
+        val b = o.agg(min(col("o_orderdate")).cast("date"),
+          max(col("o_orderdate")).cast("date")).first()
+        val (lo, hi) = (b.getDate(0), b.getDate(1))
+        s.sql(
+          s"""WITH RECURSIVE months(m) AS (
+             |  SELECT CAST(date_trunc('month', DATE'$lo') AS DATE)
+             |  UNION ALL
+             |  SELECT add_months(m, 1) FROM months
+             |  WHERE m < CAST(date_trunc('month', DATE'$hi') AS DATE))
+             |SELECT m AS month, count(o.o_orderkey) AS n_orders,
+             |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+             |FROM months LEFT JOIN graft_orders_rec o
+             |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+             |GROUP BY m ORDER BY m""".stripMargin)
+      },
+      Some(
+        """WITH RECURSIVE bounds AS (
+          |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+          |         date_trunc('month', max(o_orderdate)) AS hi
+          |  FROM orders),
+          |months(m) AS (
+          |  SELECT lo FROM bounds
+          |  UNION ALL
+          |  SELECT CAST(m + to_months(1) AS DATE) FROM months
+          |  WHERE m < (SELECT hi FROM bounds))
+          |SELECT m AS month, count(o.o_orderkey) AS n_orders,
+          |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+          |FROM months LEFT JOIN orders o
+          |  ON date_trunc('month', o.o_orderdate) = m
+          |GROUP BY m ORDER BY m""".stripMargin)
+    ),
+
     // B4 — in-memory temp view + the SQL entry point.
     QueryDef(
       "q_sql_view",
