@@ -20,10 +20,11 @@ class LlmOpsSpec extends SparkSpec {
     val sh = q("q_dedup_simhash").select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = if (near.isEmpty) 1.0 else (near & sh).size.toDouble / near.size
-    assert(recall >= 0.5, s"simhash recall $recall over ${near.size} near-dup pairs")
+    // measured 0.78 at sf0.001; deterministic data, so 0.7 is a real floor
+    assert(recall >= 0.7, s"simhash recall $recall over ${near.size} near-dup pairs")
   }
 
-  test("ann: top-1 recall >= 0.5 against brute force on strong pairs") {
+  test("ann: recall >= 0.7 against brute force on strong pairs") {
     val e = sources.Tables.embeddings(spark, sf)
     val strong = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -32,11 +33,12 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = strong.count { case (a, b) => ann.contains((a, b)) || ann.contains((b, a)) }
     val recall = found.toDouble / strong.size
-    assert(recall >= 0.5, s"ANN recall $recall on ${strong.size} strong pairs")
+    // measured 6/7 at sf0.001; deterministic, one-pair regression margin
+    assert(recall >= 0.7, s"ANN recall $recall on ${strong.size} strong pairs")
     assert(e.count() > 0)
   }
 
-  test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.5") {
+  test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.7") {
     val brute = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assume(brute.nonEmpty)
@@ -47,7 +49,8 @@ class LlmOpsSpec extends SparkSpec {
       assert(brute(pair) == cos, s"cosine mismatch on $pair")
     }
     val recall = lsh.size.toDouble / brute.size
-    assert(recall >= 0.5, s"LSH dedup recall $recall on ${brute.size} pairs")
+    // measured 6/7 at sf0.001; deterministic, one-pair regression margin
+    assert(recall >= 0.7, s"LSH dedup recall $recall on ${brute.size} pairs")
   }
 
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
