@@ -236,18 +236,38 @@ object TierA {
         o.createOrReplaceTempView("graft_orders_rec")
         val b = o.agg(min(col("o_orderdate")).cast("date"),
           max(col("o_orderdate")).cast("date")).first()
-        val (lo, hi) = (b.getDate(0), b.getDate(1))
-        s.sql(
-          s"""WITH RECURSIVE months(m) AS (
-             |  SELECT CAST(date_trunc('month', DATE'$lo') AS DATE)
-             |  UNION ALL
-             |  SELECT add_months(m, 1) FROM months
-             |  WHERE m < CAST(date_trunc('month', DATE'$hi') AS DATE))
-             |SELECT m AS month, count(o.o_orderkey) AS n_orders,
-             |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
-             |FROM months LEFT JOIN graft_orders_rec o
-             |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
-             |GROUP BY m ORDER BY m""".stripMargin)
+        if (b.isNullAt(0)) {
+          // empty input degrades to an empty spine, like every other
+          // registry query — not a DATE'null' parse error
+          s.sql("""SELECT CAST(NULL AS DATE) AS month,
+                  |       CAST(0 AS BIGINT) AS n_orders,
+                  |       CAST(0.0 AS DOUBLE) AS revenue
+                  |WHERE 1 = 0""".stripMargin)
+        } else {
+          val (lo, hi) = (b.getDate(0), b.getDate(1))
+          // the spine is one recursion level per month of span; lift the
+          // session's recursion ceiling (default 100 ≈ 8.3 years) above
+          // the data's actual span so the query never hits a
+          // data-dependent cliff. Set-and-keep: the limit is read when
+          // the lazy plan EXECUTES, so a restore here would defeat it.
+          val span = java.time.temporal.ChronoUnit.MONTHS.between(
+            lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)
+          ).toInt + 1
+          val lim = math.max(120, span + 16)
+          if (s.conf.get("spark.sql.cteRecursionLevelLimit", "100").toInt < lim)
+            s.conf.set("spark.sql.cteRecursionLevelLimit", lim.toString)
+          s.sql(
+            s"""WITH RECURSIVE months(m) AS (
+               |  SELECT CAST(date_trunc('month', DATE'$lo') AS DATE)
+               |  UNION ALL
+               |  SELECT add_months(m, 1) FROM months
+               |  WHERE m < CAST(date_trunc('month', DATE'$hi') AS DATE))
+               |SELECT m AS month, count(o.o_orderkey) AS n_orders,
+               |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+               |FROM months LEFT JOIN graft_orders_rec o
+               |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+               |GROUP BY m ORDER BY m""".stripMargin)
+        }
       },
       Some(
         """WITH RECURSIVE bounds AS (

@@ -10,6 +10,25 @@ class TierASpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q_recursive_spine: empty orders degrade to an empty spine, wide spans lift the recursion limit") {
+    import spark.implicits._
+    val dir = Staging.dir("spine_empty_src")
+    Seq.empty[(Long, java.sql.Date, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val empty = SparkEntry.queries("q_recursive_spine")(spark, dir)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("month", "n_orders", "revenue"))
+    // a >100-month span must not hit the default cteRecursionLevelLimit
+    val dir2 = Staging.dir("spine_wide_src")
+    Seq((1L, java.sql.Date.valueOf("1990-01-15"), 10.0),
+        (2L, java.sql.Date.valueOf("2005-06-15"), 20.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val wide = SparkEntry.queries("q_recursive_spine")(spark, dir2)
+    assert(wide.count() == 186) // 1990-01 .. 2005-06 inclusive
+  }
+
   test("q_time_parts: path is hive-layout, not zero-padded") {
     val row = q("q_time_parts").select(col("path")).first().getString(0)
     assert(row.startsWith("data/year=2024/month="))
