@@ -302,7 +302,9 @@ object Streams {
           .start()
         q.processAllAvailable()
         q.stop()
-        s.read.json(out)
+        // schema is in hand — skip the inference pass; event_type (the
+        // partition column) resolves from directory names against it
+        s.read.schema(eventsJsonSchema).json(out)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
           .orderBy(col("event_type"))
@@ -406,15 +408,31 @@ object Streams {
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
-    // B38 — session windows (30-minute gap) per user. Batch-mode
-    // session_window so the DuckDB gaps-and-islands oracle can replay
-    // the exact merge semantics (new session when gap >= 30 min).
+    // B38 — session windows (30-minute gap) per user, run as a REAL
+    // streaming query: file-source stream → session_window aggregation
+    // through the streaming engine's merging session-window state store
+    // → complete-mode drain (complete needs no watermark; update mode is
+    // the one Spark forbids for session windows). Sessions merge across
+    // micro-batches in keyed state, so the result equals the batch form —
+    // which is exactly what the DuckDB gaps-and-islands oracle replays
+    // (new session when gap >= 30 min). At 100 TB/day the production
+    // copy declares a watermark + append mode so closed sessions evict;
+    // StreamsSpec pins the session-window state operator in the plan.
     QueryDef(
       "q_stream_session",
       (s, dir) => {
-        Tables.events(s, dir)
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStream(s, src, "q_stream_session",
+          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, ts_us LONG"),
+          dir)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainComplete(s, agg, "q_stream_session_sink"))
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
             col("n"), col("sum_value"))

@@ -131,6 +131,47 @@ class StreamsSpec extends SparkSpec {
     assert(last == batch)
   }
 
+  test("B38: streaming session window merges sessions across micro-batches") {
+    val dir = freshDir("session")
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "ts_str")
+        .select(col("event_id"), lit("x").as("event_type"), lit(1.0).as("value"),
+          unix_micros(to_timestamp(col("ts_str"))).as("ts_us"), lit(7L).as("user_id"))
+        .coalesce(1).write.mode("append").json(dir)
+    // two files = two micro-batches (maxFilesPerTrigger=1). The 10:20
+    // event in batch 2 extends batch 1's open session (gaps < 30 min);
+    // 11:30 is past the gap and starts a new one. Correct output REQUIRES
+    // the merging session-window state store to combine state across
+    // batches — a batch replay of file 2 alone would get it wrong.
+    write(Seq((1L, "2024-01-02 10:00:00"), (2L, "2024-01-02 10:10:00")))
+    write(Seq((3L, "2024-01-02 10:20:00"), (4L, "2024-01-02 11:30:00")))
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("session_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val plan = try {
+      q.awaitTermination()
+      // pin the streaming-engine execution: the physical plan must carry
+      // the session-window state store save/restore pair
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf))(q.explain(extended = false))
+      buf.toString
+    } finally q.stop()
+    assert(plan.contains("SessionWindowStateStore"),
+      s"expected session-window state store in streaming plan:\n$plan")
+    val out = spark.table("session_sink")
+      .select(unix_micros(col("session_window.start")).as("start_us"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1000 = java.time.Instant.parse("2024-01-02T10:00:00Z").toEpochMilli * 1000L
+    val t1130 = java.time.Instant.parse("2024-01-02T11:30:00Z").toEpochMilli * 1000L
+    assert(out == Map(t1000 -> 3L, t1130 -> 1L),
+      s"sessions did not merge across batches: $out")
+  }
+
   test("A18: rate source drives the producer analog (cron -> records)") {
     // the reference's EventBridge rate(1 minute) producer (app.py:131-134)
     // maps to the rate source + the partition-path derivation of A9

@@ -62,8 +62,9 @@ def main():
     only = set(args[2:])
 
     if not no_run:
+        sel = (" " + " ".join(sorted(only))) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}{sel}'],
             capture_output=True, text=True)
         sys.stdout.write(r.stdout[-3000:])
         if r.returncode != 0:
