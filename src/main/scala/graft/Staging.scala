@@ -44,9 +44,21 @@ object Staging {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.deleteIfExists(f))
     // v2 namespace: only dirs that arrived via the atomic rename below
-    // ever exist here, so existence == complete
-    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_cache_v2")
+    // ever exist here, so existence == complete. Scoped per OS user —
+    // java.io.tmpdir is typically world-writable, so an unscoped root
+    // would be a cross-user collision/poisoning surface on shared hosts.
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_cache_v2_${keyOf(sys.props.getOrElse("user.name", "nouser"))}")
     Files.createDirectories(root)
+    // reap orphaned build dirs from crashed/killed JVMs: a live build's
+    // tmp dir is freshly created, so anything older than an hour is dead
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val listing = Files.list(root)
+    try listing.forEach { p =>
+      if (p.getFileName.toString.startsWith("_build_") &&
+          p.toFile.lastModified() < cutoff)
+        try deleteTree(p) catch { case _: Throwable => () }
+    } finally listing.close()
     val base = root.resolve(s"${key}_r$rev")
     if (!Files.exists(base)) {
       val tmp = Files.createTempDirectory(root, s"_build_")
@@ -70,12 +82,24 @@ object Staging {
   /** Filesystem-safe cache-key fragment for a path-like input. */
   def keyOf(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Source stamp (total size + newest mtime of the dir's entries) baked
+  /** Source stamp (total size + newest mtime over the FULL tree) baked
     * into [[cached]] keys, so a persistent cache can never outlive a
-    * regenerated source dir: new data ⇒ new key ⇒ fresh staging. */
+    * regenerated source dir: new data ⇒ new key ⇒ fresh staging. The
+    * walk is recursive — nested table layouts (`dir/orders.parquet/
+    * part-*.parquet`) change neither top-level sizes nor the subdir
+    * mtime when a leaf file is rewritten in place. */
   def stampOf(path: String): String = {
-    val f = new java.io.File(path)
-    val entries = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty) :+ f
-    s"${entries.map(_.length()).sum}_${entries.map(_.lastModified()).max}"
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return "absent"
+    var size = 0L
+    var newest = 0L
+    val walk = Files.walk(p)
+    try walk.forEach { f =>
+      val file = f.toFile
+      if (file.isFile) size += file.length()
+      newest = math.max(newest, file.lastModified())
+    } finally walk.close()
+    s"${size}_$newest"
   }
 }

@@ -10,34 +10,74 @@ import graft.sources.Tables
   * Media assets are opaque `binary` columns plus a typed metadata struct
   * — the production path would land them via
   * `spark.read.format("binaryFile")` or parquet binary columns. The test
-  * tables carry no media, so blobs here are derived from `documents.text`
-  * bytes; the *plumbing* (schema, partition-parallel decode, typed
-  * output) is real.
-  *
-  * Decode is a clearly-marked deterministic STUB: the image/audio codec
-  * libraries are not in this container (per the build brief), so
-  * `decodeStub` fabricates dimensions/frames from a hash of the bytes —
-  * same signature, batch shape, and partition-parallelism a real codec
-  * UDF would have (Scala-side `mapPartitions`, the JVM analog of
-  * `mapInPandas` batches).
+  * tables carry no media, so the image corpus is SELF-STAGED: one
+  * genuine PNG per document (encoded with `javax.imageio` — JDK-only,
+  * no external codec deps), pixels a pure function of `doc_id` so the
+  * decode output has an exact SQL oracle. The decode kernel is a REAL
+  * codec (`ImageIO` reader: format sniff → pixel read → luminance),
+  * run partition-parallel via typed `mapPartitions` — the JVM analog of
+  * `mapInPandas` batches. Swapping in JPEG/TIFF or an ffmpeg frame
+  * sampler changes only the kernel body.
   */
 object Multimodal {
 
-  /** Typed decode result a real codec would produce. */
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
-                             height: Int, n_frames: Int, brightness: Double)
+  /** Typed decode result. Long widths/heights: the oracle compares
+    * against DuckDB arithmetic, which returns BIGINT. */
+  final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
+                                height: Long, brightness: Double)
 
-  /** STUB decode: deterministic pseudo-metadata from the blob bytes.
-    * Replace the body with a real codec (javax.imageio / ffmpeg bindings)
-    * in production; everything around it — the per-partition batch loop,
-    * the typed Dataset output, the schema — stays as-is. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.floorMod(h, 1856)           // 64..1919
-    val height = 64 + math.floorMod(h >> 11, 1016)    // 64..1079
-    val frames = 1 + math.floorMod(h >> 21, 64)
-    val brightness = math.floorMod(h, 1000) / 1000.0
-    (width, height, frames, brightness)
+  /** Deterministic per-document image parameters (the staged ground
+    * truth the oracle recomputes in SQL). */
+  def imageParams(docId: Long): (Int, Int, Int) =
+    (16 + (docId % 48).toInt, 16 + (docId % 37).toInt, (docId % 256).toInt)
+
+  /** Encode a width×height constant-gray PNG — a genuine compressed
+    * image file, via the JDK's ImageIO. */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: sniff the container format, decode the pixels,
+    * return (format, width, height, mean red-channel luminance in
+    * [0,1]). PNG is lossless, so for the staged constant-gray images
+    * the mean is exactly gray/255. */
+  def decodeImage(bytes: Array[Byte]): (String, Int, Int, Double) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("undecodable image bytes")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        // exact-integer dividend/divisor ⇒ correctly-rounded quotient of
+        // the true rational — bit-identical to the oracle's gray/255
+        (fmt, w, h, sum.toDouble / (w.toLong * h * 255))
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -107,26 +147,55 @@ object Multimodal {
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)
     ),
 
-    // B49(c) — partition-parallel decode via typed mapPartitions over
-    // (id, blob) batches; STUB codec (see decodeStub). No oracle —
-    // hash-derived fields aren't SQL-reproducible; MultimodalSpec pins
-    // determinism and ranges.
+    // B49(c) — REAL partition-parallel image decode: genuine PNGs staged
+    // once per source dir (one per document, encoded distributed via
+    // foreachPartition + ImageIO — local FS here, an object store in
+    // production), ingested as opaque bytes through binaryFile, decoded
+    // in a typed mapPartitions kernel (ImageIO format sniff + pixel
+    // read). Oracled exactly: dimensions and gray level are pure
+    // functions of doc_id, and PNG is lossless.
     QueryDef(
       "q_multimodal_decode",
       (s, dir) => {
         import s.implicits._
-        val blobs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val pngDir = graft.Staging.cached(
+          s"png_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .foreachPartition { (it: Iterator[Long]) =>
+              it.foreach { id =>
+                val (w, h, g) = imageParams(id)
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
+                  encodePng(w, h, g))
+              }
+            }
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(pngDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
           .as[(Long, Array[Byte])]
-        blobs.mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            val (w, h, f, b) = decodeStub(bytes)
-            MediaMeta(id, bytes.length.toLong, w, h, f, b)
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val (fmt, w, h, b) = decodeImage(bytes)
+              DecodedImage(id, fmt, w.toLong, h.toLong, b)
+            }
           }
-        }.toDF()
+          .toDF()
+          .withColumn("brightness", round(col("brightness"), 6))
           .orderBy(col("doc_id"))
       },
-      None
+      Some(
+        """SELECT doc_id, 'png' AS fmt,
+          |       16 + doc_id % 48 AS width,
+          |       16 + doc_id % 37 AS height,
+          |       round(CAST(doc_id % 256 AS DOUBLE) / 255, 6) AS brightness
+          |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

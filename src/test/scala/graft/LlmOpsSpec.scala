@@ -168,15 +168,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
-  test("multimodal decode: deterministic, bounded, row-complete") {
-    val a = q("q_multimodal_decode").collect()
-    val b = q("q_multimodal_decode").collect()
-    assert(a.toSeq == b.toSeq)
-    assert(a.length == sources.Tables.documents(spark, sf).count())
-    a.foreach { r =>
-      assert(r.getInt(2) >= 64 && r.getInt(2) < 1920)   // width
-      assert(r.getInt(3) >= 64 && r.getInt(3) < 1080)   // height
-      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+  test("multimodal decode: real PNG codec round-trips known dimensions") {
+    // kernel level: encode → decode is exact (PNG lossless)
+    val (fmt, w, h, b) = operators.Multimodal.decodeImage(
+      operators.Multimodal.encodePng(33, 21, 170))
+    assert((fmt, w, h) == (("png", 33, 21)))
+    assert(b == 170.0 / 255)
+    // undecodable bytes must FAIL, not fabricate metadata
+    intercept[Exception] {
+      operators.Multimodal.decodeImage("not an image".getBytes)
+    }
+    // query level: every document decodes to its generation parameters
+    val rows = q("q_multimodal_decode").collect()
+    assert(rows.length == sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (ew, eh, eg) = operators.Multimodal.imageParams(id)
+      assert(r.getString(1) == "png")
+      assert(r.getLong(2) == ew && r.getLong(3) == eh)
+      assert(math.abs(r.getDouble(4) - eg / 255.0) < 5e-7)
     }
   }
 }
