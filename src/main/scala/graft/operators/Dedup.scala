@@ -158,17 +158,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation — the standard distributed CC loop (each
-    * round: every node takes the min of its own and its neighbors'
-    * labels; converged when no label changes). O(component diameter)
-    * rounds; each round is one equi-join + one partial-combined min-agg,
-    * both shuffling on node id — no step ever materializes a component.
-    * `localCheckpoint` cuts the per-round lineage growth (iterative
-    * plans otherwise double each round); the per-round driver scalar is
-    * the convergence test, not data movement — Σ labels is strictly
-    * decreasing while anything still propagates. Deterministic: labels
-    * are ids, min is order-free. */
+  /** Round count of the last [[connectedComponents]] call — a test
+    * instrument (DedupSpec pins the O(log n) bound on a chain graph),
+    * not part of the operator's contract. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Free the storage blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist` only clears cache-manager entries; a local
+    * checkpoint's blocks live on the materialized RDD inside the
+    * resulting `LogicalRDD`, so reclaim there (else an iterative loop's
+    * storage grows linearly with round count until GC gets around to
+    * it). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Connected components over an undirected edge list by min-label
+    * propagation with pointer doubling. Each round every node takes
+    *   label := min(label, min(neighbors' labels), label-of-label)
+    * — the neighbor step moves information one hop, the label-of-label
+    * shortcut halves the depth of any label chain, so convergence is
+    * O(log diameter) rounds (vs O(diameter) for plain propagation: a
+    * path graph is the worst case, and 100 TB corpora do produce long
+    * near-dup chains). Each round is two equi-joins + one
+    * partial-combined min-agg, all shuffling on node id — no step ever
+    * materializes a component. `localCheckpoint` cuts per-round lineage
+    * growth and the previous round's blocks are freed explicitly; the
+    * per-round driver scalar is the convergence test, not data movement
+    * — Σ labels is strictly decreasing while anything still propagates.
+    * Deterministic: labels are ids, min is order-free. */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
@@ -182,16 +203,40 @@ object Dedup {
       .localCheckpoint()
     var prevSum = Option.empty[Long]
     var converged = false
+    var rounds = 0
+    // defensive ceiling only: with doubling, 64 rounds covers any graph
+    // that fits in long ids; Σ-labels monotonicity already guarantees
+    // termination, so tripping this means a logic bug, not a big input
+    val maxRounds = 64
     while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents failed to converge in $maxRounds rounds")
+      rounds += 1
       val nbr = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
         .select(col("dst").as("id"), col("nbr_label"))
-      labels = labels.join(nbr, Seq("id"), "left")
+      // checkpoint once: stepped feeds BOTH sides of the doubling
+      // self-join below and would otherwise run the join+agg twice
+      val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
+      // pointer doubling: a label is always some node's id (min over
+      // ids), so look up the label THAT node holds and take the min —
+      // left join + coalesce only as NULL hygiene
+      val parent = stepped
+        .select(col("id").as("p_id"), col("label").as("p_label"))
+      val prev = labels
+      labels = stepped.join(parent, stepped("label") === parent("p_id"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("p_label"), stepped("label")))
+            .as("label"))
+        .localCheckpoint()
+      freeCheckpoint(prev)
+      freeCheckpoint(stepped)
       // coalesce: sum over zero rows is NULL — an empty node set must
       // converge to an empty result, not NPE
       val s = labels.agg(coalesce(sum(col("label")), lit(0L)))
@@ -199,6 +244,8 @@ object Dedup {
       converged = prevSum.contains(s)
       prevSum = Some(s)
     }
+    freeCheckpoint(e0)
+    lastCcRounds = rounds
     labels.select(col("id").as(idCol), col("label"))
   }
 

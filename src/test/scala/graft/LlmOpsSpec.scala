@@ -85,6 +85,22 @@ class LlmOpsSpec extends SparkSpec {
       nodes.limit(0), "doc_id", edges.limit(0), "doc_a", "doc_b").count() == 0)
   }
 
+  test("connected components: chain graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a path 0-1-2-...-63 is the worst case for plain min-propagation
+    // (64 rounds: the min label walks one hop per round); pointer
+    // doubling must close it in ~log2(64)=6 rounds + constant slack
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val got = operators.Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L))
+    val rounds = operators.Dedup.lastCcRounds
+    assert(rounds <= 10,
+      s"chain of $n took $rounds rounds — pointer doubling not effective")
+  }
+
   test("dedup groups: every near-dup pair lands in one group, keeper is the min") {
     val pairs = q("q_dedup_ngram").select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
