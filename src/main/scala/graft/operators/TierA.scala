@@ -248,25 +248,32 @@ object TierA {
           // the spine is one recursion level per month of span; lift the
           // session's recursion ceiling (default 100 ≈ 8.3 years) above
           // the data's actual span so the query never hits a
-          // data-dependent cliff. Set-and-keep: the limit is read when
-          // the lazy plan EXECUTES, so a restore here would defeat it.
+          // data-dependent cliff. The limit is read when the plan
+          // EXECUTES, so force execution (localCheckpoint — the spine is
+          // months-of-span rows, tiny) and restore the session value in
+          // finally: a shared long-lived session must not silently keep
+          // the raised ceiling for every later query.
           val span = java.time.temporal.ChronoUnit.MONTHS.between(
             lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)
           ).toInt + 1
           val lim = math.max(120, span + 16)
-          if (s.conf.get("spark.sql.cteRecursionLevelLimit", "100").toInt < lim)
-            s.conf.set("spark.sql.cteRecursionLevelLimit", lim.toString)
-          s.sql(
-            s"""WITH RECURSIVE months(m) AS (
-               |  SELECT CAST(date_trunc('month', DATE'$lo') AS DATE)
-               |  UNION ALL
-               |  SELECT add_months(m, 1) FROM months
-               |  WHERE m < CAST(date_trunc('month', DATE'$hi') AS DATE))
-               |SELECT m AS month, count(o.o_orderkey) AS n_orders,
-               |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
-               |FROM months LEFT JOIN graft_orders_rec o
-               |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
-               |GROUP BY m ORDER BY m""".stripMargin)
+          val key = "spark.sql.cteRecursionLevelLimit"
+          val saved = s.conf.get(key, "100")
+          if (saved.toInt < lim) s.conf.set(key, lim.toString)
+          try {
+            s.sql(
+              s"""WITH RECURSIVE months(m) AS (
+                 |  SELECT CAST(date_trunc('month', DATE'$lo') AS DATE)
+                 |  UNION ALL
+                 |  SELECT add_months(m, 1) FROM months
+                 |  WHERE m < CAST(date_trunc('month', DATE'$hi') AS DATE))
+                 |SELECT m AS month, count(o.o_orderkey) AS n_orders,
+                 |       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+                 |FROM months LEFT JOIN graft_orders_rec o
+                 |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+                 |GROUP BY m ORDER BY m""".stripMargin)
+              .localCheckpoint()
+          } finally s.conf.set(key, saved)
         }
       },
       Some(

@@ -27,6 +27,10 @@ class TierASpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
     val wide = SparkEntry.queries("q_recursive_spine")(spark, dir2)
     assert(wide.count() == 186) // 1990-01 .. 2005-06 inclusive
+    // the lifted limit must NOT leak into the shared session: the def
+    // forces execution and restores the conf in finally
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100") == "100",
+      "cteRecursionLevelLimit leaked past q_recursive_spine")
   }
 
   test("q_time_parts: path is hive-layout, not zero-padded") {
