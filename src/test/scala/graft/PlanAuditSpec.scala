@@ -118,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("partition-filtered read-back prunes at the source (PartitionFilters)") {
+    // partition pruning is the #1 scan lever at 100 TB: a filter on the
+    // hive-layout columns must land in the scan node's PartitionFilters
+    // (directories never listed), not be applied post-scan
+    q("q_partitioned_write").collect() // materializes the partitioned layout
+    val out = Staging.dir("q_partitioned_write")
+    val pruned = spark.read
+      .schema("event_id LONG, value DOUBLE, y INT, mo INT, d INT")
+      .json(out)
+      .filter(col("mo") === 1 && col("d") <= 7)
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("(mo") && pf.contains("(d"),
+      s"expected mo/d in PartitionFilters of the scan:\n$p")
+    // and the data filter must NOT reappear as a post-scan Filter on rows
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("mo#")),
+      s"partition predicate must prune, not filter rows:\n$p")
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
