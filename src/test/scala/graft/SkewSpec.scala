@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Skew
 
 /** Skew posture (SURVEY §7): two mechanisms ship for hot keys.
   *
@@ -12,6 +13,54 @@ import org.apache.spark.sql.functions._
   *    aggregations keyed on the hot column and non-SMJ plans.
   */
 class SkewSpec extends SparkSpec {
+
+  test("salted join == plain join (row multiset)") {
+    val li = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect().toSeq
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", factor = 7,
+        saltSource = Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("ngram dedup df cap: a corpus-wide stop-shingle cannot square the join") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate 5-gram, then unique words:
+    // uncapped, the shared shingles alone pair all docs against all docs
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"the quick brown fox jumps unique$i word${i}a word${i}b word${i}c")
+    }.toDF("doc_id", "text")
+    val uncapped = operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, maxDf = Long.MaxValue, minJaccard = 0.0)
+    assert(uncapped.count() == 60L * 59 / 2,
+      "stop-shingles pair every doc with every doc when uncapped")
+    // with the cap, the hot shingles drop from the join input entirely…
+    val sh = docs.select(col("doc_id"),
+        explode(functions.ShingleHashes(col("text"), 3)).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val capped = operators.Dedup.dfCapShingles(sh, maxDf = 10)
+    val hotLeft = capped.groupBy(col("h")).count()
+      .filter(col("count") > 10).count()
+    assert(hotLeft == 0, "no shingle above the df cap may reach the self-join")
+    // …and the unique remainders produce no pairs at all
+    assert(operators.Dedup
+      .ngramJaccardPairs(docs, n = 3, maxDf = 10, minJaccard = 0.0)
+      .count() == 0)
+  }
+
+  test("salt spreads a hot key across buckets") {
+    import spark.implicits._
+    val hot = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "id")
+    val spread = hot.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("id")), lit(8)))
+      .groupBy(col("__salt")).count().collect()
+    assert(spread.length == 8, "hot key should land in all 8 salt buckets")
+    assert(spread.map(_.getLong(1)).max < 1000 * 0.3, "no bucket should dominate")
+  }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     val confs = Seq(
@@ -43,24 +92,5 @@ class SkewSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
-  }
-
-  test("salting spreads a hot key over `factor` salt values, results unchanged") {
-    // q_join_skew_salted's oracle pins result equality; here pin the
-    // mechanism: the salted key-space actually fans out, deterministically
-    val left = spark.range(1000).select(
-      lit(42L).as("k"), col("id").as("a"), (col("id") % 7).as("b"))
-    val right = spark.range(100).select(col("id").as("k"), (col("id") + 1).as("w"))
-    val out = graft.operators.Skew.saltedJoin(left, right, "k", factor = 8,
-      saltSource = Seq("a"))
-    assert(out.count() == 1000)
-    val salts = left
-      .withColumn("__salt", pmod(xxhash64(col("a")), lit(8)))
-      .select("__salt").distinct().count()
-    assert(salts == 8, s"expected the hot key spread over all 8 salts, got $salts")
-    // deterministic: same inputs -> same salt assignment on replay
-    val again = graft.operators.Skew.saltedJoin(left, right, "k", factor = 8,
-      saltSource = Seq("a"))
-    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
   }
 }
