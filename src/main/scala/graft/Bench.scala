@@ -52,8 +52,15 @@ object Bench {
       "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // machine-diffable throughput vs the BASELINE.md envelope (86.4M rows
+    // in <=300 s on 8 cores ~= 288k rows/s): rows generated+aggregated by
+    // q_reference_scale divided by its wall time
+    val reference = ok.toMap.get("q_reference_scale").map { secs =>
+      val rows = sources.Timeseries.referenceDays(spark, sfDir).toLong * 86400L
+      s""","reference":{"rows":$rows,"secs":$secs,"rows_per_s":${(rows / secs).toLong}}"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$reference,"sf":"$sfDir"}"""
     println(line)
     // stdout capture gets truncated by some harnesses; persist the full
     // per-query map so rounds stay diffable for every query
