@@ -59,8 +59,21 @@ object Bench {
       val rows = sources.Timeseries.referenceDays(spark, sfDir).toLong * 86400L
       s""","reference":{"rows":$rows,"secs":$secs,"rows_per_s":${(rows / secs).toLong}}"""
     }.getOrElse("")
+    // approximate-operator recall vs exact references (Recall.scala) —
+    // tracked per round so recall/cost trades stay visible next to the
+    // timings they paid for; never fails the bench
+    val recall = try {
+      val entries = Recall.compute(spark, sfDir).map { e =>
+        "\"" + e.name + "\":{\"recall\":" + e.recall +
+          ",\"exact_pairs\":" + e.exactPairs + "}"
+      }.mkString("{", ",", "}")
+      s""","recall":$entries"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] recall report failed: ${e.getMessage}")
+      ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$reference,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$reference$recall,"sf":"$sfDir"}"""
     println(line)
     // stdout capture gets truncated by some harnesses; persist the full
     // per-query map so rounds stay diffable for every query

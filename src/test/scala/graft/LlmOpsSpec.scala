@@ -4,6 +4,11 @@ import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
 
+  // the SAME computation Bench stamps into the bench artifact — the
+  // floors here gate what the artifact reports
+  private lazy val recalls: Map[String, Recall.Entry] =
+    Recall.compute(spark, sf).map(e => e.name -> e).toMap
+
   test("minhash LSH pairs == brute-force ngram-jaccard pairs (sf0.001)") {
     val lsh = q("q_dedup_minhash").select(col("doc_a"), col("doc_b"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -14,28 +19,19 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("simhash: near-dup docs (jaccard>=0.9) appear with small hamming") {
-    val near = q("q_dedup_ngram").filter(col("jaccard") >= 0.9)
-      .select(col("doc_a"), col("doc_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sh = q("q_dedup_simhash").select(col("doc_a"), col("doc_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (near.isEmpty) 1.0 else (near & sh).size.toDouble / near.size
+    val r = recalls("simhash")
+    assume(r.exactPairs > 0)
     // measured 0.78 at sf0.001; deterministic data, so 0.7 is a real floor
-    assert(recall >= 0.7, s"simhash recall $recall over ${near.size} near-dup pairs")
+    assert(r.recall >= 0.7,
+      s"simhash recall ${r.recall} over ${r.exactPairs} near-dup pairs")
   }
 
   test("ann: recall >= 0.7 against brute force on strong pairs") {
-    val e = sources.Tables.embeddings(spark, sf)
-    val strong = q("q_dedup_embedding").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assume(strong.nonEmpty)
-    val ann = q("q_similarity_ann").select(col("qid"), col("nid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = strong.count { case (a, b) => ann.contains((a, b)) || ann.contains((b, a)) }
-    val recall = found.toDouble / strong.size
+    val r = recalls("ann")
+    assume(r.exactPairs > 0)
     // measured 6/7 at sf0.001; deterministic, one-pair regression margin
-    assert(recall >= 0.7, s"ANN recall $recall on ${strong.size} strong pairs")
-    assert(e.count() > 0)
+    assert(r.recall >= 0.7,
+      s"ANN recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
   test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.7") {
@@ -48,9 +44,10 @@ class LlmOpsSpec extends SparkSpec {
       assert(brute.contains(pair), s"LSH pair $pair not in brute-force set")
       assert(brute(pair) == cos, s"cosine mismatch on $pair")
     }
-    val recall = lsh.size.toDouble / brute.size
+    val r = recalls("embedding_lsh")
     // measured 6/7 at sf0.001; deterministic, one-pair regression margin
-    assert(recall >= 0.7, s"LSH dedup recall $recall on ${brute.size} pairs")
+    assert(r.recall >= 0.7,
+      s"LSH dedup recall ${r.recall} on ${r.exactPairs} pairs")
   }
 
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
@@ -58,17 +55,13 @@ class LlmOpsSpec extends SparkSpec {
     val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
     assert(assigned.count() == e.count())
     assert(assigned.select(col("cell_id")).distinct().count() <= 16)
-    val strong = q("q_dedup_embedding").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assume(strong.nonEmpty)
-    val ivf = q("q_similarity_ivf").select(col("qid"), col("nid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = strong.count { case (a, b) => ivf.contains((a, b)) || ivf.contains((b, a)) }
+    val r = recalls("ivf")
+    assume(r.exactPairs > 0)
     // trained (2 Lloyd rounds) + 3-probe IVF: measured 12/14 at sf0.01
     // (untrained single-probe recovered only 4/14); deterministic, so
     // 0.7 is a real floor, not a flaky bound
-    val recall = found.toDouble / strong.size
-    assert(recall >= 0.7, s"IVF recall $recall on ${strong.size} strong pairs")
+    assert(r.recall >= 0.7,
+      s"IVF recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
   test("connected components: chains merge transitively, isolates keep own label") {
