@@ -41,7 +41,8 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Curation.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.QueryDef
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Dataset-curation operators a training-data pipeline runs after
+  * cleaning/dedup: deterministic split assignment, context-window
+  * packing, and class-balanced sampling. All three are pure
+  * DataFrame plans (no state, no collect), so they scale with the
+  * input; each carries a full DuckDB oracle.
+  */
+object Curation {
+
+  /** 90/5/5 thresholds over the first 4 md5 hex chars (uniform over
+    * 0x0000..0xffff): 0xe666/0x10000 = 0.9000, 0xf333/0x10000 = 0.9500.
+    * Lowercase-hex string comparison is identical in Spark and DuckDB,
+    * so the assignment is oracle-exact without any cross-engine hash. */
+  private val TrainLt = "e666"
+  private val ValLt = "f333"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // North star — deterministic train/val/test split: membership is a
+    // pure function of the stable doc_id (never of row order or an RNG
+    // stream), so the split is reproducible across runs, engines, and
+    // repartitions, and any doc's subset can be answered point-wise.
+    // Per-row projection only — nothing shuffles.
+    QueryDef(
+      "q_data_split",
+      (s, dir) => {
+        val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            bucket.as("bucket"),
+            when(bucket < TrainLt, "train")
+              .when(bucket < ValLt, "val")
+              .otherwise("test").as("subset"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""SELECT doc_id,
+           |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+           |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$TrainLt' THEN 'train'
+           |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$ValLt' THEN 'val'
+           |            ELSE 'test' END AS subset
+           |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — context-window packing: assign docs (in stable
+    // doc_id order) to ~2048-token packs, the sequence-packing shape
+    // that turns a cleaned corpus into training rows. Packing is per
+    // shard — each shard's running sum is an independent window, so
+    // parallelism is the shard count (a knob: 8 here for test scale,
+    // thousands at 100 TB) and no global sort or driver state exists.
+    // A doc may straddle a boundary; the pack invariant (asserted in
+    // CurationSpec) is pack_tokens < budget + longest-doc.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) => {
+        val nTok = size(TextFns.tokens(col("text"))).cast(LongType)
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+            nTok.as("n_tokens"))
+          .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("pack_id",
+            floor(col("cum_before") / lit(2048.0)).cast(LongType))
+          .groupBy(col("shard"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"), col("pack_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, doc_id % 8 AS shard,
+          |         len(string_split(lower(text), ' ')) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT shard, doc_id, n_tokens,
+          |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - n_tokens AS cum_before
+          |  FROM t)
+          |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+          |       count(*) AS n_docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
+    ),
+
+    // North star — class-balanced downsample: every event_type stratum
+    // is cut to ~the smallest stratum's size, membership again a pure
+    // function of the stable key. Two aggregates + one broadcast join:
+    // stratum sizes are a tiny dim table, the fact side streams through
+    // the filter — the balance-classes shape at any scale. The 16-bit
+    // multiplicative mix keeps every product far inside BIGINT (ANSI
+    // mode errors on overflow; max is 65535 * row-count).
+    QueryDef(
+      "q_sample_stratified",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        val sz = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        val target = sz.agg(min(col("n_total")).as("target"))
+        val mix = pmod(
+          pmod(col("event_id"), lit(65536L)) * lit(40503L) + lit(13L),
+          lit(65536L))
+        e.join(broadcast(sz), "event_type")
+          .crossJoin(broadcast(target))
+          .filter(mix * col("n_total") < col("target") * lit(65536L))
+          .groupBy(col("event_type"), col("n_total"))
+          .agg(count(lit(1)).as("n_sampled"))
+          .select(col("event_type"), col("n_total"), col("n_sampled"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH sz AS (
+          |  SELECT event_type, count(*) AS n_total FROM events GROUP BY 1),
+          |t AS (SELECT min(n_total) AS target FROM sz)
+          |SELECT e.event_type, sz.n_total, count(*) AS n_sampled
+          |FROM events e
+          |JOIN sz ON e.event_type = sz.event_type
+          |CROSS JOIN t
+          |WHERE (((e.event_id % 65536) * 40503 + 13) % 65536) * sz.n_total
+          |        < t.target * 65536
+          |GROUP BY e.event_type, sz.n_total
+          |ORDER BY e.event_type""".stripMargin)
+    )
+  )
+}

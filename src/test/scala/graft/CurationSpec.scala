@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("data split: complete, disjoint, ~90/5/5, and replay-stable") {
+    val rows = q("q_data_split").collect()
+    val total = sources.Tables.documents(spark, sf).count()
+    assert(rows.length == total, "every doc gets exactly one subset")
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length.toDouble / total)
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    // md5 buckets are uniform; at 500 docs allow generous sampling slack
+    assert(math.abs(frac("train") - 0.90) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+    // replay-stable: assignment is a pure function of doc_id
+    val again = q("q_data_split").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("sequence packing: packs are contiguous and bounded by budget + longest doc") {
+    val docs = sources.Tables.documents(spark, sf)
+    val maxDoc = docs
+      .select(size(functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .agg(max(col("n"))).first().getLong(0)
+    val packs = q("q_pack_sequences").collect()
+    assert(packs.nonEmpty)
+    assert(packs.map(_.getLong(2)).sum == docs.count(), "every doc lands in one pack")
+    packs.foreach { r =>
+      assert(r.getLong(3) < 2048L + maxDoc,
+        s"pack ${r.getLong(0)}/${r.getLong(1)} holds ${r.getLong(3)} tokens")
+    }
+    // within a shard, pack ids are dense from 0 and doc ranges never overlap
+    packs.groupBy(_.getLong(0)).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getLong(5) < pair(1).getLong(4),
+          "doc ranges of consecutive packs must not overlap")
+      }
+    }
+  }
+
+  test("stratified sample: every stratum lands near the smallest stratum's size") {
+    val rows = q("q_sample_stratified").collect()
+    assert(rows.nonEmpty)
+    val target = rows.map(_.getLong(1)).min // n_total of the smallest stratum
+    rows.foreach { r =>
+      val (tpe, total, sampled) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(sampled <= total, s"$tpe sampled $sampled of $total")
+      // 16-bit hash granularity: allow 25% relative + small absolute slack
+      assert(math.abs(sampled - target) <= math.max(8L, (target * 0.25).toLong),
+        s"$tpe sampled $sampled, want ~$target")
+    }
+  }
+}
