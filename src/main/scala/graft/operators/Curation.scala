@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -133,6 +133,97 @@ object Curation {
           |        < t.target * 65536
           |GROUP BY e.event_type, sz.n_total
           |ORDER BY e.event_type""".stripMargin)
+    ),
+
+    // North star — the curation steps COMPOSED: quality-score filter →
+    // near-dup group keepers (connected components over the df-capped
+    // shingle pairs, among survivors only) → deterministic split →
+    // per-subset corpus stats. One declarative plan end to end: the
+    // quality filter prunes before the (most expensive) pair join, the
+    // CC loop is the O(log d) pointer-doubling one, and the split/agg
+    // is a single map-side-combined aggregate. avg quality goes through
+    // an exact integer micro-sum (quality is already 6dp, so ×1e6 is
+    // integral) — the float fold order of a plain avg() differs between
+    // 32-way partial aggregation and DuckDB's single stream.
+    QueryDef(
+      "q_pipeline_curation",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast(LongType).as("n_chars"),
+            size(ts).cast(LongType).as("n_tokens"),
+            TextAnalysis.countIn(ts, TextAnalysis.StopEn).as("n_stop"),
+            size(array_distinct(ts)).cast(LongType).as("n_distinct"))
+          .withColumn("quality_score", round(
+            lit(0.4) * (col("n_stop").cast(DoubleType) / col("n_tokens")) +
+            lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens")) +
+            lit(0.3) * least(lit(1.0),
+              col("n_chars").cast(DoubleType) / 500.0), 6))
+        val surv = scored.filter(col("quality_score") >= 0.31)
+        val pairs = Dedup.ngramJaccardPairs(
+          surv.select(col("doc_id"), col("text")),
+          n = 3, maxDf = 64, minJaccard = 0.5)
+        val keepers = surv.join(
+          Dedup.connectedComponents(
+              surv.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+            .filter(col("doc_id") === col("label"))
+            .select(col("doc_id")),
+          "doc_id")
+        val bucket = substring(md5(col("doc_id").cast("string")), 1, 4)
+        keepers
+          .withColumn("subset",
+            when(bucket < TrainLt, "train")
+              .when(bucket < ValLt, "val")
+              .otherwise("test"))
+          .withColumn("q_micro",
+            round(col("quality_score") * 1e6).cast(LongType))
+          .groupBy(col("subset"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round((sum(col("q_micro")).cast(DoubleType) / 1e6) /
+              count(lit(1)), 6).as("avg_quality"))
+          .orderBy(col("subset"))
+      },
+      Some(
+        s"""WITH RECURSIVE
+           |t0 AS (
+           |  SELECT doc_id, text, length(text) AS n_chars,
+           |         string_split(lower(text), ' ') AS ts FROM documents),
+           |c0 AS (
+           |  SELECT doc_id, text, n_chars, len(ts) AS n_tokens,
+           |         len(list_filter(ts, x -> x IN ('the','and','of','to','in','is'))) AS n_stop,
+           |         len(list_distinct(ts)) AS n_distinct
+           |  FROM t0),
+           |scored AS (
+           |  SELECT doc_id, text, n_tokens,
+           |         round(0.4 * (n_stop * 1.0 / n_tokens)
+           |             + 0.3 * (n_distinct * 1.0 / n_tokens)
+           |             + 0.3 * least(1.0, n_chars / 500.0), 6) AS quality_score
+           |  FROM c0),
+           |surv AS (SELECT * FROM scored WHERE quality_score >= 0.31),
+           |${Dedup.ngramPairsCte(src = "surv")},
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(doc_id, label) AS (
+           |  SELECT doc_id, doc_id FROM surv
+           |  UNION
+           |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst),
+           |grouped AS (SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id),
+           |keepers AS (
+           |  SELECT s.doc_id, s.n_tokens, s.quality_score
+           |  FROM surv s JOIN grouped g ON s.doc_id = g.doc_id
+           |  WHERE s.doc_id = g.group_id)
+           |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$TrainLt' THEN 'train'
+           |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$ValLt' THEN 'val'
+           |            ELSE 'test' END AS subset,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       round((CAST(sum(CAST(round(quality_score * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |              / 1000000.0) / count(*), 6) AS avg_quality
+           |FROM keepers GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -253,9 +253,9 @@ object Dedup {
     * ending in `pairs(doc_a, doc_b, jaccard)` — shared by the pair query
     * and the connected-components grouping so the two oracles can never
     * drift. */
-  private val NgramPairsCte: String =
-    """tok AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+  private[operators] def ngramPairsCte(src: String = "documents"): String =
+    s"""tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM $src),
       |sh0 AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(ts) - 1),
@@ -306,7 +306,7 @@ object Dedup {
             minJaccard = 0.5)
           .orderBy(col("doc_a"), col("doc_b")),
       Some(
-        s"""WITH $NgramPairsCte
+        s"""WITH ${ngramPairsCte()}
            |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin)
     ),
@@ -335,7 +335,7 @@ object Dedup {
           .orderBy(col("doc_id"))
       },
       Some(
-        s"""WITH RECURSIVE $NgramPairsCte,
+        s"""WITH RECURSIVE ${ngramPairsCte()},
            |edges AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
            |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -15,11 +15,11 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def countIn(ts: Column, words: Seq[String]): Column =
+  private[operators] def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words.map(lit): _*)))
       .cast(LongType)
 
-  private val StopEn = Seq("the", "and", "of", "to", "in", "is")
+  private[operators] val StopEn = Seq("the", "and", "of", "to", "in", "is")
   private val StopEs = Seq("el", "la", "de", "que", "y", "en")
   private val StopDe = Seq("der", "die", "und", "das", "ist", "von")
   private val StopFr = Seq("le", "les", "et", "des", "un", "une")

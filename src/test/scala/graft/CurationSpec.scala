@@ -42,6 +42,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: subsets partition the kept docs, quality floor holds") {
+    val rows = q("q_pipeline_curation").collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
+    val total = sources.Tables.documents(spark, sf).count()
+    val kept = rows.map(_.getLong(1)).sum
+    assert(kept > 0 && kept < total,
+      s"pipeline must filter something: kept $kept of $total")
+    rows.foreach { r =>
+      // every survivor passed the 0.31 quality cut, so subset means hold it
+      assert(r.getDouble(3) >= 0.31 && r.getDouble(3) <= 1.0,
+        s"${r.getString(0)} avg_quality ${r.getDouble(3)}")
+    }
+  }
+
   test("stratified sample: every stratum lands near the smallest stratum's size") {
     val rows = q("q_sample_stratified").collect()
     assert(rows.nonEmpty)
