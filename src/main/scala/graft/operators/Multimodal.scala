@@ -21,6 +21,14 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every
+  // createImageInputStream/write spills a temp file, so a 32-thread
+  // decode stage turns into temp-file churn (measured 2.5× on the
+  // sf0.1 corpus). The staged images are small in-memory byte arrays —
+  // cache in memory. Object-init runs in every executor JVM that loads
+  // the kernel.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed decode result. Long widths/heights: the oracle compares
     * against DuckDB arithmetic, which returns BIGINT. */
   final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
