@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_similarity_topk",  // corpus x broadcast 5-query set
       "q_similarity_ivf",   // corpus x broadcast 16 centroids
       "q_dedup_embedding",  // brute reference form (scale path = _lsh)
-      "q_text_tfidf")       // 1-row broadcast (corpus-size scalar attach)
+      "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
+      "q_sample_stratified") // 1-row broadcast (min-stratum scalar attach)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
