@@ -160,13 +160,21 @@ object Curation {
             lit(0.3) * (col("n_distinct").cast(DoubleType) / col("n_tokens")) +
             lit(0.3) * least(lit(1.0),
               col("n_chars").cast(DoubleType) / 500.0), 6))
+        // surv feeds three branches (shingle pairs, CC nodes, keeper
+        // join); without a cut each branch re-scans documents and
+        // re-derives the quality score. Checkpoint the NARROW columns
+        // only — text stays lazy (one extra columnar scan for the
+        // shingle branch beats pinning the full corpus)
         val surv = scored.filter(col("quality_score") >= 0.31)
+        val survSlim = surv
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+          .localCheckpoint()
         val pairs = Dedup.ngramJaccardPairs(
           surv.select(col("doc_id"), col("text")),
           n = 3, maxDf = 64, minJaccard = 0.5)
-        val keepers = surv.join(
+        val keepers = survSlim.join(
           Dedup.connectedComponents(
-              surv.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+              survSlim.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
             .filter(col("doc_id") === col("label"))
             .select(col("doc_id")),
           "doc_id")
