@@ -139,6 +139,19 @@ class PlanAuditSpec extends SparkSpec {
       s"partition predicate must prune, not filter rows:\n$p")
   }
 
+  test("q_pack_sequences shuffles once: the aggregate reuses the window's partitioning") {
+    // partitioning by shard satisfies the (shard, pack_id) clustering,
+    // so the pack aggregation must NOT add a second hash exchange — at
+    // scale the packing pays exactly one shuffle of (id, n_tokens)
+    val p = plan("q_pack_sequences")
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the window's), got $hashExchanges:\n$p")
+    assert(!p.contains("text#") || p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id+text")
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
