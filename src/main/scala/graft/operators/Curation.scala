@@ -135,6 +135,57 @@ object Curation {
           |ORDER BY e.event_type""".stripMargin)
     ),
 
+    // North star — IQR outlier trim: the standard length-outlier filter
+    // (drop docs outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their source's
+    // token-count distribution). Bounds are one tiny per-source
+    // aggregate broadcast back over the corpus — the fact side streams
+    // through the filter. Exact percentile is declared because the
+    // oracle replays it (integer token counts + quarter-exact
+    // interpolation ⇒ bit-stable bounds cross-engine); the 100 TB form
+    // swaps in approx_percentile (declared as q_agg_approx_quantile)
+    // with identical plumbing.
+    QueryDef(
+      "q_filter_outliers",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("source"),
+          size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        val bounds = toks.groupBy(col("source")).agg(
+            expr("percentile(n_tokens, 0.25)").as("q1"),
+            expr("percentile(n_tokens, 0.75)").as("q3"),
+            count(lit(1)).as("n_total"))
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        toks.join(broadcast(bounds), "source")
+          .groupBy(col("source"), col("n_total"), col("lo"), col("hi"))
+          .agg(sum(
+            when(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"),
+              1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_total"),
+            round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+            col("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, len(string_split(lower(text), ' ')) AS n_tokens
+          |  FROM documents),
+          |b AS (
+          |  SELECT source,
+          |         quantile_cont(n_tokens, 0.25) AS q1,
+          |         quantile_cont(n_tokens, 0.75) AS q3,
+          |         count(*) AS n_total
+          |  FROM t GROUP BY source)
+          |SELECT t.source, b.n_total,
+          |       round(b.q1 - 1.5 * (b.q3 - b.q1), 6) AS lo,
+          |       round(b.q3 + 1.5 * (b.q3 - b.q1), 6) AS hi,
+          |       CAST(sum(CASE WHEN t.n_tokens >= b.q1 - 1.5 * (b.q3 - b.q1)
+          |                      AND t.n_tokens <= b.q3 + 1.5 * (b.q3 - b.q1)
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM t JOIN b ON t.source = b.source
+          |GROUP BY t.source, b.n_total, b.q1, b.q3
+          |ORDER BY t.source""".stripMargin)
+    ),
+
     // North star — the curation steps COMPOSED: quality-score filter →
     // near-dup group keepers (connected components over the df-capped
     // shingle pairs, among survivors only) → deterministic split →

@@ -57,6 +57,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("outlier trim: bounds bracket the median, kept is a strict majority") {
+    val rows = q("q_filter_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, lo, hi, kept) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(lo < hi, s"${r.getString(0)} bounds inverted")
+      assert(kept <= total)
+      // Tukey fences keep at least the inner two quartiles by construction
+      assert(kept >= total / 2,
+        s"${r.getString(0)} kept only $kept of $total")
+    }
+  }
+
   test("stratified sample: every stratum lands near the smallest stratum's size") {
     val rows = q("q_sample_stratified").collect()
     assert(rows.nonEmpty)
