@@ -135,6 +135,51 @@ object Curation {
           |ORDER BY e.event_type""".stripMargin)
     ),
 
+    // North star — overlapping token-window chunking: split every doc
+    // into stride-48 windows of ≤64 tokens (the embedding/RAG prep
+    // step; the 16-token overlap keeps context across cuts). Pure
+    // generate + explode — no shuffle except the oracle's ORDER BY, so
+    // it streams at any corpus size. Chunk payloads are md5'd so the
+    // oracle pins the exact token content of every window.
+    QueryDef(
+      "q_chunk_documents",
+      (s, dir) => {
+        val C = 64; val S = 48
+        val ts = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), ts.as("ts"))
+          .withColumn("n_chunks",
+            ceil(size(col("ts")).cast(DoubleType) / S).cast(LongType))
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .withColumn("chunk",
+            slice(col("ts"), (col("chunk_id") * S + 1).cast("int"), lit(C)))
+          .select(
+            col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast(LongType).as("n_chunk_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, ts,
+          |         unnest(range(0, CAST(ceil(len(ts) / 48.0) AS BIGINT)))
+          |           AS chunk_id
+          |  FROM t)
+          |SELECT doc_id, chunk_id,
+          |       len(list_slice(ts, chunk_id * 48 + 1,
+          |                      least(chunk_id * 48 + 64, len(ts))))
+          |         AS n_chunk_tokens,
+          |       md5(array_to_string(
+          |             list_slice(ts, chunk_id * 48 + 1,
+          |                        least(chunk_id * 48 + 64, len(ts))), ' '))
+          |         AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
     // North star — IQR outlier trim: the standard length-outlier filter
     // (drop docs outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their source's
     // token-count distribution). Bounds are one tiny per-source

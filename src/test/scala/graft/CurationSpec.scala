@@ -57,6 +57,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunking: stride-48 windows cover every token, ids dense, sizes bounded") {
+    val docs = sources.Tables.documents(spark, sf)
+    val nToks = docs
+      .select(col("doc_id"),
+        size(functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = q("q_chunk_documents").collect()
+    val expected = nToks.values.map(n => (n + 47) / 48).sum
+    assert(rows.length.toLong == expected, "one chunk per stride window")
+    rows.groupBy(_.getLong(0)).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (0L until sorted.length).toSeq, s"doc $doc chunk ids not dense")
+      sorted.foreach { c =>
+        val sz = c.getLong(2)
+        assert(sz >= 1 && sz <= 64, s"doc $doc chunk ${c.getLong(1)} size $sz")
+      }
+      // every chunk except trailing partials is exactly 64 tokens; the
+      // window starting before n-64 must be full
+      sorted.foreach { c =>
+        if (c.getLong(1) * 48 + 64 <= nToks(doc))
+          assert(c.getLong(2) == 64)
+      }
+    }
+  }
+
   test("outlier trim: bounds bracket the median, kept is a strict majority") {
     val rows = q("q_filter_outliers").collect()
     assert(rows.nonEmpty)
