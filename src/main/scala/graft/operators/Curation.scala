@@ -22,6 +22,38 @@ object Curation {
   private val TrainLt = "e666"
   private val ValLt = "f333"
 
+  /** Pack assignment shared by q_pack_sequences / q_pack_materialize:
+    * docs in stable doc_id order, running token sum per shard, pack =
+    * floor(cum_before / 2048). Carries text; Catalyst prunes it for
+    * consumers that only aggregate counts. */
+  private def packAssign(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val nTok = size(TextFns.tokens(col("text"))).cast(LongType)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(8L)).as("shard"), nTok.as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        floor(col("cum_before") / lit(2048.0)).cast(LongType))
+  }
+
+  /** The shared pack derivation as a DuckDB CTE chain ending in
+    * `c(shard, doc_id, text, n_tokens, cum_before)` — both pack oracles
+    * build on it so they cannot drift. */
+  private val PackCte: String =
+    """t AS (
+      |  SELECT doc_id, text, doc_id % 8 AS shard,
+      |         len(string_split(lower(text), ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, text, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n_tokens AS cum_before
+      |  FROM t)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // North star — deterministic train/val/test split: membership is a
@@ -61,40 +93,51 @@ object Curation {
     // CurationSpec) is pack_tokens < budget + longest-doc.
     QueryDef(
       "q_pack_sequences",
-      (s, dir) => {
-        val nTok = size(TextFns.tokens(col("text"))).cast(LongType)
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
-            nTok.as("n_tokens"))
-          .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
-          .withColumn("pack_id",
-            floor(col("cum_before") / lit(2048.0)).cast(LongType))
+      (s, dir) =>
+        packAssign(s, dir)
           .groupBy(col("shard"), col("pack_id"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("pack_tokens"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"))
-          .orderBy(col("shard"), col("pack_id"))
-      },
+          .orderBy(col("shard"), col("pack_id")),
       Some(
-        """WITH t AS (
-          |  SELECT doc_id, doc_id % 8 AS shard,
-          |         len(string_split(lower(text), ' ')) AS n_tokens
-          |  FROM documents),
-          |c AS (
-          |  SELECT shard, doc_id, n_tokens,
-          |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |           - n_tokens AS cum_before
-          |  FROM t)
-          |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
-          |       count(*) AS n_docs,
-          |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-          |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
+        s"""WITH $PackCte
+           |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
+    ),
+
+    // North star — the packs MATERIALIZED: each pack's payload is its
+    // documents joined with newlines in stable doc_id order. The
+    // order-determinism trick matters: collect_list order is partition-
+    // arrival order (non-deterministic under retries/AQE), so payloads
+    // go through array_sort(collect_list(struct(doc_id, text))) —
+    // deterministic on any cluster. The oracle pins every payload's
+    // md5 via string_agg(... ORDER BY doc_id).
+    QueryDef(
+      "q_pack_materialize",
+      (s, dir) =>
+        packAssign(s, dir)
+          .groupBy(col("shard"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"),
+            md5(concat_ws("\n",
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")))).as("payload_md5"))
+          .orderBy(col("shard"), col("pack_id")),
+      Some(
+        s"""WITH $PackCte
+           |SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           |       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
+           |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
     ),
 
     // North star — class-balanced downsample: every event_type stratum

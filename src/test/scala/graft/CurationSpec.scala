@@ -57,6 +57,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack materialization agrees with the assignment summary, payloads replay-stable") {
+    val summary = q("q_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val mat = q("q_pack_materialize").collect()
+    assert(mat.map(r => (r.getLong(0), r.getLong(1))).toSet == summary.keySet)
+    mat.foreach { r =>
+      assert(summary((r.getLong(0), r.getLong(1))) == ((r.getLong(2), r.getLong(3))))
+    }
+    val again = q("q_pack_materialize").collect().map(_.getString(4)).toSeq
+    assert(mat.map(_.getString(4)).toSeq == again,
+      "payload md5s must be deterministic across runs")
+  }
+
   test("chunking: stride-48 windows cover every token, ids dense, sizes bounded") {
     val docs = sources.Tables.documents(spark, sf)
     val nToks = docs
