@@ -71,6 +71,12 @@ object Staging {
                _: java.nio.file.AccessDeniedException =>
             // another JVM staged the same key first — keep theirs
             deleteTree(tmp)
+          case _: java.nio.file.NoSuchFileException =>
+            // our tmp dir was reaped mid-build (a >1h build tripped the
+            // orphan cutoff above). If a racing winner published `base`
+            // meanwhile, use theirs; otherwise rebuild into a fresh dir —
+            // the recursive call re-checks `base` before building
+            if (!Files.exists(base)) return cached(key, rev)(build)
         }
       } catch {
         case e: Throwable => deleteTree(tmp); throw e

@@ -191,8 +191,14 @@ object Curation {
         val ts = TextFns.tokens(col("text"))
         Tables.documents(s, dir)
           .select(col("doc_id"), ts.as("ts"))
+          // greatest(..,1): an empty token array must yield one (empty)
+          // chunk, not sequence(0,-1) = [0,-1] — Spark's sequence auto-
+          // steps DOWN when end < start while the oracle's range(0,0)
+          // is empty. TextFns.tokens never returns [] today (split keeps
+          // one "" element), but that invariant shouldn't live here.
           .withColumn("n_chunks",
-            ceil(size(col("ts")).cast(DoubleType) / S).cast(LongType))
+            greatest(ceil(size(col("ts")).cast(DoubleType) / S).cast(LongType),
+              lit(1L)))
           .select(col("doc_id"), col("ts"),
             explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
           .withColumn("chunk",
@@ -209,7 +215,8 @@ object Curation {
           |  FROM documents),
           |c AS (
           |  SELECT doc_id, ts,
-          |         unnest(range(0, CAST(ceil(len(ts) / 48.0) AS BIGINT)))
+          |         unnest(range(0, greatest(
+          |             CAST(ceil(len(ts) / 48.0) AS BIGINT), 1)))
           |           AS chunk_id
           |  FROM t)
           |SELECT doc_id, chunk_id,

@@ -158,10 +158,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Round count of the last [[connectedComponents]] call — a test
-    * instrument (DedupSpec pins the O(log n) bound on a chain graph),
-    * not part of the operator's contract. */
-  @volatile private[graft] var lastCcRounds: Int = 0
 
   /** Free the storage blocks behind a `localCheckpoint`ed DataFrame.
     * `Dataset.unpersist` only clears cache-manager entries; a local
@@ -192,7 +188,17 @@ object Dedup {
     * Deterministic: labels are ids, min is order-free. */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
+                          dstCol: String): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — the round count is a per-call return value (not shared
+    * state), so concurrent CC callers (parallel specs, or
+    * q_pipeline_curation next to q_dedup_groups) can't clobber each
+    * other's instrument. LlmOpsSpec pins the O(log n) bound with it. */
+  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String,
+                          dstCol: String): (DataFrame, Int) = {
     // checkpoint the edge list BEFORE symmetrizing: the union's two
     // branches would otherwise each lazily re-run the (possibly
     // expensive) pair-derivation plan feeding this
@@ -245,8 +251,7 @@ object Dedup {
       prevSum = Some(s)
     }
     freeCheckpoint(e0)
-    lastCcRounds = rounds
-    labels.select(col("id").as(idCol), col("label"))
+    (labels.select(col("id").as(idCol), col("label")), rounds)
   }
 
   /** The q_dedup_ngram pair derivation as a reusable DuckDB CTE chain

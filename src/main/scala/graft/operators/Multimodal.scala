@@ -25,9 +25,10 @@ object Multimodal {
   // createImageInputStream/write spills a temp file, so a 32-thread
   // decode stage turns into temp-file churn (measured 2.5× on the
   // sf0.1 corpus). The staged images are small in-memory byte arrays —
-  // cache in memory. Object-init runs in every executor JVM that loads
-  // the kernel.
-  javax.imageio.ImageIO.setUseCache(false)
+  // wrap them in Memory*CacheImage*Streams at each call site rather
+  // than flipping the process-global ImageIO.setUseCache flag (which
+  // would silently change behavior for every other ImageIO user in the
+  // JVM).
 
   /** Typed decode result. Long widths/heights: the oracle compares
     * against DuckDB arithmetic, which returns BIGINT. */
@@ -52,7 +53,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 
@@ -61,7 +63,7 @@ object Multimodal {
     * [0,1]). PNG is lossless, so for the staged constant-gray images
     * the mean is exactly gray/255. */
   def decodeImage(bytes: Array[Byte]): (String, Int, Int, Double) = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -86,10 +86,10 @@ class LlmOpsSpec extends SparkSpec {
     val n = 64
     val nodes = (0L until n.toLong).toDF("id")
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    val got = operators.Dedup.connectedComponents(nodes, "id", edges, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (labels, rounds) = operators.Dedup.connectedComponentsWithRounds(
+      nodes, "id", edges, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == n && got.forall(_._2 == 0L))
-    val rounds = operators.Dedup.lastCcRounds
     assert(rounds <= 10,
       s"chain of $n took $rounds rounds — pointer doubling not effective")
   }

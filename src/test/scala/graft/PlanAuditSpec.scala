@@ -135,8 +135,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(pf.contains("(mo") && pf.contains("(d"),
       s"expected mo/d in PartitionFilters of the scan:\n$p")
     // and the data filter must NOT reappear as a post-scan Filter on rows
-    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("mo#")),
-      s"partition predicate must prune, not filter rows:\n$p")
+    // (codegen prints the node as "*(n) Filter", so match both spellings
+    // after stripping the tree-branch prefix)
+    val filterNode = raw"^(\*\(\d+\) )?Filter\b".r
+    assert(!p.linesIterator.exists { l =>
+      val t = l.trim.stripPrefix("+-").stripPrefix(":-").trim
+      filterNode.findFirstIn(t).isDefined && l.contains("mo#")
+    }, s"partition predicate must prune, not filter rows:\n$p")
   }
 
   test("q_pack_sequences shuffles once: the aggregate reuses the window's partitioning") {
