@@ -36,11 +36,12 @@ object Streams {
     * reprocesses from scratch (fresh sink + temp checkpoint per call);
     * only the producer side of the harness is cached. */
   def stageAndStream(s: SparkSession, df: DataFrame, name: String,
-                     schema: StructType, dir: String): DataFrame = {
+                     schema: StructType, dir: String,
+                     options: Map[String, String] = Map.empty): DataFrame = {
     val path = graft.Staging.cached(
       s"${name}_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
       rev = 1) { tgt => df.write.mode("overwrite").json(tgt) }
-    s.readStream.schema(schema).json(path)
+    s.readStream.schema(schema).options(options).json(path)
   }
 
   /** Run `body` (which must START its streaming query inside) with
@@ -416,7 +417,8 @@ object Streams {
     // micro-batches in keyed state, so the result equals the batch form —
     // which is exactly what the DuckDB gaps-and-islands oracle replays
     // (new session when gap >= 30 min). At 100 TB/day the production
-    // copy declares a watermark + append mode so closed sessions evict;
+    // copy is q_stream_session_evict below — watermark + append mode, so
+    // closed sessions emit once and their state is dropped;
     // StreamsSpec pins the session-window state operator in the plan.
     QueryDef(
       "q_stream_session",
@@ -454,6 +456,68 @@ object Streams {
           |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
           |       count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM sessions GROUP BY user_id, sid
+          |ORDER BY user_id, session_start_us""".stripMargin)
+    ),
+
+    // B38/B39 — the SCALE form of session windows: watermark + append
+    // output, the mode where a closed session emits exactly once and its
+    // state is evicted (complete mode above retains every session
+    // forever — fine for a bounded replay, an OOM on an unbounded
+    // 100 TB/day stream). Determinism: with Trigger.AvailableNow the
+    // engine keeps running batches until no stateful operator needs
+    // another pass, so the final watermark is global max(ts) − delay
+    // REGARDLESS of how files split into micro-batches — the emitted set
+    // is exactly the sessions whose window end (last event + 30 min)
+    // falls below that, which is what the oracle replays. Sessions still
+    // open at end-of-input stay in state and are NOT emitted (they'd
+    // emit when later data closes them) — the oracle excludes them the
+    // same way. StreamsSpec asserts the mechanics (emit-once, state rows
+    // removed) on a controlled multi-batch input.
+    QueryDef(
+      "q_stream_session_evict",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        // same staged files as q_stream_session (same name ⇒ same key);
+        // one file per micro-batch so the watermark genuinely advances
+        // across batches instead of in one jump
+        val stream = stageAndStream(s, src, "q_stream_session",
+          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, ts_us LONG"),
+          dir, Map("maxFilesPerTrigger" -> "1"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "10 minutes")
+        val agg = stream
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainAppend(s, agg, "q_stream_session_evict_sink"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some(
+        """WITH marked AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marked),
+          |agg AS (
+          |  SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+          |         epoch_us(max(ts)) + 1800000000 AS session_end_us,
+          |         count(*) AS n, round(sum(value), 2) AS sum_value
+          |  FROM sessions GROUP BY user_id, sid),
+          |wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM events)
+          |SELECT user_id, session_start_us, n, sum_value
+          |FROM agg CROSS JOIN wm WHERE session_end_us < w
           |ORDER BY user_id, session_start_us""".stripMargin)
     )
   )

@@ -172,6 +172,76 @@ class StreamsSpec extends SparkSpec {
       s"sessions did not merge across batches: $out")
   }
 
+  test("B38/B39: watermarked append session windows emit closed sessions once and evict state") {
+    val dir = freshDir("session_evict")
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_str")
+        .select(col("event_id"), col("user_id"), lit("x").as("event_type"),
+          lit(1.0).as("value"), unix_micros(to_timestamp(col("ts_str"))).as("ts_us"))
+        .coalesce(1).write.mode("append").json(dir)
+
+    // batch 1: two sessions open — user 7 (10:00+10:10, window end 10:40)
+    // and user 8 (10:05, window end 10:35); watermark after = 10:05
+    write(Seq((1L, 7L, "2024-01-02 10:00:00"), (2L, 7L, "2024-01-02 10:10:00"),
+      (3L, 8L, "2024-01-02 10:05:00")))
+    val agg = spark.readStream.schema(schema).json(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"), col("n"))
+    val q = streaming.Streams.withStatePartitions(spark, 2) {
+      agg.writeStream.format("memory").queryName("evict_sink")
+        .outputMode("append").start()
+    }
+    def sinkRows(): Seq[(Long, Long, Long)] = spark.table("evict_sink")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def awaitSink(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      // the eviction batch is the watermark-only batch AFTER the data
+      // batch that advanced the watermark — poll, don't assume timing
+      while (sinkRows().length < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    }
+    try {
+      q.processAllAvailable()
+      // nothing closed: watermark 10:05 is behind both session ends
+      assert(sinkRows().isEmpty,
+        s"append mode emitted open sessions: ${sinkRows()}")
+      // batch 2 advances the watermark to 12:55 — both 10:xx sessions
+      // close and must emit exactly once; the 13:00 session stays open
+      write(Seq((4L, 7L, "2024-01-02 13:00:00")))
+      q.processAllAvailable()
+      awaitSink(2)
+      val us = (s: String) =>
+        java.time.Instant.parse(s).toEpochMilli * 1000L
+      assert(sinkRows().sorted == Seq(
+        (7L, us("2024-01-02T10:00:00Z"), 2L),
+        (8L, us("2024-01-02T10:05:00Z"), 1L)),
+        s"closed sessions must emit exactly once: ${sinkRows()}")
+      // batch 3 closes the 13:00 session; earlier sessions must NOT
+      // re-emit (their state is gone, not just filtered)
+      write(Seq((5L, 7L, "2024-01-02 16:00:00")))
+      q.processAllAvailable()
+      awaitSink(3)
+      assert(sinkRows().sorted == Seq(
+        (7L, us("2024-01-02T10:00:00Z"), 2L),
+        (7L, us("2024-01-02T13:00:00Z"), 1L),
+        (8L, us("2024-01-02T10:05:00Z"), 1L)),
+        s"exactly the three closed sessions, each once: ${sinkRows()}")
+      // state metrics: the three closed sessions were REMOVED from the
+      // state store; only the open 16:00 session remains
+      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+      val finalTotal = progress.last.stateOperators.map(_.numRowsTotal).sum
+      assert(removed == 3, s"expected 3 evicted state rows, got $removed")
+      assert(finalTotal == 1,
+        s"expected 1 session left in state, got $finalTotal")
+    } finally q.stop()
+  }
+
   test("A18: rate source drives the producer analog (cron -> records)") {
     // the reference's EventBridge rate(1 minute) producer (app.py:131-134)
     // maps to the rate source + the partition-path derivation of A9
