@@ -35,10 +35,14 @@ object Recall {
     * minhash + simhash vs the exact n-gram Jaccard pairs, ANN + IVF +
     * embedding-LSH vs the brute-force cosine pairs. */
   def compute(s: SparkSession, dir: String): Seq[Entry] = {
-    val ngram = pairSet(s, dir, "q_dedup_ngram", "doc_a", "doc_b")
-    val nearNgram = Registry.byName("q_dedup_ngram").fn(s, dir)
-      .filter(col("jaccard") >= 0.9).select(col("doc_a"), col("doc_b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one run of the exact-pair query serves both reference sets (all
+    // pairs, and the strong >= 0.9 subset for simhash) — collecting
+    // twice would re-execute the whole pair derivation
+    val ngramRows = Registry.byName("q_dedup_ngram").fn(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ngram = ngramRows.map(t => (t._1, t._2)).toSet
+    val nearNgram = ngramRows.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
     val cosine = pairSet(s, dir, "q_dedup_embedding", "vec_a", "vec_b")
     Seq(
       Entry("minhash", recallOf(ngram,

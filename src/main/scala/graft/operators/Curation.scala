@@ -315,9 +315,14 @@ object Curation {
         val survSlim = surv
           .select(col("doc_id"), col("n_tokens"), col("quality_score"))
           .localCheckpoint()
-        val pairs = Dedup.ngramJaccardPairs(
-          surv.select(col("doc_id"), col("text")),
-          n = 3, maxDf = 64, minJaccard = 0.5)
+        // shared staged shingle index restricted to survivors: the df
+        // cap is computed over the restricted set, identical to deriving
+        // shingles from the survivor docs directly (a doc's shingles
+        // don't depend on other docs) — but the explode+hash runs once
+        // per corpus, not once per consumer
+        val pairs = Dedup.ngramJaccardPairsFrom(
+          Dedup.shingleIndex(s, dir).join(surv.select(col("doc_id")), "doc_id"),
+          maxDf = 64, minJaccard = 0.5)
         val keepers = survSlim.join(
           Dedup.connectedComponents(
               survSlim.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
