@@ -21,20 +21,23 @@ class LlmOpsSpec extends SparkSpec {
   test("simhash: near-dup docs (jaccard>=0.9) appear with small hamming") {
     val r = recalls("simhash")
     assume(r.exactPairs > 0)
-    // measured 0.78 at sf0.001; deterministic data, so 0.7 is a real floor
-    assert(r.recall >= 0.7,
+    // measured 0.78 at sf0.001 / 0.755 at sf0.1; deterministic data, so
+    // the floor sits just under measured — a silent recall regression
+    // must fail, not coast on slack
+    assert(r.recall >= 0.72,
       s"simhash recall ${r.recall} over ${r.exactPairs} near-dup pairs")
   }
 
-  test("ann: recall >= 0.7 against brute force on strong pairs") {
+  test("ann: recall >= 0.8 against brute force on strong pairs") {
     val r = recalls("ann")
     assume(r.exactPairs > 0)
-    // measured 6/7 at sf0.001; deterministic, one-pair regression margin
-    assert(r.recall >= 0.7,
+    // measured 6/7 at sf0.001 / 0.854 at sf0.1; deterministic — floor
+    // just under measured so a one-pair regression still fails
+    assert(r.recall >= 0.8,
       s"ANN recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
-  test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.7") {
+  test("lsh embedding dedup: subset of brute pairs, matching cosines, recall >= 0.8") {
     val brute = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assume(brute.nonEmpty)
@@ -45,8 +48,9 @@ class LlmOpsSpec extends SparkSpec {
       assert(brute(pair) == cos, s"cosine mismatch on $pair")
     }
     val r = recalls("embedding_lsh")
-    // measured 6/7 at sf0.001; deterministic, one-pair regression margin
-    assert(r.recall >= 0.7,
+    // measured 6/7 at sf0.001 / 0.854 at sf0.1; deterministic — floor
+    // just under measured
+    assert(r.recall >= 0.8,
       s"LSH dedup recall ${r.recall} on ${r.exactPairs} pairs")
   }
 
@@ -57,10 +61,10 @@ class LlmOpsSpec extends SparkSpec {
     assert(assigned.select(col("cell_id")).distinct().count() <= 16)
     val r = recalls("ivf")
     assume(r.exactPairs > 0)
-    // trained (2 Lloyd rounds) + 3-probe IVF: measured 12/14 at sf0.01
-    // (untrained single-probe recovered only 4/14); deterministic, so
-    // 0.7 is a real floor, not a flaky bound
-    assert(r.recall >= 0.7,
+    // trained (2 Lloyd rounds) 32-cell/6-probe IVF: measured 6/7 at
+    // sf0.001 / 0.875 at sf0.1 (untrained single-probe recovered only
+    // 4/14 at sf0.01); deterministic — floor just under measured
+    assert(r.recall >= 0.8,
       s"IVF recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
