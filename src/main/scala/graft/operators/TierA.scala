@@ -342,6 +342,52 @@ object TierA {
       Some(
         """SELECT year(ts) AS y, month(ts) AS mo, day(ts) AS d, count(*) AS n
           |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
+    // The reference's stated production sink is "writing to S3,
+    // Redshift, etc" (layer/python/dask_processing.py:26-27). The file
+    // leg is A7/B3 above; this is the WAREHOUSE leg: an aggregate
+    // written to a relational store over JDBC and read back — embedded
+    // Derby stands in for Redshift (same df.write.jdbc surface, zero
+    // extra dependencies). At warehouse scale the same code fans out:
+    // the write opens one connection per partition (batched inserts),
+    // the read parallelizes via partitionColumn bounds; here the result
+    // is 5 rows, so one partition each way is the right plan. Revenue
+    // goes through the exact decimal(18,4) sum (2dp inputs sum exactly;
+    // a double fold would differ from DuckDB's in the last ulp) and
+    // ships as DOUBLE so the JDBC schema round-trips bit-stable.
+    QueryDef(
+      "q_jdbc_roundtrip",
+      (s, dir) => {
+        // Derby writes derby.log into derby.system.home (default: cwd)
+        // when it boots — point it at the per-JVM scratch root before
+        // the first connection so no engine artifacts land in the
+        // checkout; the property is only read at engine boot, so setting
+        // it repeatedly is harmless
+        System.setProperty("derby.system.home", graft.Staging.root)
+        val db = graft.Staging.dir(
+          s"jdbc_db_${jdbcSeq.incrementAndGet()}")
+        val url = s"jdbc:derby:$db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double").as("revenue"))
+          .coalesce(1)
+          .write.mode("overwrite").jdbc(url, "priority_agg", props)
+        s.read.jdbc(url, "priority_agg", props)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |         AS revenue
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     )
   )
+
+  private val jdbcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 }
