@@ -8,7 +8,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
 
+    // dev loop: SPARK_GRAFT_ONLY=prefix1,prefix2 benches just the
+    // matching queries (full-suite runs are ~2 min at sf0.1 — too slow
+    // for A/B-ing one operator). The driver never sets it, so the
+    // per-round artifact is always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     def run(name: String,
             fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
@@ -62,7 +69,7 @@ object Bench {
     // approximate-operator recall vs exact references (Recall.scala) —
     // tracked per round so recall/cost trades stay visible next to the
     // timings they paid for; never fails the bench
-    val recall = try {
+    val recall = if (only.nonEmpty) "" else try {
       val entries = Recall.compute(spark, sfDir).map { e =>
         "\"" + e.name + "\":{\"recall\":" + e.recall +
           ",\"exact_pairs\":" + e.exactPairs + "}"

@@ -20,6 +20,31 @@ object Staging {
 
   def dir(name: String): String = s"$root/$name"
 
+  /** RAM-backed scratch root (tmpfs) when the host offers one, else the
+    * regular temp root. For throwaway artifacts whose durability buys
+    * nothing — e.g. the checkpoint of a memory-sink drain (the sink
+    * itself is non-durable, so an fsync'd on-disk checkpoint protects
+    * state that can't outlive the query anyway); each micro-batch pays
+    * offset-log + commit-log + per-partition state-store fsyncs, which
+    * on tmpfs are memcpys. Cleaned by the same shutdown hook layout as
+    * [[root]]. Durable artifacts (real sinks and their checkpoints)
+    * must keep using [[dir]]. */
+  lazy val fastRoot: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) {
+      val p = java.nio.file.Files.createTempDirectory(shm, "graft_fast_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }))
+      p.toString
+    } else root
+  }
+
+  def fastDir(name: String): String = s"$fastRoot/$name"
+
   /** Persistent content-keyed staging: `build` runs only if the keyed
     * dir hasn't been staged yet, then every later run — including the
     * bench's second pass and future JVMs — reuses it. For inputs that

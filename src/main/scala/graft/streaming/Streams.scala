@@ -44,6 +44,23 @@ object Streams {
     s.readStream.schema(schema).options(options).json(path)
   }
 
+  /** [[stageAndStream]] with a parquet landing zone — for stream
+    * queries whose operator under test is state/windows/watermarks, not
+    * the landing format (those keep JSON: q_stream_ingest = the
+    * reference's JSON drop, q_stream_cron = the partitioned JSON sink).
+    * A columnar landing zone is also what a 100 TB stream actually
+    * reads — every micro-batch re-parses its input, and text parse is
+    * the first thing a production pipeline moves off the hot path. */
+  def stageAndStreamParquet(s: SparkSession, df: DataFrame, name: String,
+                            schema: StructType, dir: String,
+                            options: Map[String, String] = Map.empty,
+                            rev: Int = 1): DataFrame = {
+    val path = graft.Staging.cached(
+      s"${name}_pq_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = rev) { tgt => df.write.mode("overwrite").parquet(tgt) }
+    s.readStream.schema(schema).options(options).parquet(path)
+  }
+
   /** Run `body` (which must START its streaming query inside) with
     * streaming state partitions sized to STATE VOLUME instead of the
     * session's scan-width default: every micro-batch inits/commits one
@@ -70,6 +87,11 @@ object Streams {
     val unique = s"${sinkName}_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream
       .format("memory").queryName(unique)
+      // a memory sink is non-durable, so a disk-fsync'd checkpoint
+      // protects nothing that outlives the query — keep the offset/
+      // commit/state logs on tmpfs (per-micro-batch fsyncs become
+      // memcpys). Durable sinks (q_stream_cron) keep real checkpoints.
+      .option("checkpointLocation", graft.Staging.fastDir(unique))
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -94,6 +116,45 @@ object Streams {
 
   /** Typed row for the custom-state query. */
   final case class UserEvent(event_id: Long, user_id: Long, ts_us: Long)
+
+  private val sessionFeedSchema =
+    StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, ts_us LONG")
+
+  /** Shared staged input of the two session-window queries: three
+    * TIME-RANGED slices (repartitionByRange on event time), the shape a
+    * log-structured landing zone delivers — so `maxFilesPerTrigger=1`
+    * in the evict query yields micro-batches whose watermark really
+    * ratchets forward per batch (a single staged file would collapse it
+    * to one jump, leaving the multi-batch eviction path untested).
+    * Three slices, not more: each extra micro-batch pays a full state
+    * restore/save round over ~95k sessions, and two advances already
+    * prove the ratchet.
+    *
+    * ARRIVAL ORDER IS LOAD-BEARING for the watermarked consumer: the
+    * file source processes oldest-modification-time first, and parquet
+    * task commit order is arbitrary — if the latest slice happened to
+    * commit first, the watermark would jump to the end and the earlier
+    * slices would arrive late and be DROPPED (observed: 3299 of 9540
+    * sessions lost on an unlucky commit order). A log-structured
+    * landing zone delivers time-ordered files by construction; the
+    * staging reproduces that contract explicitly by stamping strictly
+    * increasing mtimes in range order. Range slice k = part-fileNNNN k
+    * (range partition i is written by task i). */
+  private def sessionFeedPath(s: SparkSession, dir: String): String =
+    graft.Staging.cached(
+      s"q_stream_session_pq_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 3) { tgt =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .repartitionByRange(3, col("ts_us"))
+        .write.mode("overwrite").parquet(tgt)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      new java.io.File(tgt).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+    }
 
   private val eventsJsonSchema =
     StructType.fromDDL("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
@@ -132,7 +193,7 @@ object Streams {
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_window", eventsJsonSchema, dir)
+        val stream = stageAndStreamParquet(s, src, "q_stream_window", eventsJsonSchema, dir)
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -160,7 +221,7 @@ object Streams {
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_sliding", eventsJsonSchema, dir)
+        val stream = stageAndStreamParquet(s, src, "q_stream_sliding", eventsJsonSchema, dir)
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
@@ -197,7 +258,7 @@ object Streams {
           .select(col("event_id"), col("event_type"), col("value"),
             unix_micros(col("ts")).as("ts_us"))
         val doubled = src.unionAll(src)
-        val stream = stageAndStream(s, doubled, "q_stream_dedup", eventsJsonSchema, dir)
+        val stream = stageAndStreamParquet(s, doubled, "q_stream_dedup", eventsJsonSchema, dir)
         val agg = stream
           .dropDuplicates("event_id")
           .groupBy(col("event_type"))
@@ -383,7 +444,7 @@ object Streams {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
         val src = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_state",
+        val stream = stageAndStreamParquet(s, src, "q_stream_state",
           StructType.fromDDL("event_id LONG, user_id LONG, ts_us LONG"), dir)
         val updates = stream.as[UserEvent]
           .groupByKey(_.user_id)
@@ -423,12 +484,8 @@ object Streams {
     QueryDef(
       "q_stream_session",
       (s, dir) => {
-        val src = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("value"),
-            unix_micros(col("ts")).as("ts_us"))
-        val stream = stageAndStream(s, src, "q_stream_session",
-          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, ts_us LONG"),
-          dir)
+        val stream = s.readStream.schema(sessionFeedSchema)
+          .parquet(sessionFeedPath(s, dir))
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -463,28 +520,27 @@ object Streams {
     // output, the mode where a closed session emits exactly once and its
     // state is evicted (complete mode above retains every session
     // forever — fine for a bounded replay, an OOM on an unbounded
-    // 100 TB/day stream). Determinism: with Trigger.AvailableNow the
-    // engine keeps running batches until no stateful operator needs
-    // another pass, so the final watermark is global max(ts) − delay
-    // REGARDLESS of how files split into micro-batches — the emitted set
-    // is exactly the sessions whose window end (last event + 30 min)
-    // falls below that, which is what the oracle replays. Sessions still
-    // open at end-of-input stay in state and are NOT emitted (they'd
-    // emit when later data closes them) — the oracle excludes them the
-    // same way. StreamsSpec asserts the mechanics (emit-once, state rows
-    // removed) on a controlled multi-batch input.
+    // 100 TB/day stream). Determinism: the staged feed arrives
+    // time-ordered (see [[sessionFeedPath]] — the landing-zone contract
+    // a watermarked consumer depends on), so no event is ever late, and
+    // with Trigger.AvailableNow the engine keeps running batches until
+    // no stateful operator needs another pass — the final watermark is
+    // global max(ts) − delay regardless of slice boundaries. The
+    // emitted set is exactly the sessions whose window end (last event
+    // + 30 min) falls below that, which is what the oracle replays.
+    // Sessions still open at end-of-input stay in state and are NOT
+    // emitted (they'd emit when later data closes them) — the oracle
+    // excludes them the same way. StreamsSpec asserts the mechanics
+    // (emit-once, state rows removed) on a controlled multi-batch input.
     QueryDef(
       "q_stream_session_evict",
       (s, dir) => {
-        val src = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("value"),
-            unix_micros(col("ts")).as("ts_us"))
         // same staged files as q_stream_session (same name ⇒ same key);
-        // one file per micro-batch so the watermark genuinely advances
-        // across batches instead of in one jump
-        val stream = stageAndStream(s, src, "q_stream_session",
-          StructType.fromDDL("event_id LONG, user_id LONG, value DOUBLE, ts_us LONG"),
-          dir, Map("maxFilesPerTrigger" -> "1"))
+        // one time-sliced file per micro-batch so the watermark
+        // genuinely advances across batches instead of in one jump
+        val stream = s.readStream.schema(sessionFeedSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(sessionFeedPath(s, dir))
           .withColumn("ts", timestamp_micros(col("ts_us")))
           .withWatermark("ts", "10 minutes")
         val agg = stream
