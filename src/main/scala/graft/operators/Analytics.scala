@@ -54,25 +54,45 @@ object Analytics {
         val c = Tables.customer(s, dir)
         val n = Tables.nation(s, dir)
         val r = Tables.region(s, dir)
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        // two-level aggregate instead of sum + countDistinct in one agg:
+        // mixed distinct/non-distinct aggregation plans through
+        // ExpandExec, which doubles every join-output row through the
+        // shuffle. Pre-aggregating on (r, n, o_orderkey) shuffles one
+        // row per order (map-side partial against the join), and the
+        // final count of per-order groups IS the distinct order count.
+        // Revenue flows as exact decimal(18,4) so the changed fold
+        // order can't move a .005 rounding tie (sum of 4dp decimals is
+        // fold-order-free; a double sum is not).
+        // ...and the rollup happens BEFORE any dimension join: the
+        // per-order aggregate shuffles 600k narrow (orderkey, decimal)
+        // rows with map-side partials; the dimension chain then joins
+        // one row per order instead of one per line item
+        li.groupBy(col("l_orderkey"))
+          .agg(sum(revenue.cast("decimal(18,4)")).as("rev_o"))
+          .join(o, col("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(round(sum(revenue), 2).as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+          .agg(round(sum(col("rev_o")), 2).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some(
-        """SELECT r_name, n_name,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-          |       count(DISTINCT o_orderkey) AS n_orders
-          |FROM lineitem
-          |JOIN orders ON l_orderkey = o_orderkey
-          |JOIN customer ON o_custkey = c_custkey
-          |JOIN nation ON c_nationkey = n_nationkey
-          |JOIN region ON n_regionkey = r_regionkey
-          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+        """WITH per_order AS (
+          |  SELECT r_name, n_name, o_orderkey,
+          |         sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |                  AS DECIMAL(18,4))) AS rev_o
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  GROUP BY 1, 2, 3)
+          |SELECT r_name, n_name,
+          |       CAST(round(sum(rev_o), 2) AS DOUBLE) AS revenue,
+          |       count(*) AS n_orders
+          |FROM per_order GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
     // Time-bucketed revenue rollup (monthly business report shape).
