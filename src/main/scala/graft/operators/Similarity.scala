@@ -40,6 +40,31 @@ object Similarity {
       when(VectorFns.dot(vec, lit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Planes per table sized to the corpus: buckets ≈ n / targetBucket,
+    * so per-bucket pair work stays ~targetBucket² and total candidate
+    * volume grows LINEARLY with n. A fixed plane count is the classic
+    * LSH scale trap — bucket population grows with n and the in-bucket
+    * self-join squares it (measured on the 10× scale probe: 2.4 s →
+    * 432 s with 2 fixed planes; see SCALEPROBE.md). More planes at
+    * larger n lowers per-table collision probability for a fixed
+    * cosine; production compensates with more OR-tables — nTables
+    * stays the recall knob, planes the cost knob. */
+  def planesFor(n: Long, targetBucket: Long = 500L): Int = {
+    val m = math.max(1L, (n + targetBucket - 1) / targetBucket)
+    if (m <= 1) 2
+    else math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+  }
+
+  /** IVF cell count anchored at the tuned 32-cells-at-2k-vectors shape
+    * and grown with √n (the classic IVF balance: assignment costs
+    * n·nCells, search costs n·nProbe·n/nCells — √n-scaling keeps both
+    * at n^1.5 instead of letting search go quadratic at fixed cells;
+    * measured 8× time at 10× data before scaling). ≤2k corpora keep
+    * exactly the tuned 32, so spec recalls and the sf0.1 bench stamp
+    * are unchanged. */
+  def ivfCellsFor(n: Long): Int =
+    math.max(32, math.round(32.0 * math.sqrt(n / 2000.0)).toInt)
+
   /** Corpus exploded to one row per (table, bucket) — the ANN index. */
   def annIndex(vectors: DataFrame, idCol: String, vecCol: String,
                nTables: Int = 4, planesPerTable: Int = 2): DataFrame = {
@@ -146,8 +171,13 @@ object Similarity {
     * self-join and the (qid, nid) dedup shuffle never carry vectors.
     * Shared by the ANN search and the LSH embedding-dedup paths. */
   def annCandidates(vectors: DataFrame, idCol: String, vecCol: String,
-                    nTables: Int = 4, planesPerTable: Int = 2): DataFrame = {
-    val idx = annIndex(vectors, idCol, vecCol, nTables, planesPerTable)
+                    nTables: Int = 4, planesPerTable: Int = -1): DataFrame = {
+    // -1 = size the tables to the corpus (one cheap count) so bucket
+    // population — and with it the self-join — can't grow with n
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else planesFor(vectors.count())
+    val idx = annIndex(vectors, idCol, vecCol, nTables, planes)
       .select(col("lsh_table"), col("lsh_bucket"), col(idCol))
     idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("qid"))
       .join(idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("nid")),
@@ -320,8 +350,12 @@ object Similarity {
         // corpus fraction (and so the candidate-join volume) is the
         // SAME 3/16, but finer Voronoi cells raised sf0.1 recall on
         // strong pairs 0.69 -> 0.875 in a measured sweep (16/2/3 hit
-        // 100/144 at 749k candidates; 32/3/6 hit 126/144 at 748k)
-        val probed = ivfProbeAssign(e, "vec_id", "embedding", nCells = 32,
+        // 100/144 at 749k candidates; 32/3/6 hit 126/144 at 748k).
+        // Above 2k vectors the cell count grows with √n (ivfCellsFor)
+        // so search can't go quadratic at fixed cells — nProbe stays
+        // the recall knob.
+        val probed = ivfProbeAssign(e, "vec_id", "embedding",
+          nCells = ivfCellsFor(e.count()),
           trainIters = 3, nProbe = 6).localCheckpoint()
         val a = probed.select(col("cell_id"), col("vec_id").as("qid"),
           col("embedding").as("qvec"))

@@ -34,6 +34,13 @@ object Tables {
       case LongType =>
         // integer `div`: ns values (~1.7e18) exceed double's 2^53 exact range
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet written TIMESTAMP (isAdjustedToUTC=false) — e.g. by
+        // another engine — arrives as TIMESTAMP_NTZ, which unix_micros
+        // and friends reject. The session runs in UTC, so the cast is a
+        // pure type adjustment, not a wall-clock shift.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
