@@ -157,6 +157,31 @@ class PlanAuditSpec extends SparkSpec {
       "scan must prune to doc_id+text")
   }
 
+  test("q_revenue_by_nation aggregates without ExpandExec") {
+    // mixed sum + countDistinct plans through Expand, doubling every
+    // join-output row through the shuffle — the two-level form must not
+    val p = plan("q_revenue_by_nation")
+    assert(!p.contains("Expand"),
+      s"revenue rollup must avoid ExpandExec:\n$p")
+  }
+
+  test("LSH/IVF index shapes scale with corpus size, anchored at tuned small-n") {
+    import operators.Similarity.{ivfCellsFor, planesFor}
+    // the test/bench corpora keep the tuned shapes EXACTLY — recall
+    // stamps and spec floors must not move when n is small
+    assert(planesFor(200) == 2 && planesFor(500) == 2 && planesFor(2000) == 2)
+    assert(ivfCellsFor(200) == 32 && ivfCellsFor(2000) == 32)
+    // beyond that, buckets/cells must grow: fixed shapes square the
+    // in-bucket join (measured 2.4s -> 432s at 10x; SCALEPROBE.md)
+    assert(planesFor(20000) == 6, s"got ${planesFor(20000)}")
+    assert(planesFor(2000000) == 12, s"got ${planesFor(2000000)}")
+    assert(ivfCellsFor(20000) > 32 && ivfCellsFor(200000) > ivfCellsFor(20000))
+    // per-bucket population stays bounded: n / 2^planes <= target
+    for (n <- Seq(10000L, 100000L, 10000000L))
+      assert(n.toDouble / (1L << planesFor(n)) <= 500.0 + 1e-9,
+        s"bucket population grows unbounded at n=$n")
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
