@@ -88,13 +88,26 @@ object Similarity {
     * nCells × dim partial sums per partition, not vectors. Cells that
     * lose all members keep their previous centroid (left-join coalesce).
     * Cosine ranks against a mean equal ranks against the normalized
-    * mean, so no explicit re-normalization step is needed. At 100 TB,
-    * train on a key-mod sample (see `q_sample`) and assign the full
-    * corpus once — assignment cost is unchanged. */
+    * mean, so no explicit re-normalization step is needed.
+    *
+    * The training set is capped at `trainRowsPerCell · nCells` rows via
+    * a deterministic hash sample: Lloyd rounds cost |train| · nCells
+    * each, which is the n^1.5 term once cells grow with √n
+    * ([[ivfCellsFor]]), and past ~64 points per cell more data stops
+    * moving the means. The sample is keyed on xxhash64 of the id —
+    * invariant to partitioning, retries and cluster size. Corpora ≤ cap
+    * (every spec and bench corpus at 32 cells) train on the full set,
+    * so recalls and bench stamps are unchanged; the caller still
+    * assigns the FULL corpus to the trained cells exactly once. */
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-                     nCells: Int, iters: Int): DataFrame = {
-    val pts = vectors.select(col(idCol).as("vid"),
+                     nCells: Int, iters: Int, corpusN: Long = -1L,
+                     trainRowsPerCell: Int = 64): DataFrame = {
+    val all = vectors.select(col(idCol).as("vid"),
       transform(col(vecCol), _.cast("double")).as("v"))
+    val n = if (corpusN >= 0L) corpusN else all.count()
+    val cap = trainRowsPerCell.toLong * nCells
+    val pts = if (n <= cap) all
+      else all.filter(pmod(xxhash64(col("vid"), lit(0x1747L)), lit(n)) < cap)
     var cents = pts.orderBy(col("vid")).limit(nCells)
       .select(col("vid").as("cell_id"), col("v").as("cent"))
     for (_ <- 1 to iters) {
@@ -123,8 +136,10 @@ object Similarity {
     * seeds with that many deterministic Lloyd rounds
     * ([[trainCentroids]]), giving data-adaptive Voronoi cells. */
   private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
-                        nCells: Int, trainIters: Int): DataFrame =
-    if (trainIters > 0) trainCentroids(vectors, idCol, vecCol, nCells, trainIters)
+                        nCells: Int, trainIters: Int,
+                        corpusN: Long = -1L): DataFrame =
+    if (trainIters > 0)
+      trainCentroids(vectors, idCol, vecCol, nCells, trainIters, corpusN)
     else vectors.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent"))
 
@@ -137,8 +152,9 @@ object Similarity {
     * operator — the exchange carries ≤ nProbe rows per vector per input
     * partition, never the n × nCells cross product. */
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                     nCells: Int, trainIters: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(vectors, idCol, vecCol, nCells, trainIters)
+                     nCells: Int, trainIters: Int, nProbe: Int,
+                     corpusN: Long = -1L): DataFrame = {
+    val cents = centroids(vectors, idCol, vecCol, nCells, trainIters, corpusN)
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
     vectors.crossJoin(broadcast(cents))
       .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
@@ -354,9 +370,11 @@ object Similarity {
         // Above 2k vectors the cell count grows with √n (ivfCellsFor)
         // so search can't go quadratic at fixed cells — nProbe stays
         // the recall knob.
+        // one count serves both the cell sizing and the training cap
+        val n = e.count()
         val probed = ivfProbeAssign(e, "vec_id", "embedding",
-          nCells = ivfCellsFor(e.count()),
-          trainIters = 3, nProbe = 6).localCheckpoint()
+          nCells = ivfCellsFor(n),
+          trainIters = 3, nProbe = 6, corpusN = n).localCheckpoint()
         val a = probed.select(col("cell_id"), col("vec_id").as("qid"),
           col("embedding").as("qvec"))
         val b = probed.filter(col("probe_rank") === 1)

@@ -68,6 +68,24 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
+  test("ivf sampled training: cap binds, deterministic, spec corpus unaffected by default") {
+    val e = sources.Tables.embeddings(spark, sf)
+    def train() = operators.Similarity.trainCentroids(
+      e, "vec_id", "embedding", nCells = 4, iters = 2, trainRowsPerCell = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.rint(x * 1e6)))
+      .toMap
+    // trainRowsPerCell=2 → cap 8 « corpus: the hash-sampled path runs
+    val c1 = train()
+    assert(c1.size == 4 && c1.values.forall(_.length == 64))
+    // hash sample keyed on the id → same centroids on re-run
+    assert(train() == c1)
+    // at the production default (64 rows/cell, 32+ cells) this corpus is
+    // below the cap, so q_similarity_ivf trains UNSAMPLED — the recall
+    // floors above gate exactly the pre-cap behavior
+    assert(e.count() <= 64L * 32)
+  }
+
   test("connected components: chains merge transitively, isolates keep own label") {
     import spark.implicits._
     // 1-2, 2-3 chain; 4-5 pair; 6 isolated
