@@ -17,13 +17,31 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
-    def run(name: String,
-            fn: (SparkSession, String) => DataFrame): Either[String, Double] = {
+    // recall inputs are parquet-dumped once during the warm-up pass so
+    // the recall report reads already-executed results instead of
+    // running the dedup/ANN tail a third time. Wipe stale dumps first:
+    // a failed pass-1 must fall back to a fresh run, never read a
+    // previous bench's (possibly different-SF) results.
+    val dumpDir = java.nio.file.Paths.get("target/bench_recall")
+    if (java.nio.file.Files.exists(dumpDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dumpDir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+
+    def run(name: String, fn: (SparkSession, String) => DataFrame,
+            dump: Boolean = false): Either[String, Double] = {
       val t0 = System.nanoTime()
       // noop sink forces full execution (incl. sorts) without count-only
-      // plan pruning or result materialization on the driver
+      // plan pruning or result materialization on the driver; the few
+      // recall inputs instead write their (tiny: 10s-1000s of rows)
+      // results to parquet on the warm-up pass — same full execution,
+      // and min-of-two means the dump-free pass sets the reported time
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, sfDir)
+        if (dump) df.write.mode("overwrite").parquet(dumpDir.resolve(name).toString)
+        else df.write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -36,7 +54,9 @@ object Bench {
     // measured: per-query back-to-back pairs run ~30% slower overall
     // because early queries never see a warm JVM); min-of-two then
     // damps the scheduler/GC spikes single local[32] runs swing on.
-    val firstPass = ordered.map { case (name, fn) => name -> run(name, fn) }.toMap
+    val firstPass = ordered.map { case (name, fn) =>
+      name -> run(name, fn, dump = Recall.inputs(name))
+    }.toMap
 
     val results = ordered.map { case (name, fn) =>
       val best = (firstPass(name), run(name, fn)) match {
@@ -70,7 +90,7 @@ object Bench {
     // tracked per round so recall/cost trades stay visible next to the
     // timings they paid for; never fails the bench
     val recall = if (only.nonEmpty) "" else try {
-      val entries = Recall.compute(spark, sfDir).map { e =>
+      val entries = Recall.compute(spark, sfDir, Some(dumpDir.toString)).map { e =>
         "\"" + e.name + "\":{\"recall\":" + e.recall +
           ",\"exact_pairs\":" + e.exactPairs + "}"
       }.mkString("{", ",", "}")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Recall of every approximate dedup/ANN operator against its exact
@@ -17,9 +17,29 @@ object Recall {
 
   case class Entry(name: String, recall: Double, exactPairs: Long)
 
+  /** The queries whose results feed the recall computation. `Bench`
+    * dumps exactly these to parquet during its warm-up pass so the
+    * recall report reads the already-executed results instead of
+    * running each input a third time (they are the expensive dedup/ANN
+    * tail — ~2-3.5 s apiece at sf0.1). */
+  val inputs: Set[String] = Set(
+    "q_dedup_ngram", "q_dedup_embedding", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_embedding_lsh",
+    "q_similarity_ann", "q_similarity_ivf")
+
+  /** A recall input: the caller's parquet dump when one exists (same
+    * deterministic query, already executed), else a fresh run. */
+  private def resultOf(s: SparkSession, dir: String, query: String,
+                       dumps: Option[String]): DataFrame =
+    dumps.map(d => java.nio.file.Paths.get(d, query))
+      .filter(p => java.nio.file.Files.exists(p))
+      .map(p => s.read.parquet(p.toString))
+      .getOrElse(Registry.byName(query).fn(s, dir))
+
   private def pairSet(s: SparkSession, dir: String, query: String,
-                      a: String, b: String): Set[(Long, Long)] =
-    Registry.byName(query).fn(s, dir).select(col(a), col(b))
+                      a: String, b: String,
+                      dumps: Option[String]): Set[(Long, Long)] =
+    resultOf(s, dir, query, dumps).select(col(a), col(b))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   /** recall of `found` over `exact`, orientation-insensitive; vacuously
@@ -34,26 +54,27 @@ object Recall {
   /** Every approximate operator scored against its exact reference:
     * minhash + simhash vs the exact n-gram Jaccard pairs, ANN + IVF +
     * embedding-LSH vs the brute-force cosine pairs. */
-  def compute(s: SparkSession, dir: String): Seq[Entry] = {
+  def compute(s: SparkSession, dir: String,
+              dumps: Option[String] = None): Seq[Entry] = {
     // one run of the exact-pair query serves both reference sets (all
     // pairs, and the strong >= 0.9 subset for simhash) — collecting
     // twice would re-execute the whole pair derivation
-    val ngramRows = Registry.byName("q_dedup_ngram").fn(s, dir)
+    val ngramRows = resultOf(s, dir, "q_dedup_ngram", dumps)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val ngram = ngramRows.map(t => (t._1, t._2)).toSet
     val nearNgram = ngramRows.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
-    val cosine = pairSet(s, dir, "q_dedup_embedding", "vec_a", "vec_b")
+    val cosine = pairSet(s, dir, "q_dedup_embedding", "vec_a", "vec_b", dumps)
     Seq(
       Entry("minhash", recallOf(ngram,
-        pairSet(s, dir, "q_dedup_minhash", "doc_a", "doc_b")), ngram.size),
+        pairSet(s, dir, "q_dedup_minhash", "doc_a", "doc_b", dumps)), ngram.size),
       Entry("simhash", recallOf(nearNgram,
-        pairSet(s, dir, "q_dedup_simhash", "doc_a", "doc_b")), nearNgram.size),
+        pairSet(s, dir, "q_dedup_simhash", "doc_a", "doc_b", dumps)), nearNgram.size),
       Entry("embedding_lsh", recallOf(cosine,
-        pairSet(s, dir, "q_dedup_embedding_lsh", "vec_a", "vec_b")), cosine.size),
+        pairSet(s, dir, "q_dedup_embedding_lsh", "vec_a", "vec_b", dumps)), cosine.size),
       Entry("ann", recallOf(cosine,
-        pairSet(s, dir, "q_similarity_ann", "qid", "nid")), cosine.size),
+        pairSet(s, dir, "q_similarity_ann", "qid", "nid", dumps)), cosine.size),
       Entry("ivf", recallOf(cosine,
-        pairSet(s, dir, "q_similarity_ivf", "qid", "nid")), cosine.size))
+        pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)), cosine.size))
   }
 }
