@@ -182,6 +182,37 @@ class PlanAuditSpec extends SparkSpec {
         s"bucket population grows unbounded at n=$n")
   }
 
+  test("selective dim joins compose with runtime bloom-filter injection") {
+    // the other big shuffle-volume cutter at 100 TB (next to partition
+    // pruning): when a non-broadcastable join's build side carries a
+    // selective filter, Spark's InjectRuntimeFilter rule pushes a bloom
+    // filter of the build-side keys into the fact side's stage, dropping
+    // non-joining rows BEFORE the exchange. The engine's joins are plain
+    // declarative equi-joins precisely so this rule can fire — pin that
+    // the shape stays acceptable, with the production size thresholds
+    // scaled down to test data (the application side normally must scan
+    // ≥ 10 GB for the filter to pay for itself — exactly the 100 TB
+    // situation, never the sf0.001 one).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1") // fact side too big to broadcast
+      val li = sources.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val sel = sources.Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+      val opt = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom filter not injected into the fact side:\n$opt")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q_similarity_ann never broadcasts the embeddings corpus") {
     // no broadcast HINT anywhere: the corpus is unbounded, so any forced
     // broadcast of it is a scale-killer regardless of what the planner
