@@ -42,7 +42,8 @@ object Registry {
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
-      operators.Curation.defs
+      operators.Curation.defs ++
+      operators.Maintenance.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

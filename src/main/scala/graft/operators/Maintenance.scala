@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Data-layout maintenance (beyond SURVEY §2: the operational leg of a
+  * 100 TB training-data pipeline).
+  *
+  * A streaming/cron ingest (the reference's per-event Lambda drops,
+  * `src/app.py:174-175` → one object per invocation) leaves partition
+  * directories full of tiny files. At scale the FILE COUNT itself
+  * becomes the bottleneck before the bytes do: task-per-file
+  * scheduling, object-store LIST pressure, one ranged GET per footer.
+  * The standard maintenance pass rewrites each partition directory
+  * into few, sized files — and must prove it lost and duplicated
+  * nothing while doing so.
+  */
+object Maintenance {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Small-file compaction: a deliberately fragmented landing zone
+    // (16-way round-robin × 20 source dirs ≈ 16 files per partition
+    // directory) is rewritten to ONE file per partition directory.
+    // The shuffle that produces the layout is repartition on the
+    // partition columns — each output task owns whole partition values,
+    // so the writer opens one file per directory instead of every task
+    // writing into every directory. maxRecordsPerFile is the size
+    // guard: at real scale the same rewrite fans a hot partition into
+    // several bounded files instead of one unbounded one. The landing
+    // zone is staged once (pure function of the source data); the
+    // compaction rewrite runs EVERY time — it is the operator under
+    // test. The oracle aggregates the raw table directly: the compacted
+    // copy must agree per partition on count, id-sum and byte-sum,
+    // proving the rewrite preserved the data exactly.
+    QueryDef(
+      "q_compact_files",
+      (s, dir) => {
+        val landing = graft.Staging.cached(
+          s"compact_landing_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.documents(s, dir).repartition(16)
+            .write.mode("overwrite").partitionBy("source").parquet(tgt)
+        }
+        val out = graft.Staging.dir("q_compact_files")
+        s.read.parquet(landing)
+          .repartition(col("source"))
+          .write.mode("overwrite").partitionBy("source")
+          .option("maxRecordsPerFile", 1000000)
+          .parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """SELECT source, count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |       CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    )
+  )
+}

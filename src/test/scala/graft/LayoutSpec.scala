@@ -84,4 +84,27 @@ class LayoutSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_compact_files: fragmented landing collapses to one file per partition dir") {
+    // the oracle proves data survival; THIS proves the layout actually
+    // compacted — the property the operator exists for
+    q("q_compact_files").collect()
+    def parquetFiles(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet"))
+    def partDirs(root: java.io.File): Array[java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("source="))
+    // the landing key was already staged by the query above, so the
+    // no-op build lambda never runs — this just resolves the keyed path
+    val landing = new java.io.File(Staging.cached(
+      s"compact_landing_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1)(_ => ()))
+    val out = new java.io.File(Staging.dir("q_compact_files"))
+    val (landDirs, outDirs) = (partDirs(landing), partDirs(out))
+    assert(landDirs.nonEmpty && outDirs.length == landDirs.length)
+    assert(landDirs.map(parquetFiles).max > 1,
+      "landing zone must be fragmented or the test proves nothing")
+    outDirs.foreach(d =>
+      assert(parquetFiles(d) == 1, s"${d.getName}: expected exactly one compacted file"))
+  }
 }
