@@ -61,6 +61,43 @@ object Maintenance {
           |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
           |       CAST(sum(n_chars) AS BIGINT) AS chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Schema evolution on the landing zone: a long-lived lake's later
+    // batches ADD columns (here: batch 2 carries `etype`, batch 1
+    // predates it). `mergeSchema` unions the file footers at plan time
+    // and pre-evolution rows read NULL for the new column — no rewrite
+    // of old data, the only sane behavior at 100 TB (a backfill of
+    // petabytes to add a column is not a migration strategy). The
+    // fold to `pre_evolution` is exactly what downstream consumers do
+    // with pre-schema rows. Batches are staged once (pure function of
+    // the source); the merged read + aggregate is the operator under
+    // test. The oracle derives the same split from the raw table.
+    QueryDef(
+      "q_schema_evolve",
+      (s, dir) => {
+        val landing = graft.Staging.cached(
+          s"evolve_landing_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          val e = Tables.events(s, dir)
+          e.filter(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"))
+            .write.parquet(s"$tgt/batch1")
+          e.filter(col("event_id") % 2 === 1)
+            .select(col("event_id"), col("value"), col("event_type").as("etype"))
+            .write.parquet(s"$tgt/batch2")
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$landing/batch1", s"$landing/batch2")
+          .groupBy(coalesce(col("etype"), lit("pre_evolution")).as("etype"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("etype"))
+      },
+      Some(
+        """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+          |            ELSE 'pre_evolution' END AS etype,
+          |       count(*) AS n, round(sum(value), 2) AS total
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -107,4 +107,14 @@ class LayoutSpec extends SparkSpec {
     outDirs.foreach(d =>
       assert(parquetFiles(d) == 1, s"${d.getName}: expected exactly one compacted file"))
   }
+
+  test("q_schema_evolve: merged read covers every row; pre-evolution rows fold out of NULL") {
+    val rows = q("q_schema_evolve").collect()
+    val total = sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "merged read must cover both batches")
+    val pre = rows.filter(_.getString(0) == "pre_evolution")
+    assert(pre.length == 1 && pre.head.getLong(1) > 0,
+      "pre-evolution batch must surface as the folded NULL group")
+    assert(rows.length > 1, "evolved batch must contribute real etype groups")
+  }
 }
