@@ -98,6 +98,76 @@ object Maintenance {
           |            ELSE 'pre_evolution' END AS etype,
           |       count(*) AS n, round(sum(value), 2) AS total
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Copy-on-write purge (the "right to be forgotten" rewrite): drop
+    // every row of a tombstoned user set from a lake partitioned on a
+    // user hash-bucket, rewriting ONLY the partition directories the
+    // tombstones hash into — untouched directories pass through as
+    // byte-identical file copies, never decoded. This is the COW shape
+    // a table format (Delta/Iceberg) runs on delete: at 100 TB the
+    // deletion list is thousands of users but the rewrite touches a
+    // bounded bucket subset, not the lake. The affected-bucket list is
+    // manifest-scale (≤ nBuckets rows), so computing it driver-side is
+    // commit planning, not data-plane work; the rewrite itself is a
+    // distributed broadcast anti-join over just the affected buckets
+    // (partition-pruned scan). Oracle: the purged copy must equal the
+    // raw table minus the tombstoned users.
+    QueryDef(
+      "q_purge_rewrite",
+      (s, dir) => {
+        val nBuckets = 16
+        def bucket(c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(c, lit(7L)), lit(nBuckets.toLong))
+        val landing = graft.Staging.cached(
+          s"purge_landing_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.events(s, dir)
+            .withColumn("ub", bucket(col("user_id")))
+            .write.mode("overwrite").partitionBy("ub").parquet(tgt)
+        }
+        val out = graft.Staging.dir("q_purge_rewrite")
+        val tombstones = Tables.events(s, dir).select(col("user_id"))
+          .filter(col("user_id") % 7 === 3).distinct()
+        val affected = tombstones.select(bucket(col("user_id")).as("ub"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        // pass through the untouched partition dirs at file level
+        import java.nio.file.{Files, Paths}
+        val outP = Paths.get(out)
+        if (Files.exists(outP)) { // fresh per JVM, stale only on re-run
+          Files.walk(outP).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+        Files.createDirectories(outP)
+        val land = Paths.get(landing)
+        val listing = Files.list(land)
+        try listing.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("ub=") &&
+              !affected(name.stripPrefix("ub=").toLong)) {
+            Files.walk(p).forEach { f =>
+              val tgt = outP.resolve(land.relativize(f).toString)
+              if (Files.isDirectory(f)) Files.createDirectories(tgt)
+              else Files.copy(f, tgt)
+            }
+          }
+        } finally listing.close()
+        // re-encode only the affected buckets, minus the tombstoned rows
+        if (affected.nonEmpty) {
+          s.read.parquet(landing)
+            .filter(col("ub").isin(affected.toSeq: _*))
+            .join(broadcast(tombstones), Seq("user_id"), "left_anti")
+            .write.mode("append").partitionBy("ub").parquet(out)
+        }
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events WHERE user_id % 7 <> 3
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

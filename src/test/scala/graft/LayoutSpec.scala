@@ -108,6 +108,36 @@ class LayoutSpec extends SparkSpec {
       assert(parquetFiles(d) == 1, s"${d.getName}: expected exactly one compacted file"))
   }
 
+  test("q_purge_rewrite: untouched buckets pass through byte-identical; tombstones gone") {
+    q("q_purge_rewrite").collect()
+    val landing = new java.io.File(Staging.cached(
+      s"purge_landing_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1)(_ => ()))
+    val out = new java.io.File(Staging.dir("q_purge_rewrite"))
+    def buckets(root: java.io.File): Map[String, java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("ub="))
+        .map(f => f.getName -> f).toMap
+    val (lb, ob) = (buckets(landing), buckets(out))
+    // same bucket expression as the operator
+    val affected = sources.Tables.events(spark, sf)
+      .filter(col("user_id") % 7 === 3)
+      .select(pmod(xxhash64(col("user_id"), lit(7L)), lit(16L)).as("ub"))
+      .distinct().collect().map(r => s"ub=${r.getLong(0)}").toSet
+    assert(affected.nonEmpty && affected.size < lb.size,
+      "need both touched and untouched buckets for the test to mean anything")
+    // untouched partition dirs must be file-level passthroughs
+    def files(d: java.io.File): Map[String, Long] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    (lb.keySet -- affected).foreach { k =>
+      assert(ob.contains(k) && files(ob(k)) == files(lb(k)),
+        s"$k must pass through byte-identical (same files, same sizes)")
+    }
+    // and the purged copy must contain no tombstoned user anywhere
+    assert(spark.read.parquet(out.toString)
+      .filter(col("user_id") % 7 === 3).count() == 0)
+  }
+
   test("q_schema_evolve: merged read covers every row; pre-evolution rows fold out of NULL") {
     val rows = q("q_schema_evolve").collect()
     val total = sources.Tables.events(spark, sf).count()
