@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -167,6 +168,49 @@ object Maintenance {
       Some(
         """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
           |FROM events WHERE user_id % 7 <> 3
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Z-order clustering: bit-interleave (user_id, day) into a z-value,
+    // range-partition + sort the write on it, and every output file
+    // covers a compact 2-D TILE instead of a stripe — so a filter on
+    // EITHER dimension (or a box on both) skips most files on their
+    // parquet min/max footers. A 1-D sorted layout can only skip on its
+    // sort key; z-ordering is how a 100 TB lake serves range predicates
+    // on two access paths from one copy of the data. The rewrite runs
+    // every time (it is the operator); the z column itself is dropped
+    // from the files — it exists only to drive the layout. Oracle: the
+    // box query over the clustered copy must equal the raw table's.
+    QueryDef(
+      "q_layout_zorder",
+      (s, dir) => {
+        val out = graft.Staging.dir("q_layout_zorder")
+        val u = col("user_id")
+        val d = dayofmonth(col("ts")).cast(LongType)
+        // 8 bits per dimension: user ≤ 255, day ≤ 31 at any SF here —
+        // and the interleave is monotone in each dim regardless
+        val z = (0 until 8).map { i =>
+          shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+        Tables.events(s, dir)
+          .withColumn("zv", z)
+          .repartitionByRange(8, col("zv"))
+          .sortWithinPartitions(col("zv"))
+          .drop("zv")
+          .write.mode("overwrite").option("maxRecordsPerFile", 500)
+          .parquet(out)
+        s.read.parquet(out)
+          .filter(col("user_id").between(4, 7) &&
+            dayofmonth(col("ts")).between(8, 15))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events
+          |WHERE user_id BETWEEN 4 AND 7 AND day(ts) BETWEEN 8 AND 15
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )

@@ -138,6 +138,37 @@ class LayoutSpec extends SparkSpec {
       .filter(col("user_id") % 7 === 3).count() == 0)
   }
 
+  test("q_layout_zorder: z-clustered files skip on the second dim; 1-d sort cannot") {
+    q("q_layout_zorder").collect() // materializes the z layout
+    def fileStats(path: String): Array[(Long, Long, Int, Int)] =
+      spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .withColumn("d", dayofmonth(col("ts")))
+        .groupBy(col("f"))
+        .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+          min(col("d")).as("dlo"), max(col("d")).as("dhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    def dayHits(st: Array[(Long, Long, Int, Int)]): Int =
+      st.count { case (_, _, dlo, dhi) => !(dhi < 8 || dlo > 15) }
+    val zStats = fileStats(Staging.dir("q_layout_zorder"))
+    assert(zStats.length >= 4, "need multiple files for skipping to be observable")
+    // a day-range predicate must be able to skip z-clustered files on
+    // footer min/max alone — the property the layout exists for
+    assert(dayHits(zStats) < zStats.length,
+      s"z layout skipped nothing on the day dim: ${zStats.mkString(", ")}")
+    // control: the same data 1-d sorted by user_id — every file spans
+    // the full month, so the same day predicate can skip NOTHING
+    val lin = Staging.dir("spec_linear_layout")
+    sources.Tables.events(spark, sf)
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 500).parquet(lin)
+    val linStats = fileStats(lin)
+    assert(dayHits(linStats) == linStats.length,
+      "user-sorted control unexpectedly skipped day-filtered files")
+  }
+
   test("q_schema_evolve: merged read covers every row; pre-evolution rows fold out of NULL") {
     val rows = q("q_schema_evolve").collect()
     val total = sources.Tables.events(spark, sf).count()
