@@ -83,4 +83,39 @@ class Streams2Spec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(batch > 0, "fixture should produce at least one purchase-click pair")
   }
+
+  test("session windows run unchanged on the RocksDB state store provider") {
+    // the JVM-heap (HDFS-backed) provider caps state at executor memory;
+    // RocksDB is the provider a 100 TB/day stream actually runs — state
+    // lives off-heap/on-disk with incremental checkpoints. Results must
+    // be provider-invariant, and the provider must really engage.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val defaultRows = q("q_stream_session").collect().map(_.toSeq).toSet
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocksRows = q("q_stream_session").collect().map(_.toSeq).toSet
+      assert(rocksRows == defaultRows,
+        "session-window results must not depend on the state store provider")
+      // a held query handle proves RocksDB engaged (provider-specific
+      // state metrics appear in the operator progress)
+      val dir = freshDir("rocks")
+      stageEvents(dir)
+      val agg = spark.readStream.schema(schema).json(dir)
+        .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .count()
+      val qh = agg.writeStream.format("memory").queryName("rocks_probe")
+        .option("checkpointLocation", Staging.fastDir("rocks_probe_ckpt"))
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      qh.awaitTermination()
+      val metricKeys = qh.lastProgress.stateOperators
+        .flatMap(op => scala.jdk.CollectionConverters
+          .MapHasAsScala(op.customMetrics).asScala.keys)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected RocksDB state metrics, got: ${metricKeys.mkString(", ")}")
+      spark.catalog.dropTempView("rocks_probe")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }
