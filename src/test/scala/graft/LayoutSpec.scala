@@ -169,6 +169,31 @@ class LayoutSpec extends SparkSpec {
       "user-sorted control unexpectedly skipped day-filtered files")
   }
 
+  test("corrupt landing files: fail loudly by default, skip explicitly when asked") {
+    // a 100 TB landing zone WILL contain a truncated upload eventually.
+    // The default must be a loud failure (silent data loss is worse);
+    // ignoreCorruptFiles is the explicit, scoped opt-in for reads that
+    // prefer availability — and it must skip ONLY the corrupt file.
+    val dir = Staging.dir("spec_corrupt_landing")
+    val good = sources.Tables.events(spark, sf).select(col("event_id"), col("value"))
+    good.write.mode("overwrite").parquet(dir)
+    val expected = good.count()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "not parquet at all".getBytes)
+    val boom = intercept[Exception] {
+      spark.read.parquet(dir).count()
+    }
+    assert(boom.getMessage != null)
+    val key = "spark.sql.files.ignoreCorruptFiles"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      assert(spark.read.parquet(dir).count() == expected,
+        "skip must drop only the corrupt file, never good rows")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q_schema_evolve: merged read covers every row; pre-evolution rows fold out of NULL") {
     val rows = q("q_schema_evolve").collect()
     val total = sources.Tables.events(spark, sf).count()
