@@ -84,6 +84,45 @@ class Streams2Spec extends SparkSpec {
     assert(batch > 0, "fixture should produce at least one purchase-click pair")
   }
 
+  test("checkpoint restart: a second incarnation resumes exactly-once from the offset log") {
+    // the failure-recovery contract a 100 TB/day pipeline lives on:
+    // source offsets and the sink commit log live in the checkpoint, so
+    // a job restarted with the same checkpoint + sink path emits every
+    // input row exactly once ACROSS incarnations — already-committed
+    // batches are never re-emitted, the un-read backlog is drained.
+    import scala.jdk.CollectionConverters._
+    val staged = freshDir("restart_staged")
+    val src = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    src.repartition(8).write.mode("overwrite").json(staged)
+    val expected = src.count()
+    val parts = Files.list(Paths.get(staged)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    assert(parts.length >= 2, "need a multi-file backlog to split across incarnations")
+    val in = freshDir("restart_in")
+    val sink = freshDir("restart_sink")
+    val ckpt = freshDir("restart_ckpt")
+    def copyIn(ps: Seq[java.nio.file.Path]): Unit = ps.foreach(p =>
+      Files.copy(p, Paths.get(in, p.getFileName.toString)))
+    def incarnation(): Unit = {
+      val q = spark.readStream.schema(schema).json(in)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    copyIn(parts.take(1))
+    incarnation() // first incarnation commits file 1, then terminates
+    val afterFirst = spark.read.schema(schema).parquet(sink).count()
+    assert(afterFirst > 0 && afterFirst < expected)
+    copyIn(parts.drop(1))
+    incarnation() // same checkpoint: must drain ONLY the new backlog
+    val total = spark.read.schema(schema).parquet(sink).count()
+    assert(total == expected,
+      s"exactly-once across incarnations: got $total want $expected (first saw $afterFirst)")
+  }
+
   test("session windows run unchanged on the RocksDB state store provider") {
     // the JVM-heap (HDFS-backed) provider caps state at executor memory;
     // RocksDB is the provider a 100 TB/day stream actually runs — state
