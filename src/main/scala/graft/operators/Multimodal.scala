@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.QueryDef
@@ -33,6 +34,16 @@ object Multimodal {
   /** Typed decode result. Long widths/heights: the oracle compares
     * against DuckDB arithmetic, which returns BIGINT. */
   final case class DecodedImage(doc_id: Long, fmt: String, width: Long,
+                                height: Long, brightness: Double)
+
+  /** Typed resize result: source and thumbnail geometry plus the
+    * thumbnail's measured brightness. */
+  final case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
+                                thumb_w: Long, thumb_h: Long,
+                                brightness: Double)
+
+  /** Typed frame-sample result: one row per sampled frame. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Long, width: Long,
                                 height: Long, brightness: Double)
 
   /** Deterministic per-document image parameters (the staged ground
@@ -89,6 +100,134 @@ object Multimodal {
       } finally reader.dispose()
     } finally iis.close()
   }
+
+  /** Thumbnail geometry: longest edge scaled to `target` px, aspect
+    * preserved, truncating integer division, floor of 1 px — the exact
+    * arithmetic the SQL oracle recomputes. */
+  def thumbDims(w: Int, h: Int, target: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    (math.max(1, w * target / m), math.max(1, h * target / m))
+  }
+
+  /** REAL image resize: decode, scale onto a `target`-bounded canvas
+    * with Graphics2D (the JDK raster pipeline — swapping in bilinear
+    * hints or a native thumbnailer changes only this body), and measure
+    * the thumbnail. Returns (src_w, src_h, thumb_w, thumb_h, mean
+    * luminance of the THUMBNAIL). For the staged constant-gray corpus
+    * any resampling kernel is exact — every output pixel is a convex
+    * combination of equal values — so the oracle stays bit-exact. */
+  def resizeImage(bytes: Array[Byte], target: Int): (Int, Int, Int, Int, Double) = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself on a
+    // successful read — close defensively for the failure paths only
+    val src =
+      try javax.imageio.ImageIO.read(iis)
+      finally {
+        try iis.close() catch { case _: java.io.IOException => () }
+      }
+    if (src == null)
+      throw new IllegalArgumentException("undecodable image bytes")
+    val (tw, th) = thumbDims(src.getWidth, src.getHeight, target)
+    val dst = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try g.drawImage(src, 0, 0, tw, th, null) finally g.dispose()
+    var sum = 0L
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) { sum += (dst.getRGB(x, y) >> 16) & 0xff; x += 1 }
+      y += 1
+    }
+    (src.getWidth, src.getHeight, tw, th,
+      sum.toDouble / (tw.toLong * th * 255))
+  }
+
+  // ---- deterministic clip container (the "video" stand-in) ----------
+  //
+  // Real video needs an ffmpeg-class codec this container doesn't ship;
+  // per the north-star contract the CONTAINER is a deterministic fake
+  // while everything around it — binary lake ingest, partition-parallel
+  // kernel, per-frame ImageIO decode, exploded one-row-per-frame output
+  // — is the real production plumbing. Layout: "GFV1" magic, int32
+  // frame count, then per frame [int32 byteLen][PNG bytes], all
+  // big-endian. Swapping in MP4 + an ffmpeg frame grab changes only
+  // encodeClip/sampleFrames.
+
+  /** Per-document clip parameters: (frame width, frame height, frame
+    * count). Pure functions of doc_id so the oracle recomputes them. */
+  def clipParams(docId: Long): (Int, Int, Int) =
+    (16 + (docId % 24).toInt, 12 + (docId % 18).toInt, 4 + (docId % 5).toInt)
+
+  /** Gray level of frame `i` of doc `docId` — drifts per frame so a
+    * sampler that grabbed the wrong frame index fails the oracle. */
+  def frameGray(docId: Long, i: Int): Int = ((docId + 17L * i) % 256).toInt
+
+  /** Encode a clip: `n` constant-gray PNG frames in the GFV1 container. */
+  def encodeClip(docId: Long): Array[Byte] = {
+    val (w, h, n) = clipParams(docId)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GFV1")
+    out.writeInt(n)
+    var i = 0
+    while (i < n) {
+      val png = encodePng(w, h, frameGray(docId, i))
+      out.writeInt(png.length)
+      out.write(png)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a GFV1 clip and REALLY decode every `stride`-th frame
+    * (ImageIO per frame). Non-sampled frames are skipped at the byte
+    * level — the container is seekable, so sampling N of M frames costs
+    * N decodes, not M (the property that makes frame sampling viable on
+    * real video, where decode dominates). */
+  def sampleFrames(bytes: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    if (new String(magic, java.nio.charset.StandardCharsets.US_ASCII) != "GFV1")
+      throw new IllegalArgumentException("not a GFV1 clip")
+    val n = in.readInt()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      if (i % stride == 0) {
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        val (_, w, h, b) = decodeImage(frame)
+        out += ((i, w, h, b))
+      } else in.skipBytes(len)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** The staged PNG corpus (one genuine PNG per document, pixels a pure
+    * function of doc_id) — built once per source tree and shared by the
+    * decode and resize queries. */
+  def pngCorpus(s: SparkSession, dir: String): String =
+    graft.Staging.cached(
+      s"png_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val (w, h, g) = imageParams(id)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
+              encodePng(w, h, g))
+          }
+        }
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -168,20 +307,7 @@ object Multimodal {
       "q_multimodal_decode",
       (s, dir) => {
         import s.implicits._
-        val pngDir = graft.Staging.cached(
-          s"png_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
-          rev = 1) { tgt =>
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
-          Tables.documents(s, dir).select(col("doc_id")).as[Long]
-            .foreachPartition { (it: Iterator[Long]) =>
-              it.foreach { id =>
-                val (w, h, g) = imageParams(id)
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
-                  encodePng(w, h, g))
-              }
-            }
-        }
+        val pngDir = pngCorpus(s, dir)
         s.read.format("binaryFile")
           .option("pathGlobFilter", "*.png")
           .load(pngDir)
@@ -206,6 +332,108 @@ object Multimodal {
           |       16 + doc_id % 37 AS height,
           |       round(CAST(doc_id % 256 AS DOUBLE) / 255, 6) AS brightness
           |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // B49(d) — REAL partition-parallel image RESIZE (the thumbnail /
+    // training-resolution normalization step): same staged PNG corpus
+    // as the decode query (shared cache), each image decoded and scaled
+    // onto a 16px-bounded canvas through the JDK raster pipeline, then
+    // the THUMBNAIL is measured. Oracled exactly: geometry is integer
+    // arithmetic on doc_id recomputed by the oracle, and constant-gray
+    // sources make any resampling kernel's output exact.
+    QueryDef(
+      "q_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val pngDir = pngCorpus(s, dir)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(pngDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val (sw, sh, tw, th, b) = resizeImage(bytes, target = 16)
+              ResizedImage(id, sw.toLong, sh.toLong, tw.toLong, th.toLong, b)
+            }
+          }
+          .toDF()
+          .withColumn("brightness", round(col("brightness"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         16 + doc_id % 48 AS src_w,
+          |         16 + doc_id % 37 AS src_h
+          |  FROM documents)
+          |SELECT doc_id, src_w, src_h,
+          |       greatest(1, src_w * 16 // greatest(src_w, src_h)) AS thumb_w,
+          |       greatest(1, src_h * 16 // greatest(src_w, src_h)) AS thumb_h,
+          |       round(CAST(doc_id % 256 AS DOUBLE) / 255, 6) AS brightness
+          |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+
+    // B49(e) — video FRAME SAMPLING: per-document clips staged once in
+    // the deterministic GFV1 container (N genuine PNG frames, length-
+    // prefixed), ingested via binaryFile, and a typed mapPartitions
+    // kernel seeks the container and REALLY decodes every 2nd frame —
+    // one output row per sampled frame. The container is the declared
+    // deterministic stand-in for MP4 (no ffmpeg in this stack); the
+    // lake ingest, seek-skip sampling, per-frame ImageIO decode and
+    // exploded output are the production plumbing. 1-in-5 document
+    // slice bounds the staged corpus; per-frame gray drift means a
+    // sampler grabbing the wrong index fails the oracle.
+    QueryDef(
+      "q_multimodal_framesample",
+      (s, dir) => {
+        import s.implicits._
+        val clipDir = graft.Staging.cached(
+          s"clip_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .filter(_ % 5 == 0)
+            .foreachPartition { (it: Iterator[Long]) =>
+              it.foreach { id =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(tgt, f"clip_$id%08d.gfv"),
+                  encodeClip(id))
+              }
+            }
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.gfv")
+          .load(clipDir)
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)\\.gfv", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              sampleFrames(bytes, stride = 2).map { case (i, w, h, b) =>
+                SampledFrame(id, i.toLong, w.toLong, h.toLong, b)
+              }
+            }
+          }
+          .toDF()
+          .withColumn("brightness", round(col("brightness"), 6))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(
+        """WITH f AS (
+          |  SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS frame_idx
+          |  FROM documents WHERE doc_id % 5 = 0)
+          |SELECT doc_id, frame_idx,
+          |       16 + doc_id % 24 AS width,
+          |       12 + doc_id % 18 AS height,
+          |       round(CAST((doc_id + 17 * frame_idx) % 256 AS DOUBLE) / 255, 6)
+          |         AS brightness
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
     )
   )
 }

@@ -575,6 +575,94 @@ object Streams {
           |SELECT user_id, session_start_us, n, sum_value
           |FROM agg CROSS JOIN wm WHERE session_end_us < w
           |ORDER BY user_id, session_start_us""".stripMargin)
+    ),
+
+    // The reference's stated production sink is "writing to S3,
+    // Redshift, etc" (layer/python/dask_processing.py:26-27).
+    // q_jdbc_roundtrip (TierA) is the BATCH warehouse leg; this is the
+    // STREAMING leg: a continuously-maintained aggregate kept current
+    // in a relational store, one idempotent upsert per micro-batch via
+    // foreachBatch. Update mode emits only the keys each batch changed;
+    // the upsert (DELETE+INSERT per key, one transaction per partition)
+    // is deterministic-latest-state, so foreachBatch's at-least-once
+    // replays converge — exactly-once table contents WITHOUT requiring
+    // a transactional sink, the standard warehouse-upsert recipe.
+    // Embedded Derby stands in for Redshift; on a cluster only the JDBC
+    // URL changes (executors open client connections per partition —
+    // state partitions sized to 4 bound the per-batch connection fan-in,
+    // the warehouse-side knob that matters at scale).
+    QueryDef(
+      "q_stream_jdbc",
+      (s, dir) => {
+        System.setProperty("derby.system.home", graft.Staging.root)
+        val uniq = sinkSeq.incrementAndGet()
+        val db = graft.Staging.dir(s"stream_jdbc_db_$uniq")
+        val url = s"jdbc:derby:$db;create=true"
+        val c0 = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c0.createStatement()
+          try st.executeUpdate(
+            """CREATE TABLE event_rollup (
+              |  event_type VARCHAR(64) PRIMARY KEY,
+              |  n BIGINT, sum_value DOUBLE)""".stripMargin)
+          finally st.close()
+        } finally c0.close()
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStreamParquet(s, src, "q_stream_jdbc",
+          eventsJsonSchema, dir)
+        val agg = stream.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        withStatePartitions(s, 4) {
+          val q = agg.writeStream
+            .outputMode("update")
+            // durable external sink ⇒ durable checkpoint (tmpfs is for
+            // memory-sink drains only)
+            .option("checkpointLocation",
+              graft.Staging.dir(s"stream_jdbc_ck_$uniq"))
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               _: Long) =>
+                batch.foreachPartition {
+                  (rows: Iterator[org.apache.spark.sql.Row]) =>
+                    if (rows.hasNext) {
+                      val conn = java.sql.DriverManager.getConnection(url)
+                      try {
+                        conn.setAutoCommit(false)
+                        val del = conn.prepareStatement(
+                          "DELETE FROM event_rollup WHERE event_type = ?")
+                        val ins = conn.prepareStatement(
+                          "INSERT INTO event_rollup VALUES (?, ?, ?)")
+                        try {
+                          rows.foreach { r =>
+                            val k = r.getString(0)
+                            del.setString(1, k); del.executeUpdate()
+                            ins.setString(1, k)
+                            ins.setLong(2, r.getLong(1))
+                            ins.setDouble(3, r.getDouble(2))
+                            ins.executeUpdate()
+                          }
+                        } finally { del.close(); ins.close() }
+                        conn.commit()
+                      } finally conn.close()
+                    }
+                }
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        s.read.jdbc(url, "event_rollup", props)
+          .select(col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -220,4 +220,58 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - eg / 255.0) < 5e-7)
     }
   }
+
+  test("multimodal resize: thumbnail geometry and exact brightness") {
+    import operators.Multimodal
+    // geometry: longest edge → 16, aspect kept, truncating division
+    assert(Multimodal.thumbDims(48, 16, 16) == ((16, 5)))
+    assert(Multimodal.thumbDims(16, 16, 16) == ((16, 16)))
+    assert(Multimodal.thumbDims(17, 1, 16) == ((16, 1))) // 1-px floor
+    // kernel: constant-gray source resizes to constant-gray thumbnail
+    val (sw, sh, tw, th, b) =
+      Multimodal.resizeImage(Multimodal.encodePng(40, 20, 99), 16)
+    assert((sw, sh, tw, th) == ((40, 20, 16, 8)))
+    assert(b == 99.0 / 255)
+    // query level: matches the generator arithmetic per document
+    val rows = q("q_multimodal_resize").collect()
+    assert(rows.length == sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (ew, eh, eg) = Multimodal.imageParams(r.getLong(0))
+      val (etw, eth) = Multimodal.thumbDims(ew, eh, 16)
+      assert(r.getLong(1) == ew && r.getLong(2) == eh)
+      assert(r.getLong(3) == etw && r.getLong(4) == eth)
+      assert(math.abs(r.getDouble(5) - eg / 255.0) < 5e-7)
+    }
+  }
+
+  test("multimodal frame sample: GFV1 seek-skip decodes exactly the sampled frames") {
+    import operators.Multimodal
+    // kernel: stride 2 over a 7-frame clip → frames 0,2,4,6 with the
+    // per-frame gray drift; wrong container magic fails loudly
+    val clip = Multimodal.encodeClip(13L) // 7 frames (4 + 13%5)
+    val sampled = Multimodal.sampleFrames(clip, stride = 2)
+    assert(sampled.map(_._1) == Seq(0, 2, 4, 6))
+    sampled.foreach { case (i, w, h, b) =>
+      val (ew, eh, _) = Multimodal.clipParams(13L)
+      assert((w, h) == ((ew, eh)))
+      assert(b == Multimodal.frameGray(13L, i) / 255.0)
+    }
+    intercept[Exception] {
+      Multimodal.sampleFrames("GARBAGE!".getBytes, stride = 2)
+    }
+    // query level: one row per sampled frame of every 5th document
+    val rows = q("q_multimodal_framesample").collect()
+    val expected = sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 5 == 0)
+      .map(id => (Multimodal.clipParams(id)._3 + 1) / 2).sum
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      val id = r.getLong(0); val i = r.getLong(1).toInt
+      val (ew, eh, en) = Multimodal.clipParams(id)
+      assert(i % 2 == 0 && i < en)
+      assert(r.getLong(2) == ew && r.getLong(3) == eh)
+      assert(math.abs(r.getDouble(4) - Multimodal.frameGray(id, i) / 255.0) < 5e-7)
+    }
+  }
 }
