@@ -150,17 +150,77 @@ object Similarity {
     * linearly for recall. The ranking is the row_number top-k idiom,
     * which RewriteRowNumberTopK lowers to the bounded TopKPerKey
     * operator — the exchange carries ≤ nProbe rows per vector per input
-    * partition, never the n × nCells cross product. */
+    * partition, never the n × nCells cross product.
+    *
+    * `hierarchical = true` opts in to the two-level coarse quantizer
+    * below (requires nCells > 64). It is OFF by default on measured
+    * grounds, not caution: with cells scaling √n ([[ivfCellsFor]]),
+    * flat assignment (n·nCells dots) and probed search
+    * (n·nProbe·n/nCells dots) are BOTH n^1.5 with search ~12× larger
+    * at the tuned 6-probe shape, so assignment is a bounded ~8% slice
+    * of the query — cutting it to n^1.25 moved the 10× probe 10.6 →
+    * 10.7 s (noise) while the super-cell pruning cost measurable
+    * recall (0.546 → 0.505 at nProbeSuper=5, 0.487 at 4; SCALEPROBE
+    * .md). The hierarchy earns its keep only when assignment itself
+    * dominates — huge nCells regimes (cells ≫ √n, e.g. memory-bounded
+    * cell sizes) — so it stays an explicit knob rather than a
+    * default. */
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, trainIters: Int, nProbe: Int,
-                     corpusN: Long = -1L): DataFrame = {
+                     corpusN: Long = -1L, hierarchical: Boolean = false,
+                     nProbeSuper: Int = 5): DataFrame = {
     val cents = centroids(vectors, idCol, vecCol, nCells, trainIters, corpusN)
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
-      .withColumn("probe_rank", row_number().over(w).cast(LongType))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
+    if (!hierarchical || nCells <= 64) {
+      // flat ranking: exact nProbe-nearest cells
+      vectors.crossJoin(broadcast(cents))
+        .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
+        .withColumn("probe_rank", row_number().over(w).cast(LongType))
+        .filter(col("probe_rank") <= nProbe)
+        .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
+    } else {
+      // Two-level coarse quantizer (the IMI/IVF-tree shape): cluster
+      // the CENTROIDS into ~√nCells super-cells (tiny second k-means
+      // over nCells rows), rank super-cells per vector (n·√nCells),
+      // then rank only the centroids inside the nProbeSuper nearest
+      // supers (n·nProbeSuper·√nCells) — total n·√nCells·(1+nProbeSuper)
+      // dots, n^1.25 at √n cells. Both rankings are bounded row_number
+      // top-ks (TopKPerKey); both centroid tables broadcast; the two
+      // per-id shuffles share one exchange (same key). The IMI trade:
+      // a vector's true nProbe cells can straddle an unprobed super —
+      // nProbeSuper is the recall-back knob.
+      val nSuper = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+      // pin the trained centroids ONCE: three lazy consumers follow
+      // (super-training, the cell→super map, the probe chain), and each
+      // broadcast would otherwise re-run the full Lloyd lineage
+      // (measured 21.8 s vs 10.6 s flat on the 10× probe). nCells rows
+      // of 64 doubles — trivially safe to pin
+      val centsP = cents.localCheckpoint()
+      val superCents = trainCentroids(
+        centsP.select(col("cell_id").as("sid"), col("cent").as("sv")),
+        "sid", "sv", nSuper, iters = 2, corpusN = nCells)
+        .select(col("cell_id").as("super_id"), col("cent").as("scent"))
+      // each centroid's home super-cell: nCells × nSuper rows, map-side
+      // argmax — one row per centroid out
+      val cellToSuper = centsP.crossJoin(broadcast(superCents))
+        .withColumn("ssim", VectorFns.cosineFast(col("cent"), col("scent")))
+        .groupBy(col("cell_id"))
+        .agg(first(col("cent")).as("cent"),
+          max(struct(col("ssim"), (-col("super_id")).as("neg"))).as("best"))
+        .select(col("cell_id"), col("cent"), (-col("best.neg")).as("super_id"))
+      val ws = Window.partitionBy(col(idCol))
+        .orderBy(col("ssim").desc, col("super_id"))
+      vectors.crossJoin(broadcast(superCents))
+        .withColumn("ssim", VectorFns.cosineFast(col(vecCol), col("scent")))
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= nProbeSuper)
+        .select(col(idCol), col(vecCol), col("super_id"))
+        .join(broadcast(cellToSuper), "super_id")
+        .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
+        .withColumn("probe_rank", row_number().over(w).cast(LongType))
+        .filter(col("probe_rank") <= nProbe)
+        .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
+    }
   }
 
   /** IVF-style index: assign every vector to its single nearest centroid.

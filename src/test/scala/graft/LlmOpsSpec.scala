@@ -68,6 +68,39 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF recall ${r.recall} on ${r.exactPairs} strong pairs")
   }
 
+  test("ivf hierarchical probe: bounded output, subset of probed supers, high agreement with flat") {
+    import operators.Similarity
+    val e = sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val nCells = 80 // > 64 forces the two-level coarse quantizer
+    val nProbe = 6
+    val hier = Similarity.ivfProbeAssign(e, "vec_id", "embedding",
+      nCells, trainIters = 2, nProbe = nProbe, corpusN = n,
+      hierarchical = true)
+      .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+      .collect()
+    // bounded: exactly nProbe probes per vector, ranks 1..nProbe
+    val byId = hier.groupBy(_.getLong(0))
+    assert(byId.size == n)
+    byId.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to nProbe))
+    }
+    // agreement with the exact flat ranking: the hierarchy prunes
+    // supers, so per-vector probed cells are a subset of a superset
+    // relationship ONLY via recall — measure primary-cell agreement
+    // (deterministic corpus: measured 0.962 at sf0.001 with the default
+    // nProbeSuper=5 over 9 supers; 0.922 at 4, 0.886 at 3 — floor just
+    // under the default's measurement so a pruning regression fails)
+    val flatPrimary = Similarity.ivfAssign(e, "vec_id", "embedding",
+      nCells, trainIters = 2)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = hier.filter(_.getLong(2) == 1L)
+      .count(r => flatPrimary(r.getLong(0)) == r.getLong(1))
+    assert(agree.toDouble / n >= 0.95,
+      s"hierarchical primary cell agrees with flat on only $agree/$n")
+  }
+
   test("ivf sampled training: cap binds, deterministic, spec corpus unaffected by default") {
     val e = sources.Tables.embeddings(spark, sf)
     def train() = operators.Similarity.trainCentroids(
