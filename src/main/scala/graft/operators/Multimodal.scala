@@ -209,6 +209,69 @@ object Multimodal {
     out.toSeq
   }
 
+  /** Typed audio-decode result. */
+  final case class DecodedAudio(doc_id: Long, channels: Long,
+                                sample_rate: Long, n_frames: Long,
+                                rms: Double)
+
+  /** Per-document audio parameters: (frame count, square-wave amplitude,
+    * period in frames). Pure functions of doc_id; the RMS of a ±A square
+    * wave is exactly A, so the decode output has an exact SQL oracle. */
+  def audioParams(docId: Long): (Int, Int, Int) =
+    (800 + (docId % 400).toInt, 1000 + (docId % 7).toInt * 1000,
+      16 + (docId % 16).toInt)
+
+  /** Encode a genuine RIFF/WAVE file (PCM signed 16-bit mono, 8 kHz)
+    * via the JDK's sampled-audio stack — the audio analog of
+    * [[encodePng]]. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val (n, amp, period) = audioParams(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((2 * i / period) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: parse the container with the JDK codec, read
+    * the PCM frames, return (channels, sample rate, frame count, RMS of
+    * the 16-bit samples). For the staged ±A square waves RMS is exactly
+    * A (every |sample| is A; A² sums stay inside exact-integer doubles;
+    * sqrt of a perfect square is exact). */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Double) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"unsupported PCM layout: $f")
+      val raw = ais.readAllBytes()
+      val nSamples = raw.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        sumSq += v.toDouble * v
+        i += 1
+      }
+      val frames = nSamples.toLong / f.getChannels
+      (f.getChannels, f.getSampleRate.toInt, frames,
+        if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples))
+    } finally ais.close()
+  }
+
   /** The staged PNG corpus (one genuine PNG per document, pixels a pure
     * function of doc_id) — built once per source tree and shared by the
     * decode and resize queries. */
@@ -434,6 +497,57 @@ object Multimodal {
           |       round(CAST((doc_id + 17 * frame_idx) % 256 AS DOUBLE) / 255, 6)
           |         AS brightness
           |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+
+    // B49(f) — audio: genuine RIFF/WAVE files (PCM 16-bit mono square
+    // waves, parameters pure functions of doc_id) staged once for a
+    // 1-in-4 document slice, ingested via binaryFile, decoded by the
+    // JDK's sampled-audio codec in a typed mapPartitions kernel —
+    // container parse, format introspection, full PCM read, RMS. The
+    // RMS of a ±A square wave is exactly A, so the decode output is
+    // oracled exactly (completing the image/video/audio triple).
+    QueryDef(
+      "q_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val wavDir = graft.Staging.cached(
+          s"wav_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .filter(_ % 4 == 1)
+            .foreachPartition { (it: Iterator[Long]) =>
+              it.foreach { id =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.wav"),
+                  encodeWav(id))
+              }
+            }
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav")
+          .load(wavDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val (ch, sr, nf, rms) = decodeAudio(bytes)
+              DecodedAudio(id, ch.toLong, sr.toLong, nf, rms)
+            }
+          }
+          .toDF()
+          .withColumn("rms", round(col("rms"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, CAST(1 AS BIGINT) AS channels,
+          |       CAST(8000 AS BIGINT) AS sample_rate,
+          |       800 + doc_id % 400 AS n_frames,
+          |       round(CAST(1000 + (doc_id % 7) * 1000 AS DOUBLE), 6) AS rms
+          |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -277,6 +277,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal audio: real WAV codec round-trips format, frames and exact RMS") {
+    import operators.Multimodal
+    val (n, amp, _) = Multimodal.audioParams(42L)
+    val (ch, sr, nf, rms) = Multimodal.decodeAudio(Multimodal.encodeWav(42L))
+    assert((ch, sr, nf) == ((1, 8000, n.toLong)))
+    assert(rms == amp.toDouble) // ±A square wave: RMS is exactly A
+    // non-audio bytes must fail loudly, not fabricate a format
+    intercept[Exception] { Multimodal.decodeAudio("not audio".getBytes) }
+    // query level: every staged document decodes to its parameters
+    val rows = q("q_multimodal_audio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (en, eamp, _) = Multimodal.audioParams(r.getLong(0))
+      assert(r.getLong(1) == 1L && r.getLong(2) == 8000L)
+      assert(r.getLong(3) == en.toLong)
+      assert(r.getDouble(4) == eamp.toDouble)
+    }
+  }
+
   test("multimodal frame sample: GFV1 seek-skip decodes exactly the sampled frames") {
     import operators.Multimodal
     // kernel: stride 2 over a 7-frame clip → frames 0,2,4,6 with the
