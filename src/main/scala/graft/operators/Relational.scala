@@ -322,6 +322,43 @@ object Relational {
           |ORDER BY s_suppkey, c_custkey""".stripMargin)
     ),
 
+    // B11 at scale — the SAME band join, re-expressed as a bucketed
+    // equi-join: the large-large path the broadcast form above can't
+    // take. Bucket width = the band span (200), so each build row
+    // replicates into ≤ 2 buckets (explode) and each probe row maps to
+    // exactly 1; the equi-join on bucket shuffles BOTH sides by bucket
+    // (hash-partitioned, AQE-skew-splittable, runtime-filterable), and
+    // the residual band predicate filters inside the bucket. Work is
+    // Σ bucket_c × bucket_s instead of |C| × |S| — the standard
+    // interval-bin rewrite for range joins where neither side
+    // broadcasts. floor() (not a cast) keeps negative acctbals in the
+    // right bucket. Identical output and oracle to q_join_range.
+    QueryDef(
+      "q_join_range_binned",
+      (s, dir) => {
+        val W = 200.0
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_acctbal"))
+          .withColumn("bucket", explode(sequence(
+            floor((col("s_acctbal") - 100.0) / W).cast("long"),
+            floor((col("s_acctbal") + 100.0) / W).cast("long"))))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .withColumn("bucket", floor(col("c_acctbal") / W).cast("long"))
+        c.join(sup, Seq("bucket"))
+          .filter(col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+            col("c_acctbal") <= col("s_acctbal") + 100.0)
+          .select(col("s_suppkey"), col("c_custkey"),
+            col("s_acctbal"), col("c_acctbal"))
+          .orderBy(col("s_suppkey"), col("c_custkey"))
+      },
+      Some(
+        """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+          |FROM customer JOIN supplier
+          |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+          |ORDER BY s_suppkey, c_custkey""".stripMargin)
+    ),
+
     // B12 — as-of join: each event picks up the id of the latest
     // purchase event (<= its ts) by the same user. See [[AsOf]].
     QueryDef(

@@ -92,6 +92,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_join_range_binned plans the band join as an equi-join (no nested loop)") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must not plan a nested loop:\n$p")
+    // the join must key on the bucket column — the property that lets
+    // both sides shuffle-partition (large-large capable)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), // hash family on the equi-key
+      s"expected a hash/merge equi-join on bucket:\n$p")
+    // and it produces exactly the broadcast band join's rows
+    val a = q("q_join_range_binned").collect().map(_.toSeq)
+    val b = q("q_join_range").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "binned rewrite must be result-identical")
+  }
+
   test("q_text_tfidf's per-doc top-k plans as the bounded TopKPerKey operator") {
     // the row_number()+filter idiom must keep rewriting even through the
     // cast/Project Catalyst inserts between the filter and the window
