@@ -146,6 +146,123 @@ object Analytics {
           |                 CAST(max(o_orderdate) AS DATE)) AS active_days
           |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
           |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Ordered funnel conversion (view → click → purchase): the event-
+    // analytics shape where ORDER matters, not just presence. Three
+    // chained running-min windows over ONE per-user partition (a single
+    // shuffle; each pass is a streaming frame over the sorted run):
+    // rv = earliest view so far; rc = earliest click at-or-after a
+    // view; rp = earliest purchase at-or-after such a click. Ties
+    // broken by (ts, event_id) identically on both engines. Scale: one
+    // hash exchange on user_id, state per row is three longs — the
+    // same plan at 100 TB with users spread across executors.
+    QueryDef(
+      "q_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("rv",
+            min(when(col("event_type") === "view", col("ts_us"))).over(w))
+          .withColumn("rc",
+            min(when(col("event_type") === "click" && col("rv").isNotNull,
+              col("ts_us"))).over(w))
+          .withColumn("rp",
+            min(when(col("event_type") === "purchase" && col("rc").isNotNull,
+              col("ts_us"))).over(w))
+        e.groupBy(col("user_id"))
+          .agg(min(col("rv")).as("first_view_us"),
+            min(col("rc")).as("first_click_us"),
+            min(col("rp")).as("first_purchase_us"))
+          .select(col("user_id"), col("first_view_us"),
+            col("first_click_us"), col("first_purchase_us"),
+            (when(col("first_purchase_us").isNotNull, 3L)
+              .when(col("first_click_us").isNotNull, 2L)
+              .when(col("first_view_us").isNotNull, 1L)
+              .otherwise(0L)).as("funnel_stage"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH st AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          |  FROM events),
+          |w1 AS (
+          |  SELECT *,
+          |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+          |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS rv
+          |  FROM st),
+          |w2 AS (
+          |  SELECT *,
+          |    min(CASE WHEN event_type = 'click' AND rv IS NOT NULL
+          |             THEN ts_us END)
+          |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS rc
+          |  FROM w1),
+          |w3 AS (
+          |  SELECT *,
+          |    min(CASE WHEN event_type = 'purchase' AND rc IS NOT NULL
+          |             THEN ts_us END)
+          |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS rp
+          |  FROM w2)
+          |SELECT user_id,
+          |       min(rv) AS first_view_us,
+          |       min(rc) AS first_click_us,
+          |       min(rp) AS first_purchase_us,
+          |       CASE WHEN min(rp) IS NOT NULL THEN 3
+          |            WHEN min(rc) IS NOT NULL THEN 2
+          |            WHEN min(rv) IS NOT NULL THEN 1
+          |            ELSE 0 END AS funnel_stage
+          |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // SCD type-2 history build: the warehouse-dimension shape — collapse
+    // an event feed into attribute VALIDITY INTERVALS (change detection
+    // via lag ≠, then valid_to = next change's valid_from). Complements
+    // q_replay_upsert (latest-wins = SCD1): here history is retained.
+    // One per-user partition carries both window passes — a single
+    // shuffle; intervals are exact integers (epoch µs), no floats
+    // anywhere. is_current flags the open interval.
+    QueryDef(
+      "q_scd2_history",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wo = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val changes = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wo))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wo))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_us"))
+      },
+      Some(
+        """WITH st AS (
+          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY epoch_us(ts), event_id) AS prev_type
+          |  FROM events),
+          |ch AS (
+          |  SELECT user_id, event_id, event_type, ts_us
+          |  FROM st WHERE prev_type IS NULL OR prev_type <> event_type)
+          |SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+          |       lead(ts_us) OVER (PARTITION BY user_id
+          |         ORDER BY ts_us, event_id) AS valid_to_us,
+          |       lead(ts_us) OVER (PARTITION BY user_id
+          |         ORDER BY ts_us, event_id) IS NULL AS is_current
+          |FROM ch ORDER BY user_id, valid_from_us""".stripMargin)
     )
   )
 }
