@@ -263,6 +263,49 @@ object Analytics {
           |       lead(ts_us) OVER (PARTITION BY user_id
           |         ORDER BY ts_us, event_id) IS NULL AS is_current
           |FROM ch ORDER BY user_id, valid_from_us""".stripMargin)
+    ),
+
+    // Cohort retention matrix: users grouped by signup week, activity
+    // counted per weeks-since-signup — the growth-analytics staple.
+    // Both engines truncate weeks to Monday; week distance is exact
+    // integer day arithmetic on the truncated dates. Distinct users
+    // per (cohort, offset) goes through a pre-aggregate on (cohort,
+    // offset, user) — partial-combined, no ExpandExec — then a plain
+    // count (the q_revenue_by_nation lesson). Scale: one shuffle per
+    // user for cohorts, one join of events to the per-user cohort
+    // (shuffle on user_id), one bounded rollup.
+    QueryDef(
+      "q_retention_cohorts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+        val cohorts = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+        e.join(cohorts, "user_id")
+          .filter(col("wk") >= col("cohort_week"))
+          .withColumn("weeks_since",
+            (datediff(col("wk"), col("cohort_week")) / 7).cast(LongType))
+          .groupBy(col("cohort_week"), col("weeks_since"), col("user_id")).agg(count(lit(1)).as("_n"))
+          .groupBy(col("cohort_week"), col("weeks_since"))
+          .agg(count(lit(1)).as("n_active_users"))
+          .orderBy(col("cohort_week"), col("weeks_since"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, event_type,
+          |         CAST(date_trunc('week', ts) AS DATE) AS wk
+          |  FROM events),
+          |cohorts AS (
+          |  SELECT user_id, min(wk) AS cohort_week
+          |  FROM e WHERE event_type = 'signup' GROUP BY user_id)
+          |SELECT cohort_week,
+          |       date_diff('day', cohort_week, wk) // 7 AS weeks_since,
+          |       count(DISTINCT e.user_id) AS n_active_users
+          |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
+          |WHERE wk >= cohort_week
+          |GROUP BY cohort_week, weeks_since
+          |ORDER BY cohort_week, weeks_since""".stripMargin)
     )
   )
 }
