@@ -156,6 +156,38 @@ object Streams {
         .foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
     }
 
+  /** Idempotent warehouse-upsert kernel for one partition of an
+    * update-mode aggregate batch: per key DELETE + INSERT of the
+    * latest state inside ONE transaction per partition. Deterministic
+    * latest-state semantics make re-application a no-op, which is what
+    * lets foreachBatch's at-least-once replays converge to
+    * exactly-once table contents without a transactional sink
+    * (StreamsSpec pins this). Runs on executors: one connection per
+    * partition per micro-batch — the warehouse-side fan-in knob. */
+  def jdbcUpsertPartition(url: String,
+                          rows: Iterator[org.apache.spark.sql.Row]): Unit =
+    if (rows.hasNext) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(
+          "DELETE FROM event_rollup WHERE event_type = ?")
+        val ins = conn.prepareStatement(
+          "INSERT INTO event_rollup VALUES (?, ?, ?)")
+        try {
+          rows.foreach { r =>
+            val k = r.getString(0)
+            del.setString(1, k); del.executeUpdate()
+            ins.setString(1, k)
+            ins.setLong(2, r.getLong(1))
+            ins.setDouble(3, r.getDouble(2))
+            ins.executeUpdate()
+          }
+        } finally { del.close(); ins.close() }
+        conn.commit()
+      } finally conn.close()
+    }
+
   private val eventsJsonSchema =
     StructType.fromDDL("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
 
@@ -594,6 +626,9 @@ object Streams {
     QueryDef(
       "q_stream_jdbc",
       (s, dir) => {
+        // (upsert kernel: [[jdbcUpsertPartition]] — deterministic
+        // latest-state per key, so foreachBatch replays converge;
+        // StreamsSpec proves re-applying a batch is a no-op)
         System.setProperty("derby.system.home", graft.Staging.root)
         val uniq = sinkSeq.incrementAndGet()
         val db = graft.Staging.dir(s"stream_jdbc_db_$uniq")
@@ -626,27 +661,7 @@ object Streams {
                _: Long) =>
                 batch.foreachPartition {
                   (rows: Iterator[org.apache.spark.sql.Row]) =>
-                    if (rows.hasNext) {
-                      val conn = java.sql.DriverManager.getConnection(url)
-                      try {
-                        conn.setAutoCommit(false)
-                        val del = conn.prepareStatement(
-                          "DELETE FROM event_rollup WHERE event_type = ?")
-                        val ins = conn.prepareStatement(
-                          "INSERT INTO event_rollup VALUES (?, ?, ?)")
-                        try {
-                          rows.foreach { r =>
-                            val k = r.getString(0)
-                            del.setString(1, k); del.executeUpdate()
-                            ins.setString(1, k)
-                            ins.setLong(2, r.getLong(1))
-                            ins.setDouble(3, r.getDouble(2))
-                            ins.executeUpdate()
-                          }
-                        } finally { del.close(); ins.close() }
-                        conn.commit()
-                      } finally conn.close()
-                    }
+                    jdbcUpsertPartition(url, rows)
                 }
             }
             .trigger(Trigger.AvailableNow())

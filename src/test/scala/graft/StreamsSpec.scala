@@ -262,6 +262,45 @@ class StreamsSpec extends SparkSpec {
     assert(rows.forall(_.getString(2).startsWith("data/year=2")))
   }
 
+  test("B41: JDBC upsert kernel is idempotent — replaying a batch is a no-op") {
+    import org.apache.spark.sql.Row
+    System.setProperty("derby.system.home", Staging.root)
+    val url = s"jdbc:derby:${Staging.dir("upsert_spec_db")};create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c0.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE event_rollup (
+          |  event_type VARCHAR(64) PRIMARY KEY,
+          |  n BIGINT, sum_value DOUBLE)""".stripMargin)
+      finally st.close()
+    } finally c0.close()
+    def table(): Set[(String, Long, Double)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT event_type, n, sum_value FROM event_rollup")
+        val b = Set.newBuilder[(String, Long, Double)]
+        while (rs.next()) b += ((rs.getString(1), rs.getLong(2), rs.getDouble(3)))
+        b.result()
+      } finally c.close()
+    }
+    val batch1 = Seq(Row("click", 10L, 1.5), Row("view", 3L, 0.25))
+    streaming.Streams.jdbcUpsertPartition(url, batch1.iterator)
+    val after1 = table()
+    assert(after1 == Set(("click", 10L, 1.5), ("view", 3L, 0.25)))
+    // at-least-once redelivery of the SAME batch: table unchanged
+    streaming.Streams.jdbcUpsertPartition(url, batch1.iterator)
+    assert(table() == after1)
+    // a later batch updates only its keys (update-mode delta shape)
+    streaming.Streams.jdbcUpsertPartition(url,
+      Iterator(Row("click", 12L, 2.0)))
+    assert(table() == Set(("click", 12L, 2.0), ("view", 3L, 0.25)))
+    // empty partition: no connection churn, no change
+    streaming.Streams.jdbcUpsertPartition(url, Iterator.empty)
+    assert(table() == Set(("click", 12L, 2.0), ("view", 3L, 0.25)))
+  }
+
   test("B41: parquet sink with checkpoint writes exactly the input rows") {
     val dir = freshDir("sink_src")
     val out = freshDir("sink_out")
