@@ -107,6 +107,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "binned rewrite must be result-identical")
   }
 
+  test("q_funnel: one hash exchange feeds all three window passes and the per-user agg") {
+    val p = plan("q_funnel")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"funnel must shuffle once on user_id (found $hashEx hash exchanges):\n$p")
+    // three chained running-min windows, stacked on the single exchange
+    assert(p.linesIterator.count(_.contains("windowspecdefinition(user_id")) == 3, p)
+  }
+
   test("q_text_tfidf's per-doc top-k plans as the bounded TopKPerKey operator") {
     // the row_number()+filter idiom must keep rewriting even through the
     // cast/Project Catalyst inserts between the filter and the window
