@@ -434,11 +434,15 @@ object Dedup {
         val cands = Similarity.annCandidates(e, "vec_id", "embedding")
           .filter(col("qid") < col("nid"))
           .select(col("qid").as("vec_a"), col("nid").as("vec_b"))
+        // shuffle_hash: SMJ would sort the pair stream while it carries
+        // the first-attached vector (wide rows, all-core spill at the
+        // 30× probe); SHJ builds on the narrow vector relation and
+        // streams the wide side
         cands
           .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-            col("nrm").as("na")), "vec_a")
+            col("nrm").as("na")).hint("shuffle_hash"), "vec_a")
           .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-            col("nrm").as("nb")), "vec_b")
+            col("nrm").as("nb")).hint("shuffle_hash"), "vec_b")
           .withColumn("cos_raw",
             VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("cos_raw") >= 0.4499)

@@ -65,15 +65,20 @@ object Similarity {
   def ivfCellsFor(n: Long): Int =
     math.max(32, math.round(32.0 * math.sqrt(n / 2000.0)).toInt)
 
-  /** Corpus exploded to one row per (table, bucket) — the ANN index. */
+  /** Corpus exploded to one row per (table, bucket) — the ANN index.
+    * Every row also carries `lsh_sig`, the vector's FULL per-table
+    * bucket array (nTables longs, computed inline from the same
+    * hyperplanes — no joins): the payload that lets the candidate
+    * join dedup OR-amplified pairs statelessly (see
+    * [[annCandidates]]). */
   def annIndex(vectors: DataFrame, idCol: String, vecCol: String,
                nTables: Int = 4, planesPerTable: Int = 2): DataFrame = {
     val planes = hyperplanes(nTables, planesPerTable, dim = 64)
-    val tables = (0 until nTables).map { t =>
-      vectors.select(col(idCol), col(vecCol),
-        lit(t).as("lsh_table"), bucketFor(col(vecCol), planes(t)).as("lsh_bucket"))
-    }
-    tables.reduce(_ unionByName _)
+    vectors.select(col(idCol), col(vecCol),
+        array((0 until nTables).map(t =>
+          bucketFor(col(vecCol), planes(t))): _*).as("lsh_sig"))
+      .select(col(idCol), col(vecCol), col("lsh_sig"),
+        posexplode(col("lsh_sig")).as(Seq("lsh_table", "lsh_bucket")))
   }
 
   /** Spherical-k-means centroids trained with `iters` Lloyd rounds, run
@@ -244,8 +249,21 @@ object Similarity {
   }
 
   /** Candidate id-pairs sharing ≥1 LSH bucket — ids only, so the bucket
-    * self-join and the (qid, nid) dedup shuffle never carry vectors.
-    * Shared by the ANN search and the LSH embedding-dedup paths. */
+    * self-join never carries vectors. Shared by the ANN search and the
+    * LSH embedding-dedup paths.
+    *
+    * OR-amplification dedup is STATELESS: each side carries its full
+    * per-table bucket signature (`lsh_sig`, nTables longs), and a pair
+    * is emitted only at the SMALLEST table where it collides — i.e.
+    * keep iff no earlier table has qsig[t'] == nsig[t']. A pure
+    * streaming filter over the join output. The previous form
+    * (`dropDuplicates(qid, nid)`) was a hash aggregate whose state is
+    * the entire candidate set: at the 30× probe (≈128M candidate
+    * occurrences through 32 partitions) the aggregate maps overflowed
+    * into sort-based spill (`UnsafeKVExternalSorter`) and the family
+    * went ~quadratic-looking (q_similarity_ann 21.5 s at 10× → 381 s
+    * at 30×; SCALEPROBE.md). Emit-once keeps candidate dedup O(1)
+    * state per row at ANY corpus size. */
   def annCandidates(vectors: DataFrame, idCol: String, vecCol: String,
                     nTables: Int = 4, planesPerTable: Int = -1): DataFrame = {
     // -1 = size the tables to the corpus (one cheap count) so bucket
@@ -254,13 +272,24 @@ object Similarity {
       if (planesPerTable > 0) planesPerTable
       else planesFor(vectors.count())
     val idx = annIndex(vectors, idCol, vecCol, nTables, planes)
-      .select(col("lsh_table"), col("lsh_bucket"), col(idCol))
-    idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("qid"))
-      .join(idx.select(col("lsh_table"), col("lsh_bucket"), col(idCol).as("nid")),
-        Seq("lsh_table", "lsh_bucket"))
+    val q = idx.select(col("lsh_table"), col("lsh_bucket"),
+      col(idCol).as("qid"), col("lsh_sig").as("qsig"))
+    val n = idx.select(col("lsh_table"), col("lsh_bucket"),
+      col(idCol).as("nid"), col("lsh_sig").as("nsig"))
+    // emit-once: no table before this one already collided. Expanded
+    // as a plain conjunction over element_at (∀ t: lsh_table ≤ t ∨
+    // qsig[t] ≠ nsig[t]) — NOT as exists/slice/zip_with: higher-order
+    // functions are interpreted and would knock the whole candidate
+    // join out of whole-stage codegen (measured 2-3× on the sf0.1
+    // family when this predicate was HOF-shaped)
+    val emitOnce = (0 until nTables - 1).map { t =>
+      col("lsh_table") <= t ||
+        element_at(col("qsig"), t + 1) =!= element_at(col("nsig"), t + 1)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    q.join(n, Seq("lsh_table", "lsh_bucket"))
       .filter(col("qid") =!= col("nid"))
+      .filter(emitOnce)
       .select(col("qid"), col("nid"))
-      .dropDuplicates("qid", "nid")
   }
 
   private def topkBrute(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
@@ -312,14 +341,22 @@ object Similarity {
         // join leaves the stream hash-partitioned on qid, which the
         // top-k window reuses without another exchange.
         val cands = annCandidates(e, "vec_id", "embedding")
+        // shuffle_hash on the vector side: a sort-merge join would SORT
+        // the pair stream while it carries 64-float vectors (~560 B
+        // rows) — measured as all-core spill at the 30× probe; a
+        // shuffled hash join builds on the (narrow) vector relation and
+        // STREAMS the wide side
         val withVecs = cands
           .join(e.select(col("vec_id").as("nid"),
-            col("embedding").as("nvec")), "nid")
+            col("embedding").as("nvec")).hint("shuffle_hash"), "nid")
           .join(e.select(col("vec_id").as("qid"),
-            col("embedding").as("qvec")), "qid")
+            col("embedding").as("qvec")).hint("shuffle_hash"), "qid")
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         withVecs
           .withColumn("cos", round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
+          // narrow BEFORE ranking: the top-k sort must order (qid, nid,
+          // cos) 24-byte rows, not rows still carrying both vectors
+          .select(col("qid"), col("nid"), col("cos"))
           .withColumn("rnk", row_number().over(w).cast(LongType))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("rnk"), col("nid"), col("cos"))
