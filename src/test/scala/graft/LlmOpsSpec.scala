@@ -54,6 +54,32 @@ class LlmOpsSpec extends SparkSpec {
       s"LSH dedup recall ${r.recall} on ${r.exactPairs} pairs")
   }
 
+  test("ann emit-once candidates == naive dropDuplicates over all tables") {
+    // the stateless OR-amplification dedup (keep a pair only at its
+    // smallest colliding table) must produce EXACTLY the distinct
+    // candidate set of the aggregate formulation it replaced
+    import operators.Similarity
+    val e = sources.Tables.embeddings(spark, sf)
+    val emitOnce = Similarity.annCandidates(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idx = Similarity.annIndex(e, "vec_id", "embedding", 4,
+      Similarity.planesFor(e.count()))
+      .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
+    val naive = idx.select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("qid"))
+      .join(idx.select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("nid")),
+        Seq("lsh_table", "lsh_bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once each (no duplicate emissions), same set
+    assert(emitOnce.length == emitOnce.toSet.size, "duplicate emissions")
+    assert(emitOnce.toSet == naive.toSet,
+      s"emit-once diverges: only-new=${(emitOnce.toSet -- naive).take(3)} " +
+        s"missing=${(naive.toSet -- emitOnce).take(3)}")
+    assert(naive.nonEmpty)
+  }
+
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
     val e = sources.Tables.embeddings(spark, sf)
     val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
