@@ -426,6 +426,91 @@ object TextAnalysis {
           |       count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
           |         string_split(lower(text), ' '))), ' '))) AS n_same_fp
           |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — BM25 retrieval (Robertson/Spärck Jones; k1=1.2,
+    // b=0.75): every doc_id ≡ 0 (mod 100) is a query, scored against
+    // the rest of the corpus, top-10 per query. The plan is the classic
+    // distributed inverted-index shape: tf/df/doclen are corpus
+    // aggregates computed once; the (query-term × posting) join is
+    // TERM-keyed, so its volume is Σ_q Σ_{t∈q} df(t). At 100 TB the
+    // standard lever on that fan-out is pruning high-df terms (their
+    // idf ≈ 0) — NOT applied here because the synthetic vocabulary is
+    // 31 words and every term sits above any sane df cut. The
+    // corpus stats arrive as a broadcast 1-row aggregate, scores are
+    // rounded BEFORE ranking (cross-engine-stable order), and the
+    // row_number top-k lowers to the bounded TopKPerKey operator.
+    QueryDef(
+      "q_text_bm25",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        val isQuery = pmod(col("doc_id"), lit(100L)) === 0L
+        val qTerms = docs.filter(isQuery)
+          .select(col("doc_id").as("query_id"),
+            explode(array_distinct(col("ts"))).as("term"))
+        val corpus = docs.filter(!isQuery)
+        val tf = corpus
+          .select(col("doc_id"), explode(col("ts")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val dl = corpus.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
+        val stats = corpus.agg(count(lit(1)).as("n"),
+          avg(size(col("ts"))).as("avgdl"))
+        val contrib = qTerms
+          .join(dfq, "term")
+          .crossJoin(broadcast(stats))
+          .join(tf, "term")
+          .join(dl.hint("shuffle_hash"), "doc_id")
+          .withColumn("c",
+            log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
+              (col("df").cast(DoubleType) + 0.5)) *
+              col("tf").cast(DoubleType) * 2.2 /
+              (col("tf").cast(DoubleType) +
+                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
+        val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(col("c")), 4).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+        scores.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+          |q AS (
+          |  SELECT doc_id AS query_id, unnest(list_distinct(ts)) AS term
+          |  FROM tok WHERE doc_id % 100 = 0),
+          |corpus AS (SELECT doc_id, ts FROM tok WHERE doc_id % 100 <> 0),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf
+          |  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus) GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |dl AS (SELECT doc_id, len(ts) AS dl FROM corpus),
+          |stats AS (
+          |  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM corpus),
+          |contrib AS (
+          |  SELECT q.query_id, tf.doc_id,
+          |         ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) /
+          |                  (CAST(df AS DOUBLE) + 0.5)) *
+          |         CAST(tf.tf AS DOUBLE) * 2.2 /
+          |         (CAST(tf.tf AS DOUBLE) +
+          |          1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS c
+          |  FROM q JOIN dfq USING (term) CROSS JOIN stats
+          |       JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id),
+          |scores AS (
+          |  SELECT query_id, doc_id, round(sum(c), 4) AS score
+          |  FROM contrib GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, score,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS rnk
+          |  FROM scores)
+          |SELECT query_id, rnk, doc_id, score FROM ranked
+          |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
     )
   )
 }
