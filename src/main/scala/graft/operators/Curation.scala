@@ -383,6 +383,117 @@ object Curation {
            |       round((CAST(sum(CAST(round(quality_score * 1000000.0) AS BIGINT)) AS DOUBLE)
            |              / 1000000.0) / count(*), 6) AS avg_quality
            |FROM keepers GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // North star — domain-mixture resampling: reweight the corpus so
+    // each source lands at a TARGET share of a 50%-of-corpus budget
+    // (weights 1..4 derived from the source index — the "mix recipe" a
+    // pretraining run pins per domain). Two-phase shape that scales:
+    // phase 1 is a tiny per-source count (broadcast back — never a
+    // driver collect), phase 2 derives each source's keep-rate
+    // rate = min(1, budget·w/Σw / n_s) and keeps a doc iff its salted
+    // md5 bucket (16 bits) falls under rate·65536 — membership is a
+    // pure function of (doc_id, recipe): reproducible across engines,
+    // runs, repartitions, and incremental re-ingests, and any doc's
+    // fate is answerable point-wise. The fact side streams through one
+    // projection+filter; nothing shuffles but the final per-source agg.
+    QueryDef(
+      "q_mix_domains",
+      (s, dir) => {
+        val perSrc = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("wgt",
+            pmod(substring(col("source"), 4, 10).cast(LongType), lit(4L)) + 1L)
+        val tot = perSrc.agg(
+          sum(col("n_docs")).as("total"), sum(col("wgt")).as("sumw"))
+        val rates = perSrc.crossJoin(broadcast(tot))
+          .withColumn("rate",
+            least(lit(1.0),
+              col("total").cast(DoubleType) * 0.5 * col("wgt") / col("sumw")
+                / col("n_docs")))
+          .select(col("source"), col("n_docs"), col("rate"))
+        val bucket = conv(substring(
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast(LongType)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), bucket.as("bucket"))
+          .join(broadcast(rates), "source")
+          .withColumn("kept", col("bucket") < col("rate") * 65536.0)
+          .groupBy(col("source"))
+          .agg(
+            first(col("n_docs")).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            round(first(col("rate")), 6).as("target_rate"))
+          .withColumn("kept_frac",
+            round(col("n_kept").cast(DoubleType) / col("n_docs"), 6))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("target_rate"), col("kept_frac"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH per_src AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt
+          |  FROM documents GROUP BY source),
+          |tot AS (SELECT sum(n_docs) AS total, sum(wgt) AS sumw FROM per_src),
+          |rates AS (
+          |  SELECT source, n_docs,
+          |         least(1.0, CAST(total AS DOUBLE) * 0.5 * wgt / sumw / n_docs)
+          |           AS rate
+          |  FROM per_src CROSS JOIN tot),
+          |marked AS (
+          |  SELECT d.source, r.n_docs, r.rate,
+          |         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+          |              AS BIGINT) < r.rate * 65536.0 AS kept
+          |  FROM documents d JOIN rates r USING (source))
+          |SELECT source, n_docs,
+          |       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+          |       round(rate, 6) AS target_rate,
+          |       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / n_docs, 6)
+          |         AS kept_frac
+          |FROM marked GROUP BY source, n_docs, rate
+          |ORDER BY source""".stripMargin)
+    ),
+
+    // North star — per-source dataset card: the summary table a curation
+    // run publishes alongside the shards (volume, token budget, exact-dup
+    // rate, language spread). One partial+final aggregate over a per-row
+    // projection — the shuffle carries 20 source rows, not documents.
+    // Exact-dup rate rides the same aggregate as approx_count_distinct
+    // would at 100 TB; here it is exact (count − distinct md5(text)).
+    QueryDef(
+      "q_dataset_card",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            md5(col("text")).as("digest"),
+            size(ts).cast(LongType).as("n_tokens"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("n_tokens")), 6).as("avg_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT source, lang, md5(text) AS digest,
+          |         len(string_split(lower(text), ' ')) AS n_tokens
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |       count(*) - count(DISTINCT digest) AS n_exact_dups,
+          |       count(DISTINCT lang) AS n_langs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |       round(avg(n_tokens), 6) AS avg_tokens,
+          |       min(n_tokens) AS min_tokens,
+          |       max(n_tokens) AS max_tokens
+          |FROM t GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }
