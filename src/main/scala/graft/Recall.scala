@@ -25,7 +25,7 @@ object Recall {
   val inputs: Set[String] = Set(
     "q_dedup_ngram", "q_dedup_embedding", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_embedding_lsh",
-    "q_similarity_ann", "q_similarity_ivf")
+    "q_similarity_ann", "q_similarity_ivf", "q_dedup_semantic")
 
   /** A recall input: the caller's parquet dump when one exists (same
     * deterministic query, already executed), else a fresh run. */
@@ -75,6 +75,24 @@ object Recall {
       Entry("ann", recallOf(cosine,
         pairSet(s, dir, "q_similarity_ann", "qid", "nid", dumps)), cosine.size),
       Entry("ivf", recallOf(cosine,
-        pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)), cosine.size))
+        pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)), cosine.size),
+      // semantic dedup is scored on DROPPED IDS, not pairs: the brute
+      // rule drops exactly the vec_b side of the exact cosine pairs
+      // (pairs are emitted vec_a < vec_b), and the clustered operator's
+      // drops are provably a subset (LlmOpsSpec) — recall is the
+      // fraction of brute drops the cluster partition still catches
+      semanticEntry(s, dir, cosine, dumps))
+  }
+
+  private def semanticEntry(s: SparkSession, dir: String,
+                            cosine: Set[(Long, Long)],
+                            dumps: Option[String]): Entry = {
+    val droppedBrute = cosine.map(_._2)
+    val droppedSem = resultOf(s, dir, "q_dedup_semantic", dumps)
+      .filter(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val r = if (droppedBrute.isEmpty) 1.0
+      else droppedSem.intersect(droppedBrute).size.toDouble / droppedBrute.size
+    Entry("semantic_dedup", r, droppedBrute.size.toLong)
   }
 }

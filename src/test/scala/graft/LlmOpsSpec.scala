@@ -54,6 +54,29 @@ class LlmOpsSpec extends SparkSpec {
       s"LSH dedup recall ${r.recall} on ${r.exactPairs} pairs")
   }
 
+  test("semantic dedup: drops are a subset of the brute rule's, recall floored, partition complete") {
+    val e = sources.Tables.embeddings(spark, sf)
+    val out = q("q_dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // every vector appears exactly once, with a cell assignment
+    assert(out.length == e.count(), "output must cover the corpus")
+    assert(out.map(_._1).distinct.length == out.length, "one row per vector")
+    // the brute global rule drops exactly the vec_b side of the exact
+    // cosine pairs; the clustered operator sees only within-cell pairs,
+    // so its drops must be a SUBSET (a semantic-dedup drop that brute
+    // would keep is a correctness bug, not a recall miss)
+    val droppedBrute = q("q_dedup_embedding").collect().map(_.getLong(1)).toSet
+    val droppedSem = out.filter(!_._3).map(_._1).toSet
+    assert(droppedSem.subsetOf(droppedBrute),
+      s"semantic drops not in brute set: ${(droppedSem -- droppedBrute).take(3)}")
+    val r = recalls("semantic_dedup")
+    assume(r.exactPairs > 0)
+    // measured 3-probe recall: 1.0 (7/7) at sf0.001 / 0.756 at
+    // sf0.1; deterministic — floor just under measured
+    assert(r.recall >= 0.72,
+      s"semantic dedup recall ${r.recall} over ${r.exactPairs} brute drops")
+  }
+
   test("ann emit-once candidates == naive dropDuplicates over all tables") {
     // the stateless OR-amplification dedup (keep a pair only at its
     // smallest colliding table) must produce EXACTLY the distinct
