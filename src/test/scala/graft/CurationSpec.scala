@@ -19,6 +19,43 @@ class CurationSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getString(2))).toSeq)
   }
 
+  test("domain mixture: rates follow the recipe, kept counts bounded, replay-stable") {
+    val rows = q("q_mix_domains").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // recompute the recipe's expected rate from the per-source counts
+    // and pin the query's target_rate against it (6dp, as emitted)
+    val total = rows.map(_._2).sum
+    val wgt = rows.map { case (src, _, _, _) => src -> (src.drop(3).toLong % 4 + 1) }.toMap
+    val sumw = wgt.values.sum
+    rows.foreach { case (src, nDocs, nKept, rate) =>
+      val expect = math.min(1.0, total.toDouble * 0.5 * wgt(src) / sumw / nDocs)
+      assert(math.abs(rate - expect) < 5e-7, s"$src rate $rate != $expect")
+      assert(nKept <= nDocs)
+      // the 16-bit md5 bucket is uniform: realized kept-count sits near
+      // rate·n (binomial-style slack, generous for tiny sf strata)
+      val slack = math.max(4.0, 4 * math.sqrt(rate * nDocs))
+      assert(math.abs(nKept - rate * nDocs) <= slack,
+        s"$src kept $nKept far from ${rate * nDocs}")
+    }
+    // membership is a pure function of (doc_id, recipe)
+    val again = q("q_mix_domains").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("dataset card: totals consistent with the corpus, dup and lang counts sane") {
+    val rows = q("q_dataset_card").collect()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "cards cover the corpus")
+    rows.foreach { r =>
+      val (nDocs, nDups, nLangs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDups >= 0 && nDups < nDocs)
+      assert(nLangs >= 1 && nLangs <= nDocs)
+      assert(r.getLong(6) <= r.getLong(7), "min_tokens <= max_tokens")
+    }
+  }
+
   test("sequence packing: packs are contiguous and bounded by budget + longest doc") {
     val docs = sources.Tables.documents(spark, sf)
     val maxDoc = docs
