@@ -81,7 +81,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_similarity_topk",  // corpus x broadcast 5-query set
       "q_similarity_ivf",   // corpus x broadcast 16 centroids
       "q_dedup_embedding",  // brute reference form (scale path = _lsh)
+      "q_dedup_semantic",   // corpus x broadcast ~sqrt(n) centroids
       "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
+      "q_text_bm25",        // 1-row broadcast (corpus stats attach)
+      "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_sample_stratified") // 1-row broadcast (min-stratum scalar attach)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
@@ -235,6 +238,55 @@ class PlanAuditSpec extends SparkSpec {
       assert(opt.contains("might_contain"),
         s"runtime bloom filter not injected into the fact side:\n$opt")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("q_text_bm25: bounded top-k per query, corpus stats broadcast once") {
+    val opt = q("q_text_bm25").queryExecution.optimizedPlan.toString
+    // the rank must lower to the bounded operator — a raw window rank
+    // would shuffle every (query, doc) score instead of <= k per
+    // partition per query
+    assert(opt.contains("TopKPerKey"), s"rewrite lost:\n$opt")
+    val p = plan("q_text_bm25")
+    // N/avgdl attach as a 1-row broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"corpus stats must broadcast:\n$p")
+  }
+
+  test("q_dedup_semantic: shuffle-hash vector attach, no corpus broadcast, bounded probe rank") {
+    // the probe table is localCheckpoint'ed inside the query (three
+    // consumers), so its rank isn't visible in the final plan — pin the
+    // bounded TopKPerKey on the probe-assign builder itself
+    val e = sources.Tables.embeddings(spark, sf)
+    val probeOpt = operators.Similarity.ivfProbeAssign(
+      e, "vec_id", "embedding", nCells = 32, trainIters = 0, nProbe = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(probeOpt.contains("TopKPerKey"),
+      s"probe ranking must lower to the bounded operator:\n$probeOpt")
+    // the wide vector rows attach via shuffle-hash joins (the 30x-probe
+    // lesson: an SMJ would sort pair rows carrying 64-float payloads)
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("ShuffledHashJoin"),
+      s"vector re-attach must be a shuffle-hash join:\n$p")
+    // with auto-broadcast off (the 100 TB situation) the only broadcasts
+    // left are the explicit bounded centroid tables — the corpus itself
+    // must flow through shuffles
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p2 = plan("q_dedup_semantic")
+      assert(p2.contains("ShuffledHashJoin"),
+        s"attach joins must survive a non-broadcastable corpus:\n$p2")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q_mix_domains: fact side streams through a broadcast rate join") {
+    // phase-2 membership must join the per-source rates TO the fact
+    // side as a broadcast — shuffling documents to meet a 20-row rate
+    // table would be the wrong side at any scale
+    val p = plan("q_mix_domains")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates must broadcast:\n$p")
   }
 
   test("q_similarity_ann never broadcasts the embeddings corpus") {
