@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.QueryDef
+import graft.functions.TextFns
 import graft.sources.Tables
 
 /** Aggregation family (SURVEY §2.B B14-B20).
@@ -99,6 +101,37 @@ object Aggregates {
             .as("est_distinct"))
           .select(lit("__all__").as("source"), col("est_distinct"))
         perEst.unionAll(union).orderBy(col("source"))
+      },
+      None
+    ),
+
+    // B16/north star — mergeable frequent-items (heavy hitters): one
+    // DataSketches frequency sketch per source over the exploded token
+    // stream (approx_top_k_accumulate), combined across sources WITHOUT
+    // rescanning (approx_top_k_combine), then the global top-10 read
+    // off the merged state. This is the 100 TB shard pattern: each
+    // shard keeps a bounded sketch (maxItemsTracked bounds state, not
+    // input volume), merges are associative, and the estimate runs on
+    // the driver-sized merged state. No SQL oracle (sketch internals
+    // aren't reproducible in DuckDB); AggregatesSpec pins the estimate
+    // EQUAL to exact global counts — the 31-word vocabulary sits far
+    // under the tracked capacity, where the sketch is exact by
+    // construction.
+    QueryDef(
+      "q_topk_sketch",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("source"))
+          .agg(expr("approx_top_k_accumulate(term, 1024)").as("sk"))
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 10)")
+            .as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "entry")))
+          .select((col("pos") + 1).cast(LongType).as("rnk"),
+            col("entry.item").as("term"),
+            col("entry.count").cast(LongType).as("est_count"))
+          .orderBy(col("rnk"))
       },
       None
     ),

@@ -72,6 +72,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("frequent-items sketch: merged top-10 equals exact global term counts") {
+    // the 31-word vocabulary sits far under maxItemsTracked=1024, where
+    // the DataSketches frequency sketch is EXACT by construction — so
+    // the per-source accumulate → combine → estimate chain must
+    // reproduce exact global counts, and the top-10 set must match the
+    // exact top-10 (ties broken identically is not guaranteed by the
+    // sketch, so compare as count-maps, not ordered lists)
+    val est = q("q_topk_sketch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(est.length == 10)
+    val exact = sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (_, term, n) =>
+      assert(exact(term) == n, s"$term: sketch=$n exact=${exact(term)}")
+    }
+    val floor10 = exact.values.toSeq.sorted.reverse.take(10).min
+    est.foreach { case (_, term, n) =>
+      assert(n >= floor10, s"$term count $n below the exact top-10 floor $floor10")
+    }
+  }
+
   test("approx quantile within 10% of exact percentile") {
     val approx = q("q_agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
