@@ -524,18 +524,34 @@ object Dedup {
         // cos filter runs per meeting, and only the post-filter
         // near-dup rows reach the distinct — candidate dedup never
         // holds pair state.
+        // each row carries `psig`, the vector's full sorted probed-cell
+        // set (3 longs) — the window reuses the rank's per-vector
+        // partitioning, so the signature costs no extra exchange
+        val wSig = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
         val probes = Similarity.ivfProbeAssign(
             e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
             nCells = Similarity.ivfCellsFor(n), trainIters = 2, nProbe = 3,
             corpusN = n)
-          .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+          .withColumn("psig", sort_array(collect_list(col("cell_id")).over(wSig)))
+          .select(col("vec_id"), col("cell_id"), col("probe_rank"), col("psig"))
           .localCheckpoint()
         val assigned = probes.filter(col("probe_rank") === 1L)
           .select(col("vec_id"), col("cell_id"))
-        val cand = probes.select(col("cell_id"), col("vec_id").as("vec_a"))
-          .join(probes.select(col("cell_id"), col("vec_id").as("vec_b")),
-            Seq("cell_id"))
+        // emit-once (the 30×-probe lesson applied at birth): a pair
+        // sharing several probed cells is kept only at the SMALLEST
+        // shared cell — array_intersect of two sorted sigs is sorted,
+        // so element 1 is that cell. Cuts the duplicate meetings (≤
+        // nProbe per pair) BEFORE the vector attach and cosine, with
+        // the emitted pair set provably unchanged (LlmOpsSpec pins
+        // equality to the naive distinct formulation).
+        val cand = probes
+          .select(col("cell_id"), col("vec_id").as("vec_a"), col("psig").as("asig"))
+          .join(probes.select(col("cell_id"), col("vec_id").as("vec_b"),
+            col("psig").as("bsig")), Seq("cell_id"))
           .filter(col("vec_a") < col("vec_b"))
+          .filter(element_at(array_intersect(col("asig"), col("bsig")), 1) ===
+            col("cell_id"))
           .select(col("vec_a"), col("vec_b"))
         val ev = e.select(col("vec_id"), col("embedding"), col("nrm"))
         val dropped = cand

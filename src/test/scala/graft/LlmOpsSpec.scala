@@ -77,6 +77,42 @@ class LlmOpsSpec extends SparkSpec {
       s"semantic dedup recall ${r.recall} over ${r.exactPairs} brute drops")
   }
 
+  test("semantic emit-once candidates == naive distinct within-cell pairs") {
+    // a pair sharing several probed cells is evaluated only at the
+    // smallest shared cell — the emitted set must be EXACTLY the
+    // distinct pair set of the naive formulation, with no duplicates
+    import operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val probes = Similarity.ivfProbeAssign(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        nCells = Similarity.ivfCellsFor(n), trainIters = 2, nProbe = 3,
+        corpusN = n)
+      .withColumn("psig", sort_array(collect_list(col("cell_id"))
+        .over(Window.partitionBy(col("vec_id")))))
+      .select(col("vec_id"), col("cell_id"), col("psig"))
+      .localCheckpoint()
+    val joined = probes
+      .select(col("cell_id"), col("vec_id").as("vec_a"), col("psig").as("asig"))
+      .join(probes.select(col("cell_id"), col("vec_id").as("vec_b"),
+        col("psig").as("bsig")), Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+    val emitOnce = joined
+      .filter(element_at(array_intersect(col("asig"), col("bsig")), 1) ===
+        col("cell_id"))
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = joined.select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(emitOnce.length == emitOnce.toSet.size, "duplicate emissions")
+    assert(emitOnce.toSet == naive.toSet,
+      s"emit-once diverges: only-new=${(emitOnce.toSet -- naive).take(3)} " +
+        s"missing=${(naive.toSet -- emitOnce).take(3)}")
+    assert(naive.nonEmpty)
+  }
+
   test("ann emit-once candidates == naive dropDuplicates over all tables") {
     // the stateless OR-amplification dedup (keep a pair only at its
     // smallest colliding table) must produce EXACTLY the distinct
