@@ -517,6 +517,72 @@ object TextAnalysis {
           |  FROM scores)
           |SELECT query_id, rnk, doc_id, score FROM ranked
           |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)
+    ),
+
+    // North star — tokenizer encode: induce a vocabulary from the
+    // corpus (top-30 terms by global count, ties alphabetical; id =
+    // rank, 0 reserved for UNK), then encode each document's first 20
+    // tokens to ids. The two halves of every tokenizer pipeline in one
+    // declarative plan: vocab induction is a partial+final agg whose
+    // shuffle carries distinct terms; the rank is a JOIN-rank over the
+    // tiny vocab table (a global row_number window would single-thread
+    // the rank at any vocabulary size — the join form is V², fine for
+    // vocab-sized V, and keeps the no-global-window audit clean);
+    // encoding is a broadcast vocab join + order-restoring
+    // array_sort(collect_list(struct(pos,id))) — deterministic under
+    // retries/AQE, the same trick as q_pack_materialize.
+    QueryDef(
+      "q_text_vocab_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs
+          .select(explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        val ranked = counts.as("a").join(counts.as("b"),
+            col("b.n") > col("a.n") ||
+              (col("b.n") === col("a.n") && col("b.term") < col("a.term")),
+            "left_outer")
+          .groupBy(col("a.term"), col("a.n"))
+          .agg((count(col("b.term")) + 1L).as("id"))
+          .filter(col("id") <= 30L)
+          .select(col("term"), col("id"))
+        val toks = docs
+          .select(col("doc_id"),
+            posexplode(slice(TextFns.tokens(col("text")), 1, 20))
+              .as(Seq("pos", "term")))
+        toks.join(broadcast(ranked), Seq("term"), "left_outer")
+          .withColumn("id", coalesce(col("id"), lit(0L)))
+          .groupBy(col("doc_id"))
+          .agg(
+            concat_ws(",",
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("id")))),
+                e => e.getField("id").cast("string"))).as("ids"),
+            sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH counts AS (
+          |  SELECT term, count(*) AS n
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+          |        FROM documents) GROUP BY term),
+          |vocab AS (
+          |  SELECT a.term, a.n, 1 + count(b.term) AS id
+          |  FROM counts a LEFT OUTER JOIN counts b
+          |    ON b.n > a.n OR (b.n = a.n AND b.term < a.term)
+          |  GROUP BY a.term, a.n
+          |  HAVING 1 + count(b.term) <= 30),
+          |toks AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS term
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ')[1:20] AS ts
+          |        FROM documents), unnest(range(1, len(ts) + 1)) AS u(i)),
+          |enc AS (
+          |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+          |  FROM toks t LEFT OUTER JOIN vocab v ON t.term = v.term)
+          |SELECT doc_id,
+          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids,
+          |       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

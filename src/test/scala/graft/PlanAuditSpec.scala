@@ -84,6 +84,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_dedup_semantic",   // corpus x broadcast ~sqrt(n) centroids
       "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
       "q_text_bm25",        // 1-row broadcast (corpus stats attach)
+      "q_text_vocab_encode", // join-rank over the vocab-sized term table
+
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_sample_stratified") // 1-row broadcast (min-stratum scalar attach)
     Registry.all.foreach { qd =>
