@@ -583,6 +583,63 @@ object TextAnalysis {
           |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids,
           |       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — cross-source overlap (leakage) matrix: for every
+    // ordered source pair (a, b), the fraction of a's docs sharing at
+    // least one rare 3-shingle with ANY doc of b — the provenance /
+    // contamination report a curation run publishes next to the
+    // dataset card. Shapes for scale: the doc side joins a DISTINCT
+    // (shingle, source) table (bounded by index-size × sources, never
+    // doc × doc), the df-cap bounds per-shingle fan-out, the staged
+    // shingle index is reused (built once per corpus), and the
+    // existence-distinct carries (source, source, doc) — one row per
+    // doc per foreign source, not per shingle hit.
+    QueryDef(
+      "q_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val shS = Dedup.dfCapShingles(Dedup.shingleIndex(s, dir), maxDf = 64)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        val hSrc = shS.select(col("h"), col("source").as("src_b")).distinct()
+        val hits = shS.join(hSrc, "h")
+          .filter(col("source") =!= col("src_b"))
+          .select(col("source").as("src_a"), col("src_b"), col("doc_id"))
+          .distinct()
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_overlap"))
+        val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        hits
+          .join(sizes.withColumnRenamed("source", "src_a"), "src_a")
+          .withColumn("frac", round(
+            col("n_overlap").cast(DoubleType) / col("n_docs"), 6))
+          .select(col("src_a"), col("src_b"), col("n_overlap"), col("frac"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |sh0 AS (
+          |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+          |    range(1, len(ts) - 1),
+          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+          |  FROM tok WHERE len(ts) >= 3),
+          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+          |sh AS (SELECT doc_id, source, s FROM sh0
+          |       WHERE s IN (SELECT s FROM rare)),
+          |hsrc AS (SELECT DISTINCT s, source AS src_b FROM sh),
+          |hits AS (
+          |  SELECT DISTINCT sh.source AS src_a, hsrc.src_b, sh.doc_id
+          |  FROM sh JOIN hsrc ON sh.s = hsrc.s AND sh.source <> hsrc.src_b),
+          |cnt AS (
+          |  SELECT src_a, src_b, count(*) AS n_overlap
+          |  FROM hits GROUP BY 1, 2),
+          |sizes AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+          |SELECT src_a, src_b, n_overlap,
+          |       round(n_overlap * 1.0 / n_docs, 6) AS frac
+          |FROM cnt JOIN sizes ON src_a = source
+          |ORDER BY src_a, src_b""".stripMargin)
     )
   )
 }
