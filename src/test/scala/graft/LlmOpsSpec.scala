@@ -77,6 +77,33 @@ class LlmOpsSpec extends SparkSpec {
       s"semantic dedup recall ${r.recall} over ${r.exactPairs} brute drops")
   }
 
+  test("incremental dedup agrees with the full ngram pair set across the batch boundary") {
+    // q_dedup_incremental screens the batch (doc_id % 5 == 0) against
+    // the standing corpus with the SAME df-cap and Jaccard threshold as
+    // q_dedup_ngram — so its per-doc match counts must equal the ngram
+    // pair set restricted to pairs crossing the boundary, and `is_novel`
+    // must hold exactly when no such pair exists
+    val cross = q("q_dedup_ngram").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (a % 5, b % 5) match {
+          case (0, m) if m != 0 => Some(a -> b) // a is batch, b existing
+          case (n, 0) if n != 0 => Some(b -> a) // b is batch, a existing
+          case _                => None
+        }
+      }
+    val expected = cross.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inc = q("q_dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(inc.nonEmpty)
+    inc.foreach { case (docId, nDups, isNovel) =>
+      assert(nDups == expected.getOrElse(docId, 0L),
+        s"doc $docId: incremental says $nDups dups, ngram pairs say " +
+          s"${expected.getOrElse(docId, 0L)}")
+      assert(isNovel == !expected.contains(docId), s"doc $docId novelty flag")
+    }
+  }
+
   test("semantic emit-once candidates == naive distinct within-cell pairs") {
     // a pair sharing several probed cells is evaluated only at the
     // smallest shared cell — the emitted set must be EXACTLY the
