@@ -43,7 +43,9 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.Curation.defs ++
-      operators.Maintenance.defs
+      operators.Maintenance.defs ++
+      operators.Graph.defs ++
+      operators.SeriesOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

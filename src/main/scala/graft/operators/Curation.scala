@@ -494,6 +494,76 @@ object Curation {
           |       min(n_tokens) AS min_tokens,
           |       max(n_tokens) AS max_tokens
           |FROM t GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // North star — leakage-safe grouped split: hash the GROUP key
+    // (source), not the doc. Near-duplicates cluster within a source,
+    // so a per-doc split (q_data_split) can leak train material into
+    // eval; bucketing by md5(source) puts every doc of a source in the
+    // same subset by construction (CurationSpec pins the invariant).
+    // Same pure-projection split rule as q_data_split — the only
+    // shuffle here is the reporting aggregate.
+    QueryDef(
+      "q_split_grouped",
+      (s, dir) => {
+        val bucket = substring(md5(col("source")), 1, 4)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            when(bucket < TrainLt, "train")
+              .when(bucket < ValLt, "val")
+              .otherwise("test").as("subset"))
+          .groupBy(col("source"), col("subset"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("subset"))
+      },
+      Some(
+        s"""SELECT source,
+           |       CASE WHEN substr(md5(source), 1, 4) < '$TrainLt' THEN 'train'
+           |            WHEN substr(md5(source), 1, 4) < '$ValLt' THEN 'val'
+           |            ELSE 'test' END AS subset,
+           |       count(*) AS n_docs
+           |FROM documents GROUP BY 1, 2 ORDER BY source, subset""".stripMargin)
+    ),
+
+    // North star — contiguous global ids in doc_id order WITHOUT a
+    // single-partition window (the shape the no-global-window audit
+    // exists to forbid): range-partition by the sort key, number rows
+    // per partition locally, add per-partition offsets computed from
+    // the bounded (= partition-count) count vector. The only driver
+    // data is one count per partition; numbering itself is a
+    // partitioned window over pid, so parallelism is the partition
+    // count at any scale. The `localCheckpoint` pins the sampled range
+    // boundaries so the count pass and the numbering pass see the SAME
+    // row placement.
+    QueryDef(
+      "q_global_ids",
+      (s, dir) => {
+        val parts = 8
+        val ranged = Tables.documents(s, dir)
+          .select(col("doc_id"))
+          .repartitionByRange(parts, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = ranged.groupBy(col("pid"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .sortBy(_._1)
+        // exclusive prefix sum: offset of partition i = rows before it
+        val offsets = counts.map(_._1)
+          .zip(counts.scanLeft(0L)(_ + _._2).init)
+        val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+          when(col("pid") === p, lit(o)).otherwise(acc)
+        }
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        ranged
+          .select(col("doc_id"),
+            (offCol + row_number().over(wLocal).cast(LongType)).as("gid"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS gid
+          |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

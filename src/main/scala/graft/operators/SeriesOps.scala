@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Time-series repair: densify a sparse per-key series onto a regular
+  * grid and linearly interpolate the gaps — the resample().interpolate()
+  * shape of the reference's dataframe substrate, rebuilt as windows
+  * over a generated spine (reference capability surface:
+  * `layer/python/dask_processing.py:11-12`; spine precedent:
+  * q_recursive_spine).
+  *
+  * Scale shape: the spine is bounded by the TIME RANGE (hours between
+  * min and max), not by row count — it broadcasts. The series itself is
+  * one aggregation, and the fill is two partitioned window passes
+  * (bounded-preceding / bounded-following) over (key, grid) rows.
+  * Parallelism is the series-key count; here that is 5 event types, at
+  * 100 TB it is the per-entity key (millions of independent series) and
+  * the same plan spreads across every executor with no global window.
+  */
+object SeriesOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Hourly sum(value) per event_type over a dense 720-hour spine;
+    // ~5% of grid cells have no events and get linearly interpolated
+    // between the nearest observed hours (flat extrapolation at the
+    // edges). Intermediate sums are rounded to 6 dp on BOTH engines so
+    // the interpolation arithmetic runs on bit-identical doubles and
+    // the final 6 dp hash compare is exact.
+    QueryDef(
+      "q_ts_interpolate",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // 2-scalar bounds read, same driver-side role as the recursive
+        // spine's month bounds (TierA)
+        val b = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi")).head()
+        val spine = s.range(1).select(explode(sequence(
+          lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+          expr("interval 1 hour"))).as("hr"))
+        val grid = ev.select(col("event_type")).distinct()
+          // spine size = time range / granularity — bounded, broadcast;
+          // the keys side is the one that scales
+          .crossJoin(broadcast(spine))
+        val series = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(round(sum(col("value")), 6).as("v"))
+        val wb = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsHr = when(col("v").isNotNull, col("hr"))
+        val filled = grid.join(series, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"), col("v"),
+            last(col("v"), ignoreNulls = true).over(wb).as("pv"),
+            last(obsHr, ignoreNulls = true).over(wb).as("pt"),
+            first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+            first(obsHr, ignoreNulls = true).over(wf).as("nt"))
+        filled.select(
+          col("event_type"), col("hr"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((unix_micros(col("hr")) - unix_micros(col("pt")))
+                  .cast("double") /
+                  (unix_micros(col("nt")) - unix_micros(col("pt"))))),
+            6).as("value_filled"),
+          when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("was_gap"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(
+        """WITH bounds AS (
+          |  SELECT date_trunc('hour', min(ts)) AS lo,
+          |         date_trunc('hour', max(ts)) AS hi FROM events),
+          |spine AS (
+          |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          |  FROM bounds),
+          |grid AS (
+          |  SELECT event_type, hr
+          |  FROM (SELECT DISTINCT event_type FROM events), spine),
+          |series AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         round(sum(value), 6) AS v
+          |  FROM events GROUP BY 1, 2),
+          |f AS (
+          |  SELECT g.event_type, g.hr, s.v,
+          |         last_value(s.v IGNORE NULLS) OVER wb AS pv,
+          |         last_value(CASE WHEN s.v IS NOT NULL THEN g.hr END
+          |                    IGNORE NULLS) OVER wb AS pt,
+          |         first_value(s.v IGNORE NULLS) OVER wf AS nv,
+          |         first_value(CASE WHEN s.v IS NOT NULL THEN g.hr END
+          |                     IGNORE NULLS) OVER wf AS nt
+          |  FROM grid g LEFT JOIN series s USING (event_type, hr)
+          |  WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.hr
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wf AS (PARTITION BY g.event_type ORDER BY g.hr
+          |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          |SELECT event_type, hr,
+          |       round(CASE WHEN v IS NOT NULL THEN v
+          |                  WHEN pv IS NULL THEN nv
+          |                  WHEN nv IS NULL THEN pv
+          |                  ELSE pv + (nv - pv) *
+          |                       (CAST(epoch_us(hr) - epoch_us(pt) AS DOUBLE) /
+          |                        (epoch_us(nt) - epoch_us(pt))) END,
+          |             6) AS value_filled,
+          |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+          |FROM f ORDER BY event_type, hr""".stripMargin)
+    )
+  )
+}

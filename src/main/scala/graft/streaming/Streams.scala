@@ -195,6 +195,10 @@ object Streams {
     StructType.fromDDL(
       "event_id LONG, user_id LONG, event_type STRING, ts_us LONG")
 
+  private val eventsEnrichSchema =
+    StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+
   val defs: Seq[QueryDef] = Seq(
 
     // B36/A17 — file-arrival ingestion, end to end through a real
@@ -678,6 +682,44 @@ object Streams {
       Some(
         """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // B36-41 — stream-STATIC enrichment join: the landed event stream
+    // joined per micro-batch to a lake dimension (customer market
+    // segment). The join itself is STATELESS — no watermark and no join
+    // state store; Spark re-plans the static side each micro-batch (so
+    // a slowly-changing dimension is picked up between batches), and
+    // the explicit broadcast means the stream side NEVER shuffles for
+    // the join: each task enriches its input partition against the
+    // broadcast map, which is the only viable shape when the stream is
+    // 100 TB/day and the dimension is small. The rollup after it is the
+    // usual streaming aggregate. StreamsSpec pins the stateless-join
+    // claim (exactly ONE stateful operator in the executed plan — the
+    // aggregate, not the join).
+    QueryDef(
+      "q_stream_enrich",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStreamParquet(s, src, "q_stream_enrich",
+          eventsEnrichSchema, dir)
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = stream
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainComplete(s, enriched, "q_stream_enrich_sink"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n_events,
+          |       round(sum(value), 2) AS sum_value
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     )
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 additions: fixed-iteration PageRank, series
+  * gap-fill interpolation, scalable global id assignment, and the
+  * leakage-safe grouped split. Correctness vs DuckDB is the Verify
+  * gate; these pin the algebraic invariants the oracle can't (mass
+  * conservation, interpolation bounds, group coherence). */
+class GraphSeriesSpec extends SparkSpec {
+
+  test("pagerank: one row per node, mass conserved, deterministic replay") {
+    val rows = q("q_graph_pagerank").collect()
+    val nodes = sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey")).distinct().count() +
+      sources.Tables.lineitem(spark, sf)
+        .select(col("l_partkey")).distinct().count()
+    assert(rows.length == nodes, s"got ${rows.length} rows for $nodes nodes")
+    val prs = rows.map(_.getDouble(1))
+    assert(prs.forall(_ > 0), "ranks are strictly positive")
+    // teleport + no dangling nodes ⇒ total rank is conserved at 1.0,
+    // i.e. the normalized ranks average to 1.0
+    val mean = prs.sum / prs.length
+    assert(math.abs(mean - 1.0) < 1e-6, s"mean normalized rank $mean != 1")
+    // rank spread is real (the graph is not regular): top node must
+    // beat the mean by a margin, else the iteration did nothing
+    assert(prs.max > 1.1, s"max ${prs.max} suspiciously flat")
+    val again = q("q_graph_pagerank").collect().map(_.getDouble(1))
+    assert(prs.toSeq == again.toSeq, "fixed-iteration ranks must replay exactly")
+  }
+
+  test("interpolation: full grid, observed hours untouched, gaps bounded by neighbors") {
+    val rows = q("q_ts_interpolate").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+    val types = rows.map(_._1).distinct.length
+    val hours = rows.map(_._2).distinct.length
+    assert(rows.length == types * hours, "dense key × hour grid")
+    assert(rows.forall(_._3 != null), "no nulls survive the fill")
+    val gaps = rows.count(_._4 == 1L)
+    assert(gaps > 0, "fixture must actually exercise interpolation")
+    // every observed cell equals the raw hourly rollup
+    val raw = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(round(sum(col("value")), 6).as("v")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+    rows.filter(_._4 == 0L).foreach { case (t, hr, v, _) =>
+      assert(raw((t, hr)) == v, s"observed cell ($t,$hr) rewritten: $v")
+    }
+    // every gap sits within [min, max] of its nearest observed values
+    // per key (linear interpolation never overshoots; edges clamp)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2.getTime)
+      s.indices.filter(s(_)._4 == 1L).foreach { i =>
+        val prev = s.take(i).reverse.find(_._4 == 0L).map(_._3)
+        val next = s.drop(i + 1).find(_._4 == 0L).map(_._3)
+        val bounds = Seq(prev, next).flatten
+        assert(bounds.nonEmpty, "gap with no observed neighbor at all")
+        val (lo, hi) = (bounds.min, bounds.max)
+        assert(s(i)._3 >= lo - 1e-6 && s(i)._3 <= hi + 1e-6,
+          s"interpolated ${s(i)._3} outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("global ids: contiguous 1..N in doc_id order, no global window") {
+    val rows = q("q_global_ids").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq,
+      "ids are a contiguous 1..N permutation")
+    // doc_id-sorted output carries strictly increasing gids
+    assert(rows.map(_._2).toSeq == (1L to n).toSeq,
+      "gid order matches doc_id order")
+    // the plan must not contain a single-partition global Window
+    val plan = q("q_global_ids").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global ids must never fall back to a single-partition window:\n$plan")
+  }
+
+  test("grouped split: every source lands wholly in one subset") {
+    val rows = q("q_split_grouped").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // one (source, subset) row per source ⇒ no source straddles splits
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 1, s"source $src split across ${rs.length} subsets")
+    }
+    val total = rows.map(_._3).sum
+    assert(total == sources.Tables.documents(spark, sf).count(),
+      "every doc counted exactly once")
+    // and the assignment agrees with the per-doc rule applied to source
+    rows.foreach { case (src, subset, _) =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      val expect = if (b < "e666") "train" else if (b < "f333") "val" else "test"
+      assert(subset == expect, s"$src: $subset != $expect (bucket $b)")
+    }
+  }
+}

@@ -87,7 +87,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_vocab_encode", // join-rank over the vocab-sized term table
 
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
-      "q_sample_stratified") // 1-row broadcast (min-stratum scalar attach)
+      "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)
+      "q_ts_interpolate")   // keys x broadcast spine (bounded by the
+                            // TIME RANGE, not the row count)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")

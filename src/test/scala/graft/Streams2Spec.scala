@@ -157,4 +157,40 @@ class Streams2Spec extends SparkSpec {
       spark.catalog.dropTempView("rocks_probe")
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
+
+  test("stream-static enrichment join is stateless and broadcast") {
+    // q_stream_enrich's scale claim: the static-dimension join adds NO
+    // stateful operator (only the downstream aggregate keeps state) and
+    // the stream side never shuffles for it (broadcast join). A held
+    // handle exposes both via progress + executed plan.
+    val dir = freshDir("enrich")
+    stageEvents(dir)
+    val dim = sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = spark.readStream.schema(schema).json(dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+    val qh = enriched.writeStream.format("memory").queryName("enrich_probe")
+      .option("checkpointLocation", Staging.fastDir("enrich_probe_ckpt"))
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    qh.awaitTermination()
+    assert(qh.lastProgress.stateOperators.length == 1,
+      "exactly one stateful operator: the aggregate, never the join")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf))(qh.explain())
+    val plan = buf.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"static dimension must broadcast:\n$plan")
+    // and the streamed result equals the batch join over the same input
+    val expect = spark.read.schema(schema).json(dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = spark.table("enrich_probe")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect, s"stream-static join != batch join: $got vs $expect")
+    spark.catalog.dropTempView("enrich_probe")
+  }
 }
