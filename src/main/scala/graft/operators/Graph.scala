@@ -85,8 +85,10 @@ object Graph {
             .agg(sum(col("w")).as("in_w"))
             .select(col("dst").as("node"),
               (lit(base) + lit(Damping) * col("in_w")).as("pr"))
-            // cut lineage so the logical plan stays O(1) per round
-            .localCheckpoint()
+            // cut lineage so the logical plan stays O(1) per round;
+            // LAZY: materializes as a side effect of the next round's
+            // job instead of paying a dedicated job launch per round
+            .localCheckpoint(eager = false)
         }
         ranks
           .select(col("node"), round(col("pr") * n, 6).as("pr_norm"))
