@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more classes per query; a full
+  // Verify/Bench run compiles hundreds of them and the JDK17 default
+  // 240m code cache starts flushing hot methods, which de-optimizes
+  // late queries in the run (measured: q_reference_scale 1.8 s warm
+  // standalone vs 7 s late in a 146-query suite).
+  "-XX:ReservedCodeCacheSize=512m",
 )

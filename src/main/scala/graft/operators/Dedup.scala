@@ -647,6 +647,76 @@ object Dedup {
           |       coalesce(n_dups, 0) = 0 AS is_novel
           |FROM documents d LEFT JOIN m USING (doc_id)
           |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
+    ),
+
+    // North star — INTER-document segment dedup (the line-level pass a
+    // web-corpus pipeline runs before whole-doc near-dup: boilerplate
+    // headers/footers repeat across pages while the documents as a
+    // whole differ). The corpus has no newline structure, so "lines"
+    // are deterministic 8-token windows; per doc we report how much of
+    // it is corpus-duplicated and the digest of the text REWRITTEN with
+    // the globally-unique segments only.
+    //
+    // Scale shape: the segment explode is linear and shuffle-free; the
+    // document-frequency aggregate partial-combines map-side; the join
+    // back is on the segment string (exact — a 100 TB deployment would
+    // join on xxhash64(seg) and accept the collision odds, noted here
+    // because the oracle needs exactness); reassembly is the repo's
+    // deterministic array_sort(collect_list(struct)) pattern, immune to
+    // retry/AQE row-order changes. Hot segments (corpus-wide
+    // boilerplate) skew the join key — AQE skew-split handles it, and
+    // the df table is ≤ |distinct segments| regardless of fan-out.
+    QueryDef(
+      "q_dedup_lines",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        val segs = Tables.documents(s, dir)
+          .select(col("doc_id"), ts.as("ts"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(ts) / 8.0) as int) - 1), " +
+              "i -> struct(i AS pos, array_join(slice(ts, i * 8 + 1, 8), ' ') AS seg))"))
+            .as("e"))
+          .select(col("doc_id"), col("e.pos").as("pos"), col("e.seg").as("seg"))
+        // two-level aggregate (distinct pairs, then count) — the
+        // ExpandExec-free form of count(DISTINCT doc_id) per segment
+        val df = segs.select(col("seg"), col("doc_id")).distinct()
+          .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+        segs.join(df, "seg")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"),
+            round(sum(when(col("df") > 1, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("dup_frac"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("df") === 1,
+                struct(col("pos"), col("seg"))))),
+              e => e.getField("seg")), " ")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+          |segs AS (
+          |  SELECT doc_id,
+          |         unnest(range(CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS pos,
+          |         ts
+          |  FROM toks),
+          |seg2 AS (
+          |  SELECT doc_id, pos,
+          |         array_to_string(ts[(pos * 8 + 1):(pos * 8 + 8)], ' ') AS seg
+          |  FROM segs),
+          |df AS (
+          |  SELECT seg, count(DISTINCT doc_id) AS df FROM seg2 GROUP BY seg)
+          |SELECT s.doc_id,
+          |       count(*) AS n_segs,
+          |       CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |       round(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) * 1.0
+          |             / count(*), 6) AS dup_frac,
+          |       md5(coalesce(string_agg(CASE WHEN df.df = 1 THEN s.seg END,
+          |                               ' ' ORDER BY s.pos), '')) AS clean_md5
+          |FROM seg2 s JOIN df USING (seg)
+          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
     )
   )
 }

@@ -640,6 +640,72 @@ object TextAnalysis {
           |       round(n_overlap * 1.0 / n_docs, 6) AS frac
           |FROM cnt JOIN sizes ON src_a = source
           |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
+    // North star — bigram-LM quality score (the perplexity-filter shape:
+    // train an n-gram LM on the corpus, score every document by average
+    // token log-probability, and gate ingestion on the score). Add-one
+    // smoothing over the continuation vocabulary; context counts derive
+    // from the bigram-count table (an aggregate of an aggregate — the
+    // raw bigram stream is never re-shuffled for them).
+    //
+    // Scale shape: one explode pass feeds the (w1,w2) count shuffle;
+    // context counts and the vocabulary scalar come from that
+    // vocabulary-sized table, not the corpus; the scoring join fans the
+    // corpus bigrams against vocabulary-sized count tables (AQE handles
+    // the hot-bigram skew). The per-bigram log-prob is rounded to fixed
+    // 1e-6 precision and summed as EXACT integers, so the per-doc mean
+    // is independent of partial-aggregation order on both engines.
+    QueryDef(
+      "q_text_lmscore",
+      (s, dir) => {
+        val ts = TextFns.tokens(col("text"))
+        def bigrams = Tables.documents(s, dir)
+          .select(col("doc_id"), ts.as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), " +
+              "i -> struct(ts[i - 1] AS w1, ts[i] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bc = bigrams.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+          .localCheckpoint() // reused by ctx, V, and the scoring join
+        val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        // continuation-vocabulary size — one bounded scalar (the same
+        // driver-side role as |V| in the PageRank loop)
+        val v = bc.select(col("w2")).distinct().count()
+        val enriched = bc.join(ctx, "w1")
+        bigrams.join(enriched, Seq("w1", "w2"))
+          .withColumn("lp_micro",
+            round(log((col("c12") + lit(1.0)) /
+              (col("c1") + lit(v.toDouble))) * 1e6).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp_micro")).cast("double") / 1e6 /
+              count(lit(1)), 6).as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+          |idx AS (
+          |  SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+          |bi AS (
+          |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM idx),
+          |bc AS (
+          |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+          |ctx AS (
+          |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+          |v AS (SELECT count(DISTINCT w2) AS vsz FROM bc)
+          |SELECT b.doc_id,
+          |       count(*) AS n_bigrams,
+          |       round(CAST(sum(CAST(round(
+          |           ln((c12 + 1.0) / (c1 + vsz)) * 1e6) AS BIGINT))
+          |         AS DOUBLE) / 1e6 / count(*), 6) AS lm_score
+          |FROM bi b JOIN bc USING (w1, w2) JOIN ctx USING (w1), v
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
     )
   )
 }

@@ -29,4 +29,51 @@ class TextAnalysisSpec extends SparkSpec {
         s"scores not non-increasing for query $qid")
     }
   }
+
+  test("lm score: one row per multi-token doc, n_bigrams = tokens-1, scores negative") {
+    val toks = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q_text_lmscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == toks.filter(_._2 >= 2).keySet)
+    rows.foreach { case (id, nb, score) =>
+      assert(nb == toks(id) - 1, s"doc $id: $nb bigrams for ${toks(id)} tokens")
+      // every probability is < 1 under add-one smoothing, so each log
+      // term and hence the mean is strictly negative
+      assert(score < 0.0, s"doc $id: non-negative lm score $score")
+    }
+    // a doc of corpus-common bigrams must outscore one of rare bigrams:
+    // the score orders docs, which is the operator's entire purpose
+    val byScore = rows.sortBy(_._3)
+    assert(byScore.head._3 < byScore.last._3)
+  }
+
+  test("line dedup: counts consistent, clean text drops exactly the shared segments") {
+    val rows = q("q_dedup_lines").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSegs, nDup, frac, md5hex) =>
+      assert(nSegs > 0 && nDup >= 0 && nDup <= nSegs, s"doc $id counts")
+      assert(math.abs(frac - nDup.toDouble / nSegs) < 1e-6, s"doc $id frac")
+      assert(md5hex.length == 32)
+    }
+    // cross-check one doc end to end: recompute its unique-segment
+    // rewrite from first principles and compare digests
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val segsOf = docs.map { case (id, text) =>
+      id -> text.split(" ").grouped(8).map(_.mkString(" ")).toVector
+    }
+    val dfCount = segsOf.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (s, o) => s -> o.size }
+    val (probe, segs) = segsOf.head
+    val expectClean = segs.filter(dfCount(_) == 1).mkString(" ")
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = rows.find(_._1 == probe).get
+    assert(got._5 == expectMd5, s"doc $probe rewrite digest")
+    assert(got._3 == segs.count(dfCount(_) > 1).toLong, s"doc $probe dup count")
+  }
 }
