@@ -110,6 +110,113 @@ object SeriesOps {
           |             6) AS value_filled,
           |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
           |FROM f ORDER BY event_type, hr""".stripMargin)
+    ),
+
+    // Rolling z-score anomaly detection per series: each hour's event
+    // count against the mean/stddev of the TRAILING 24 observed hours
+    // (current hour excluded — the baseline must not contain the point
+    // it judges). Mean and variance derive from EXACT integer window
+    // sums (Σc, Σc²), so the doubles fed into the fixed z formula are
+    // bit-identical on both engines regardless of how each engine
+    // organizes its sliding-window aggregation (DuckDB segment-tree vs
+    // Spark per-row recompute); the anomaly flag compares the ROUNDED
+    // z so the threshold is taken on identical 6 dp values. At counts
+    // where c² outgrows a long (≥ ~10^9 events/hour) Σc² moves to
+    // DECIMAL(38,0) — same plan, wider sum type.
+    //
+    // Scale shape: one partial-aggregated count shuffle, then windows
+    // partitioned by series key — parallelism is the key count, no
+    // global window (same posture as q_ts_interpolate above).
+    QueryDef(
+      "q_ts_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-24, -1)
+        val scored = hourly.select(
+          col("event_type"), col("hr"), col("c").as("n_events"),
+          sum(col("c")).over(w).cast("double").as("s1"),
+          sum(col("c") * col("c")).over(w).cast("double").as("s2"),
+          count(col("c")).over(w).as("m"))
+        val varExpr = (col("s2") - col("s1") * col("s1") / 24.0) / 23.0
+        val zExpr = (col("n_events").cast("double") - col("s1") / 24.0) /
+          sqrt(varExpr)
+        scored
+          .withColumn("z",
+            when(col("m") === 24 && varExpr > 0.0, round(zExpr, 6)))
+          .select(col("event_type"), col("hr"), col("n_events"),
+            col("z"),
+            coalesce(abs(col("z")) >= 2.0, lit(false)).as("is_anomaly"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT event_type, hr, c AS n_events,
+          |         CAST(sum(c) OVER w AS DOUBLE) AS s1,
+          |         CAST(sum(c * c) OVER w AS DOUBLE) AS s2,
+          |         count(c) OVER w AS m
+          |  FROM hourly
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+          |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |SELECT event_type, hr, n_events,
+          |       CASE WHEN m = 24 AND (s2 - s1 * s1 / 24.0) / 23.0 > 0.0
+          |            THEN round((CAST(n_events AS DOUBLE) - s1 / 24.0) /
+          |                       sqrt((s2 - s1 * s1 / 24.0) / 23.0), 6)
+          |       END AS z,
+          |       coalesce(abs(CASE WHEN m = 24
+          |                           AND (s2 - s1 * s1 / 24.0) / 23.0 > 0.0
+          |                         THEN round((CAST(n_events AS DOUBLE)
+          |                                     - s1 / 24.0) /
+          |                              sqrt((s2 - s1 * s1 / 24.0) / 23.0), 6)
+          |                    END) >= 2.0, false) AS is_anomaly
+          |FROM scored ORDER BY event_type, hr""".stripMargin)
+    ),
+
+    // OHLC resample — the downsampling half of the reference substrate's
+    // resample() surface (q_ts_interpolate above is the upsampling
+    // half): 6-hour bars per series with open/close picked by min_by/
+    // max_by on event time. `ts` is unique per series (FIXTURES.md), so
+    // the pick is deterministic; a source with ts ties would compose
+    // the ordering key with the unique event id. One partial-aggregated
+    // shuffle on (series, bar) — min_by/max_by partial-combine like any
+    // other aggregate, so the bar count, not the event count, crosses
+    // the wire.
+    QueryDef(
+      "q_ts_resample",
+      (s, dir) => {
+        val bucketUs = 21600L * 1000000L // 6 h
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            timestamp_micros((floor(unix_micros(col("ts")) /
+              bucketUs) * bucketUs).cast("long")).as("bar"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min_by(col("value"), col("ts")).as("open_v"),
+            max(col("value")).as("high_v"),
+            min(col("value")).as("low_v"),
+            max_by(col("value"), col("ts")).as("close_v"),
+            round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("event_type"), col("bar"))
+      },
+      Some(
+        """SELECT event_type,
+          |       make_timestamp((epoch_us(ts) // 21600000000)
+          |                      * 21600000000) AS bar,
+          |       count(*) AS n_events,
+          |       min_by(value, ts) AS open_v,
+          |       max(value) AS high_v,
+          |       min(value) AS low_v,
+          |       max_by(value, ts) AS close_v,
+          |       round(sum(value), 2) AS sum_v
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, bar""".stripMargin)
     )
   )
 }

@@ -97,4 +97,49 @@ class GraphSeriesSpec extends SparkSpec {
       assert(subset == expect, s"$src: $subset != $expect (bucket $b)")
     }
   }
+
+  test("anomaly: warm-up rows unflagged, z recomputable from trailing window") {
+    val rows = q("q_ts_anomaly").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, series) =>
+      val byHr = series.sortBy(_._2.getTime)
+      // first 24 rows lack a full trailing day: z must be null, flag false
+      byHr.take(24).foreach { r =>
+        assert(r._4.isEmpty && !r._5, s"$et warm-up row flagged: $r")
+      }
+      // recompute one z from first principles at a row that has one
+      byHr.zipWithIndex.drop(24).find(_._1._4.isDefined).foreach {
+        case ((_, _, c, Some(z), flagged), i) =>
+          val frame = byHr.slice(i - 24, i).map(_._3.toDouble)
+          val mean = frame.sum / 24.0
+          val varS = frame.map(x => (x - mean) * (x - mean)).sum / 23.0
+          val expect = (c - mean) / math.sqrt(varS)
+          assert(math.abs(z - expect) < 1e-4, s"$et z=$z expected=$expect")
+          assert(flagged == (math.abs(z) >= 2.0), s"$et flag mismatch at z=$z")
+        case _ => ()
+      }
+    }
+  }
+
+  test("resample: bars partition events, OHLC picked from real rows") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val bars = q("q_ts_resample").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(bars.map(_._3).sum == ev.length, "bars must partition the events")
+    val byBar = ev.groupBy { case (et, ts, _) =>
+      (et, ts.getTime / 1000 / 21600 * 21600) }
+    bars.foreach { case (et, bar, n, open, high, low, close) =>
+      val group = byBar((et, bar.getTime / 1000))
+      assert(group.size == n)
+      val ordered = group.sortBy(_._2.getTime)
+      assert(open == ordered.head._3 && close == ordered.last._3,
+        s"open/close not the first/last event of bar $et/$bar")
+      assert(high == group.map(_._3).max && low == group.map(_._3).min)
+    }
+  }
 }
