@@ -564,6 +564,53 @@ object Curation {
       Some(
         """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS gid
           |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // North star — weighted sampling WITHOUT replacement, k docs per
+    // source, inclusion probability ∝ n_chars (the "sample long/high-
+    // quality docs preferentially" knob of a curation run). Classic
+    // exponential-key reservoir scheme (Efraimidis-Spirakis A-Res):
+    // every doc gets key = -ln(u)/w with u a pure md5 function of the
+    // doc id — deterministic, replayable, answerable point-wise like
+    // the split/mixture ops above — and the sample is the k SMALLEST
+    // keys per source. u = (h+1)/2^32 from the first 8 md5 hex chars,
+    // so both engines derive the identical double; the key is rounded
+    // to 9 dp and tie-broken on doc_id so selection is total-ordered.
+    //
+    // Scale shape: the key is a per-row projection (no RNG state, no
+    // shuffle to "draw" the sample); selection runs through the bounded
+    // TopKPerKey operator — a k-row heap per source, never a per-source
+    // sort — so the shuffle carries k·|sources| rows at any corpus
+    // size. The same plan at 100 TB samples each source in one pass.
+    QueryDef(
+      "q_sample_weighted",
+      (s, dir) => {
+        val h = conv(substring(
+          md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast(LongType)
+        val u = (h + lit(1L)).cast(DoubleType) / lit(4294967296.0)
+        val keyed = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            round(-log(u) / col("n_chars"), 9).as("rkey"))
+        TopK.topKPerKey(keyed,
+            keys = Seq("source"),
+            order = Seq(("rkey", true), ("doc_id", true)),
+            k = 10)
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(
+        """WITH keyed AS (
+          |  SELECT source, doc_id, n_chars,
+          |         round(-ln((CAST(('0x' || substr(md5('wrs:' ||
+          |                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |                    + 1) / 4294967296.0) / n_chars, 9) AS rkey
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY source
+          |            ORDER BY rkey, doc_id) AS rank
+          |  FROM keyed)
+          |SELECT source, doc_id, n_chars, rkey, rank FROM ranked
+          |WHERE rank <= 10 ORDER BY source, rank""".stripMargin)
     )
   )
 }

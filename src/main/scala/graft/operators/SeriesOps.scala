@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -217,6 +218,84 @@ object SeriesOps {
           |       max_by(value, ts) AS close_v,
           |       round(sum(value), 2) AS sum_v
           |FROM events GROUP BY 1, 2 ORDER BY event_type, bar""".stripMargin)
+    ),
+
+    // Cross-series correlation matrix: Pearson correlation between the
+    // hourly COUNT series of every event-type pair, zero-filled on the
+    // dense grid first (a count of 0 is an observation, not a gap — an
+    // inner join on co-present hours would silently condition on
+    // activity). The correlation derives from EXACT integer sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²); each variance term stays in BIGINT
+    // and is cast to double only for the final multiply/sqrt/divide,
+    // so both engines compute the identical IEEE doubles (same
+    // discipline as q_ts_anomaly above).
+    //
+    // Scale shape: events collapse to the (series × hour) grid with a
+    // map-combined count before anything else — the pair join and the
+    // per-pair aggregate are sized by grid² over the hour axis, never
+    // by the event count (the probe shows q_ts_anomaly flat to 30×
+    // event volume for exactly this reason). With many series the
+    // matrix is |series|²/2 pairs — the declared knob is pre-selecting
+    // the series subset worth correlating, not this plan's shape.
+    QueryDef(
+      "q_ts_corr_matrix",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val grid = hourly.select(col("hr")).distinct()
+          .crossJoin(broadcast(hourly.select(col("event_type")).distinct()))
+        val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val a = dense.select(col("event_type").as("type_a"),
+          col("hr"), col("c").as("ca"))
+        val b = dense.select(col("event_type").as("type_b"),
+          col("hr"), col("c").as("cb"))
+        val agg = a.join(b, "hr")
+          .where(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("ca")).as("sx"), sum(col("cb")).as("sy"),
+            sum(col("ca") * col("cb")).as("sxy"),
+            sum(col("ca") * col("ca")).as("sxx"),
+            sum(col("cb") * col("cb")).as("syy"))
+        agg.select(col("type_a"), col("type_b"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType) *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast(DoubleType)), 6).as("corr_c"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT t.event_type, h.hr
+          |  FROM (SELECT DISTINCT event_type FROM hourly) t
+          |  CROSS JOIN (SELECT DISTINCT hr FROM hourly) h),
+          |dense AS (
+          |  SELECT g.event_type, g.hr, coalesce(c, 0) AS c
+          |  FROM grid g LEFT JOIN hourly USING (event_type, hr)),
+          |pairs AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+          |         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx,
+          |         sum(b.c * b.c) AS syy
+          |  FROM dense a JOIN dense b USING (hr)
+          |  WHERE a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT type_a, type_b, n,
+          |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+          |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_c
+          |FROM pairs ORDER BY type_a, type_b""".stripMargin)
     )
   )
 }

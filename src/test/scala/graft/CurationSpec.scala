@@ -147,6 +147,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: exactly k per source, set matches first-principles A-Res") {
+    val rows = q("q_sample_weighted").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perSrc = rows.groupBy(_._1)
+    assert(perSrc.nonEmpty && perSrc.values.forall(_.length == 10),
+      "every source contributes exactly k=10 docs")
+    // recompute the exponential keys from scratch (MessageDigest md5,
+    // same salt) and confirm the query picked exactly the k smallest
+    // (rounded-key, doc_id) per source
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(docId: Long, w: Long): BigDecimal = {
+      val hex = md.digest(s"wrs:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val expect = ds.map { case (_, id, w) => (key(id, w), id) }
+        .sorted.take(10).map(_._2).toSet
+      assert(perSrc(src).map(_._2).toSet == expect,
+        s"$src sample diverges from first-principles selection")
+    }
+  }
+
   test("stratified sample: every stratum lands near the smallest stratum's size") {
     val rows = q("q_sample_stratified").collect()
     assert(rows.nonEmpty)

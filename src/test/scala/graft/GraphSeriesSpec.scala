@@ -123,6 +123,36 @@ class GraphSeriesSpec extends SparkSpec {
     }
   }
 
+  test("corr matrix: all pairs over the full grid, one pair recomputed from raw events") {
+    val rows = q("q_ts_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == types.length * (types.length - 1) / 2,
+      "one row per unordered series pair")
+    val nHours = rows.head._3
+    rows.foreach { case (a, b, n, c) =>
+      assert(a < b && n == nHours, s"($a,$b) grid size $n != $nHours")
+      assert(math.abs(c) <= 1.0, s"($a,$b) corr $c out of range")
+    }
+    // recompute the first pair from the raw events, zero-filled
+    val (ta, tb, _, corr) = rows.head
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val hours = ev.map(_._2).distinct
+    def series(t: String): Seq[Double] = {
+      val byHr = ev.filter(_._1 == t).groupBy(_._2).view.mapValues(_.length)
+      hours.sorted.map(h => byHr.getOrElse(h, 0).toDouble)
+    }
+    val (xs, ys) = (series(ta), series(tb))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val expect = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(corr - expect) < 1e-5, s"($ta,$tb) corr $corr != $expect")
+  }
+
   test("resample: bars partition events, OHLC picked from real rows") {
     val ev = sources.Tables.events(spark, sf)
       .select(col("event_type"), col("ts"), col("value")).collect()

@@ -88,8 +88,10 @@ class PlanAuditSpec extends SparkSpec {
 
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)
-      "q_ts_interpolate")   // keys x broadcast spine (bounded by the
+      "q_ts_interpolate",   // keys x broadcast spine (bounded by the
                             // TIME RANGE, not the row count)
+      "q_ts_corr_matrix")   // hour spine x broadcast series-key set
+                            // (grid-sized, both sides post-aggregation)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
