@@ -296,6 +296,89 @@ object SeriesOps {
           |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
           |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_c
           |FROM pairs ORDER BY type_a, type_b""".stripMargin)
+    ),
+
+    // Offline changepoint detection (single change in mean, CUSUM
+    // family): for each series the candidate split t maximizing the
+    // cumulative deviation |Σ_{i≤t} x_i − t·x̄| — scaled by n so the
+    // statistic n·cum_t − t·S stays in EXACT integer arithmetic until
+    // the final reported means (ties broken to the earliest hour, so
+    // the argmax is total-ordered without ever comparing doubles).
+    // The data-quality sweep a pipeline runs over its ingest volumes:
+    // "did this source's rate shift, and when?".
+    //
+    // Scale shape: events collapse to the (series × hour) grid first;
+    // the cumsum/argmax/mean passes are all partitioned by series key.
+    // The grid is derived once and localCheckpoint'ed (bounded:
+    // series × hours), so the argmax join and the report join do NOT
+    // re-scan the events table — one fact scan at any scale.
+    QueryDef(
+      "q_ts_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        val dev = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("event_type"), col("hr"),
+            row_number().over(
+              Window.partitionBy(col("event_type")).orderBy(col("hr")))
+              .cast("long").as("t"),
+            sum(col("c")).over(wCum).as("cum_c"),
+            sum(col("c")).over(wAll).as("s_tot"),
+            count(lit(1)).over(wAll).as("n_tot"))
+          .where(col("t") < col("n_tot"))
+          .withColumn("absc",
+            abs(col("n_tot") * col("cum_c") - col("t") * col("s_tot")))
+          .localCheckpoint()
+        val mx = dev.groupBy(col("event_type")).agg(max(col("absc")).as("m"))
+        val best = dev.join(mx, "event_type")
+          .where(col("absc") === col("m"))
+          .groupBy(col("event_type")).agg(min(col("hr")).as("cp_hr"))
+        dev.join(best, "event_type")
+          .where(col("hr") === col("cp_hr"))
+          .select(col("event_type"), col("cp_hr"), col("t").as("cp_t"),
+            col("absc").as("max_dev"),
+            round(col("cum_c").cast(DoubleType) / col("t"), 6)
+              .as("mean_pre"),
+            round((col("s_tot") - col("cum_c")).cast(DoubleType) /
+              (col("n_tot") - col("t")), 6).as("mean_post"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type, hr,
+          |         row_number() OVER w AS t,
+          |         sum(c) OVER w AS cum_c,
+          |         sum(c) OVER (PARTITION BY event_type) AS s_tot,
+          |         count(*) OVER (PARTITION BY event_type) AS n_tot
+          |  FROM hourly
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |dev AS (
+          |  SELECT event_type, hr, t, cum_c, s_tot, n_tot,
+          |         abs(n_tot * cum_c - t * s_tot) AS absc
+          |  FROM cum WHERE t < n_tot),
+          |mx AS (SELECT event_type, max(absc) AS m FROM dev GROUP BY 1),
+          |best AS (
+          |  SELECT d.event_type, min(d.hr) AS cp_hr
+          |  FROM dev d JOIN mx ON d.event_type = mx.event_type
+          |                    AND d.absc = mx.m
+          |  GROUP BY 1)
+          |SELECT d.event_type, b.cp_hr, d.t AS cp_t, d.absc AS max_dev,
+          |       round(CAST(d.cum_c AS DOUBLE) / d.t, 6) AS mean_pre,
+          |       round(CAST(d.s_tot - d.cum_c AS DOUBLE) /
+          |             (d.n_tot - d.t), 6) AS mean_post
+          |FROM dev d JOIN best b ON d.event_type = b.event_type
+          |                      AND d.hr = b.cp_hr
+          |ORDER BY d.event_type""".stripMargin)
     )
   )
 }

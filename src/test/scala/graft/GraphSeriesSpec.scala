@@ -153,6 +153,36 @@ class GraphSeriesSpec extends SparkSpec {
     assert(math.abs(corr - expect) < 1e-5, s"($ta,$tb) corr $corr != $expect")
   }
 
+  test("changepoint: argmax recomputed from raw events, means bracket the split") {
+    val rows = q("q_ts_changepoint").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length,
+      "one changepoint per series")
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    rows.foreach { case (et, cpHr, cpT, maxDev, meanPre, meanPost) =>
+      val counts = ev.filter(_._1 == et).groupBy(_._2).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val n = counts.length.toLong
+      val s = counts.map(_._2).sum
+      // scan every prefix; expect the query's (maxDev, earliest-hr) argmax
+      var cum = 0L
+      val devs = counts.dropRight(1).zipWithIndex.map { case ((hr, c), i) =>
+        cum += c; (hr, i + 1L, math.abs(n * cum - (i + 1L) * s))
+      }
+      val m = devs.map(_._3).max
+      val (bestHr, bestT, _) = devs.filter(_._3 == m).minBy(_._1)
+      assert((cpHr, cpT, maxDev) == (bestHr, bestT, m),
+        s"$et: query ($cpHr,$cpT,$maxDev) != recomputed ($bestHr,$bestT,$m)")
+      val pre = counts.take(bestT.toInt).map(_._2)
+      val post = counts.drop(bestT.toInt).map(_._2)
+      assert(math.abs(meanPre - pre.sum.toDouble / pre.length) < 1e-5)
+      assert(math.abs(meanPost - post.sum.toDouble / post.length) < 1e-5)
+    }
+  }
+
   test("resample: bars partition events, OHLC picked from real rows") {
     val ev = sources.Tables.events(spark, sf)
       .select(col("event_type"), col("ts"), col("value")).collect()
