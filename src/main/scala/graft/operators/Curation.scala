@@ -611,6 +611,99 @@ object Curation {
           |  FROM keyed)
           |SELECT source, doc_id, n_chars, rkey, rank FROM ranked
           |WHERE rank <= 10 ORDER BY source, rank""".stripMargin)
+    ),
+
+    // North star — dataset drift monitor: Population Stability Index of
+    // the n_chars distribution between two ingest batches, per source
+    // (the "did this feed's length profile shift" check a pipeline runs
+    // on every refresh). Batch membership is a pure md5 parity draw
+    // (stand-in for a real batch id column); binning is a FIXED 6-bucket
+    // scheme densified from a spine so empty buckets still contribute
+    // their smoothed term on both engines. Laplace add-one smoothing
+    // keeps every proportion a ratio of integers, and the per-bin terms
+    // are micro-summed as scaled BIGINTs (the q_text_lmscore
+    // discipline) so the cross-partition sum is order-independent and
+    // engine-exact. PSI terms are provably nonnegative, so HALF_UP vs
+    // half-away rounding cannot diverge.
+    //
+    // Scale shape: one partial-aggregated shuffle to (source × bin)
+    // counts; everything after runs on the bounded bin grid. The fact
+    // side streams through a projection — same posture as
+    // q_mix_domains above.
+    QueryDef(
+      "q_drift_psi",
+      (s, dir) => {
+        val batch = pmod(conv(substring(
+          md5(concat(lit("drift:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast(LongType), lit(2L))
+        val counts = Tables.documents(s, dir)
+          .select(col("source"), batch.as("batch"),
+            least(floor(col("n_chars") / lit(100)), lit(5L)).as("bin"))
+          .groupBy(col("source"), col("bin"))
+          .agg(
+            sum(when(col("batch") === 0L, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("batch") === 1L, 1L).otherwise(0L)).as("cb"))
+        val spine = Tables.documents(s, dir).select(col("source")).distinct()
+          .crossJoin(broadcast(
+            s.range(0, 6).select(col("id").as("bin"))))
+        val w = Window.partitionBy(col("source"))
+        val pa = (col("ca") + lit(1L)).cast(DoubleType) / (col("na") + lit(6L))
+        val pb = (col("cb") + lit(1L)).cast(DoubleType) / (col("nb") + lit(6L))
+        spine.join(counts, Seq("source", "bin"), "left")
+          .select(col("source"), col("bin"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+          .withColumn("na", sum(col("ca")).over(w))
+          .withColumn("nb", sum(col("cb")).over(w))
+          .withColumn("term9",
+            round((pa - pb) * log(pa / pb) * lit(1000000000.0))
+              .cast(LongType))
+          .groupBy(col("source"))
+          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            round(sum(col("term9")) / lit(1000000000.0), 6).as("psi"))
+          .withColumn("drifted", col("psi") >= 0.1)
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH binned AS (
+          |  SELECT source,
+          |         CAST(('0x' || substr(md5('drift:' ||
+          |              CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+          |           AS batch,
+          |         least(n_chars // 100, 5) AS bin
+          |  FROM documents),
+          |counts AS (
+          |  SELECT source, bin,
+          |         sum(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS ca,
+          |         sum(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS cb
+          |  FROM binned GROUP BY 1, 2),
+          |spine AS (
+          |  SELECT s.source, b.bin
+          |  FROM (SELECT DISTINCT source FROM documents) s
+          |  CROSS JOIN (SELECT unnest(range(0, 6)) AS bin) b),
+          |dense AS (
+          |  SELECT sp.source, sp.bin,
+          |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          |  FROM spine sp LEFT JOIN counts c
+          |    ON sp.source = c.source AND sp.bin = c.bin),
+          |tot AS (
+          |  SELECT source, bin, ca, cb,
+          |         sum(ca) OVER (PARTITION BY source) AS na,
+          |         sum(cb) OVER (PARTITION BY source) AS nb
+          |  FROM dense),
+          |terms AS (
+          |  SELECT source, na, nb,
+          |         CAST(round(
+          |           (CAST(ca + 1 AS DOUBLE) / (na + 6)
+          |            - CAST(cb + 1 AS DOUBLE) / (nb + 6)) *
+          |           ln((CAST(ca + 1 AS DOUBLE) / (na + 6)) /
+          |              (CAST(cb + 1 AS DOUBLE) / (nb + 6)))
+          |           * 1000000000) AS BIGINT) AS term9
+          |  FROM tot)
+          |SELECT source, max(na) AS n_a, max(nb) AS n_b,
+          |       round(sum(term9) / 1000000000.0, 6) AS psi,
+          |       round(sum(term9) / 1000000000.0, 6) >= 0.1 AS drifted
+          |FROM terms GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

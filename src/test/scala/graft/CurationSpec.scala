@@ -175,6 +175,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("drift PSI: recomputed from raw docs per source, batches partition the corpus") {
+    val rows = q("q_drift_psi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def batchOf(docId: Long): Int = {
+      val hex = md.digest(s"drift:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      (java.lang.Integer.parseInt(hex, 16) % 2)
+    }
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (src, nA, nB, psi, drifted) =>
+      val ds = docs.filter(_._1 == src)
+      assert(nA + nB == ds.length, s"$src batches must partition the source")
+      val bins = ds.map { case (_, id, nc) =>
+        (batchOf(id), math.min(nc / 100, 5L)) }
+      val terms = (0L to 5L).map { b =>
+        val ca = bins.count(x => x._1 == 0 && x._2 == b)
+        val cb = bins.count(x => x._1 == 1 && x._2 == b)
+        val pa = (ca + 1.0) / (nA + 6); val pb = (cb + 1.0) / (nB + 6)
+        math.round((pa - pb) * math.log(pa / pb) * 1e9)
+      }
+      val expect = BigDecimal(terms.sum / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(psi - expect) < 2e-6, s"$src psi $psi != $expect")
+      assert(drifted == (psi >= 0.1), s"$src flag inconsistent at psi=$psi")
+    }
+  }
+
   test("stratified sample: every stratum lands near the smallest stratum's size") {
     val rows = q("q_sample_stratified").collect()
     assert(rows.nonEmpty)

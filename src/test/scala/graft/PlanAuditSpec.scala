@@ -90,8 +90,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)
       "q_ts_interpolate",   // keys x broadcast spine (bounded by the
                             // TIME RANGE, not the row count)
-      "q_ts_corr_matrix")   // hour spine x broadcast series-key set
+      "q_ts_corr_matrix",   // hour spine x broadcast series-key set
                             // (grid-sized, both sides post-aggregation)
+      "q_drift_psi")        // sources x broadcast 6-row bin spine
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
