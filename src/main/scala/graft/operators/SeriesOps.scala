@@ -298,6 +298,65 @@ object SeriesOps {
           |FROM pairs ORDER BY type_a, type_b""".stripMargin)
     ),
 
+    // Exponentially weighted moving average — the ewm() half of the
+    // rolling surface (q_ts_anomaly's plain frames are the other
+    // half): trailing-24h window per series, weight (0.9)^age, the
+    // adjusted/normalized form. The weighted dot product runs as a
+    // sequential left fold over the frame array on BOTH engines
+    // (Spark `aggregate` with 0.0 init ≡ DuckDB `list_reduce`: the
+    // leading 0.0+x is IEEE-exact), and the frame array is collected
+    // under the window's total order (hr is unique per series), so
+    // the doubles agree bit-for-bit up to the shared libm pow — then
+    // both sides round to 6 dp.
+    //
+    // Scale shape: identical to q_ts_anomaly — grid-sized window
+    // partitioned by series key; the 24-element frame array is
+    // per-row bounded state, not a collect.
+    QueryDef(
+      "q_ts_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-23, Window.currentRow)
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("vals",
+            collect_list(col("c").cast(DoubleType)).over(w))
+          .select(col("event_type"), col("hr"), col("c").as("n_events"),
+            round(
+              aggregate(
+                transform(col("vals"), (x, i) =>
+                  x * pow(lit(0.9), size(col("vals")) - 1 - i)),
+                lit(0.0), (acc, x) => acc + x) /
+              aggregate(
+                transform(col("vals"), (x, i) =>
+                  pow(lit(0.9), size(col("vals")) - 1 - i)),
+                lit(0.0), (acc, x) => acc + x), 6).as("ewma"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |framed AS (
+          |  SELECT event_type, hr, c,
+          |         list(CAST(c AS DOUBLE)) OVER (
+          |           PARTITION BY event_type ORDER BY hr
+          |           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
+          |  FROM hourly)
+          |SELECT event_type, hr, c AS n_events,
+          |       round(
+          |         list_reduce(list_transform(vals, (x, i) ->
+          |             x * pow(0.9, len(vals) - i)), (a, b) -> a + b) /
+          |         list_reduce(list_transform(vals, (x, i) ->
+          |             pow(0.9, len(vals) - i)), (a, b) -> a + b), 6)
+          |         AS ewma
+          |FROM framed ORDER BY event_type, hr""".stripMargin)
+    ),
+
     // Offline changepoint detection (single change in mean, CUSUM
     // family): for each series the candidate split t maximizing the
     // cumulative deviation |Σ_{i≤t} x_i − t·x̄| — scaled by n so the

@@ -153,6 +153,24 @@ class GraphSeriesSpec extends SparkSpec {
     assert(math.abs(corr - expect) < 1e-5, s"($ta,$tb) corr $corr != $expect")
   }
 
+  test("ewma: recomputed from the trailing frame, bounded by frame min/max") {
+    val rows = q("q_ts_ewma").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, series) =>
+      val byHr = series.sortBy(_._2)
+      byHr.zipWithIndex.foreach { case ((_, _, _, ewma), i) =>
+        val frame = byHr.slice(math.max(0, i - 23), i + 1).map(_._3.toDouble)
+        val wts = frame.indices.map(j => math.pow(0.9, frame.length - 1 - j))
+        val expect = frame.zip(wts).map { case (x, w) => x * w }.sum / wts.sum
+        assert(math.abs(ewma - expect) < 1e-5, s"$et@$i: $ewma != $expect")
+        assert(ewma >= frame.min - 1e-6 && ewma <= frame.max + 1e-6,
+          s"$et@$i: ewma $ewma outside frame range")
+      }
+    }
+  }
+
   test("changepoint: argmax recomputed from raw events, means bracket the split") {
     val rows = q("q_ts_changepoint").collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
