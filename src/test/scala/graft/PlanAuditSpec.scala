@@ -133,6 +133,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("TopKPerKey"), s"rewrite lost:\n$opt")
   }
 
+  test("q_sample_weighted selects through bounded TopKPerKey, never a per-source sort") {
+    val opt = q("q_sample_weighted").queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey"), s"bounded selection lost:\n$opt")
+    // the k-row heap replaces any full Window pass over the corpus
+    assert(!opt.contains("windowspecdefinition"),
+      s"weighted sampling must not window the full corpus:\n$opt")
+  }
+
   test("q_join_bucketed joins and aggregates with zero hash exchanges") {
     // both sides bucketed+sorted on the join key: the join AND the
     // per-order aggregate must reuse the bucketing — the only exchange
