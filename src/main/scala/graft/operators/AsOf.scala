@@ -49,20 +49,26 @@ object AsOf {
 
   /** `merge_asof(direction="forward")`: payload of the right row with the
     * SMALLEST `ts >= left.ts` within the key. Same single-shuffle window
-    * shape as [[lastEarlier]], mirrored: left rows sort before right rows
-    * on equal ts, so a same-instant right row lands in the
-    * currentRow..following frame (ties match, distance 0). */
+    * shape as [[lastEarlier]], mirrored: the window runs as a RUNNING
+    * frame over DESCENDING (ts, tag) order — the exact reverse of the
+    * ascending total order, so `last` over it is row-for-row identical
+    * to `first` over a currentRow..unboundedFollowing frame, which Spark
+    * would evaluate by re-aggregating the remaining partition per row
+    * (O(n²) per key; running frames accumulate in O(n)). On equal ts the
+    * right row (tag 1) sorts ahead of the left row in the descending
+    * order, so a same-instant match is still in frame (distance 0). */
   def firstLater(left: DataFrame, right: DataFrame, key: String, ts: String,
                  payload: String): DataFrame = {
     val leftCols = left.columns
     val l = left.withColumn("__tag", lit(0)).withColumn(payload, lit(null).cast(
       right.schema(payload).dataType))
     val r = right.select(col(key), col(ts), lit(1).as("__tag"), col(payload))
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.select((leftCols.map(col) :+ col("__tag") :+ col(payload)): _*)
       .unionByName(r, allowMissingColumns = true)
-      .withColumn(payload, first(col(payload), ignoreNulls = true).over(w))
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col("__tag") === 0)
       .drop("__tag")
   }
@@ -70,8 +76,8 @@ object AsOf {
   /** `merge_asof(direction="nearest")`: payload of the right row whose
     * `ts` is closest in either direction; exact ties go backward (the
     * pandas convention). Both directional candidates come from ONE
-    * unioned, key-partitioned sort — two window frames over the same
-    * exchange, still a single shuffle. Right rows sort before left rows
+    * unioned, key-partitioned exchange — two running-frame window passes
+    * (asc and desc sorts) over it, still a single shuffle. Right rows sort before left rows
     * on equal ts, so a same-instant match is found by the backward frame
     * at distance 0 and wins any tie. */
   def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
@@ -87,7 +93,12 @@ object AsOf {
       struct(col(ts).as("ts"), col(payload).as("p")).as("__rp"))
     val base = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
     val wB = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward candidates via the reversed-order RUNNING frame (see
+    // firstLater): same rows as currentRow..unboundedFollowing, O(n)
+    // instead of O(n²) per key
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // exact integer distances for timestamps (µs) — a double cast could
     // collapse a 1 µs difference into a spurious tie
     def dist(a: Column, b: Column): Column = tsType match {
@@ -97,7 +108,7 @@ object AsOf {
     l.select((leftCols.map(col) :+ col("__tag") :+ col("__rp")): _*)
       .unionByName(r, allowMissingColumns = true)
       .withColumn("__b", last(col("__rp"), ignoreNulls = true).over(wB))
-      .withColumn("__f", first(col("__rp"), ignoreNulls = true).over(wF))
+      .withColumn("__f", last(col("__rp"), ignoreNulls = true).over(wF))
       .filter(col("__tag") === 1)
       .withColumn(payload,
         when(col("__f").isNull, col("__b.p"))
