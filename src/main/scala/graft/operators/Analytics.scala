@@ -1,7 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -306,6 +307,138 @@ object Analytics {
           |WHERE wk >= cohort_week
           |GROUP BY cohort_week, weeks_since
           |ORDER BY cohort_week, weeks_since""".stripMargin)
+    ),
+
+    // Batch sessionization (gaps-and-islands): split each user's event
+    // stream at >2h inactivity gaps, then roll sessions up to a per-user
+    // engagement summary. The batch complement of q_stream_session — the
+    // same semantics the merging session-window state store computes
+    // incrementally, here as one declarative plan over the full history.
+    //
+    // Scale shape: ONE hash exchange on user_id feeds the gap window,
+    // the (user, session) aggregate AND the per-user rollup — both
+    // group-bys cluster on a superset of the partitioning key, so
+    // Catalyst reuses the exchange (plan-audited). All arithmetic stays
+    // in integer µs; no double is ever compared.
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val gapUs = 2L * 3600L * 1000000L
+        val sessions = e
+          .withColumn("brk",
+            when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+              lag(col("us"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+          .withColumn("sess",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_ev"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+        sessions.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            max(col("n_ev")).as("max_session_events"),
+            sum(col("dur_us")).as("total_active_us"),
+            max(col("dur_us")).as("longest_session_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+          |marked AS (
+          |  SELECT user_id, us,
+          |         CASE WHEN us - lag(us) OVER w > 7200000000
+          |                OR lag(us) OVER w IS NULL
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          |numbered AS (
+          |  SELECT user_id, us,
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING
+          |                        AND CURRENT ROW) AS sess
+          |  FROM marked),
+          |sessions AS (
+          |  SELECT user_id, sess, count(*) AS n_ev,
+          |         max(us) - min(us) AS dur_us
+          |  FROM numbered GROUP BY user_id, sess)
+          |SELECT user_id, count(*) AS n_sessions,
+          |       sum(n_ev) AS n_events,
+          |       max(n_ev) AS max_session_events,
+          |       sum(dur_us) AS total_active_us,
+          |       max(dur_us) AS longest_session_us
+          |FROM sessions GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
+    ),
+
+    // Market-basket co-occurrence mining: which part pairs ship together
+    // in the same order, scored by lift against each part's standalone
+    // basket frequency — the item-item affinity shape behind co-purchase
+    // recommendations, as pure joins + aggregates.
+    //
+    // Scale shape: pair generation is a SELF-JOIN ON THE BASKET KEY, so
+    // work per order is basket² — bounded by the basket-size cap (100),
+    // which is the df-cap discipline from n-gram dedup applied to
+    // baskets: one pathological mega-order cannot square the join. The
+    // distinct, the cap filter, and the self-join all cluster on
+    // l_orderkey (one exchange, reused); part frequencies join in by
+    // l_partkey (AQE broadcasts the small side at this SF). The lift
+    // numerator/denominator stay in exact BIGINT products; the single
+    // double division is rounded to 6 dp on both engines BEFORE the
+    // rank-order compare (rounded-before-rank, as in BM25).
+    QueryDef(
+      "q_market_basket",
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val sized = b.groupBy(col("ok"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
+        val bb = b.join(sized, "ok")
+        val nBaskets = sized.count()
+        val partCnt = bb.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
+        val pairs = bb.select(col("ok"), col("pk").as("pa"))
+          .join(bb.select(col("ok"), col("pk").as("pb")), "ok")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+        pairs
+          .join(partCnt.select(col("pk").as("pa"), col("pc").as("ca")), "pa")
+          .join(partCnt.select(col("pk").as("pb"), col("pc").as("cb")), "pb")
+          .select(col("pa"), col("pb"), col("support"),
+            round((col("support") * lit(nBaskets)).cast(DoubleType) /
+              (col("ca") * col("cb")), 6).as("lift"))
+          .orderBy(col("support").desc, col("lift").desc, col("pa"),
+            col("pb"))
+          .limit(50)
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem),
+          |sized AS (
+          |  SELECT ok, count(*) AS bsz FROM b GROUP BY ok
+          |  HAVING count(*) <= 100),
+          |bb AS (SELECT b.ok, b.pk FROM b JOIN sized USING (ok)),
+          |nb AS (SELECT count(*) AS n FROM sized),
+          |pc AS (SELECT pk, count(*) AS pc FROM bb GROUP BY pk),
+          |pairs AS (
+          |  SELECT a.pk AS pa, c.pk AS pb, count(*) AS support
+          |  FROM bb a JOIN bb c ON a.ok = c.ok AND a.pk < c.pk
+          |  GROUP BY 1, 2)
+          |SELECT pa, pb, support,
+          |       round(CAST(support * nb.n AS DOUBLE) / (ca.pc * cb.pc),
+          |             6) AS lift
+          |FROM pairs
+          |JOIN pc ca ON pairs.pa = ca.pk
+          |JOIN pc cb ON pairs.pb = cb.pk
+          |CROSS JOIN nb
+          |ORDER BY support DESC, lift DESC, pa, pb
+          |LIMIT 50""".stripMargin)
     )
   )
 }

@@ -141,6 +141,27 @@ class PlanAuditSpec extends SparkSpec {
       s"weighted sampling must not window the full corpus:\n$opt")
   }
 
+  test("q_sessionize shuffles once: window, session agg and user rollup share the exchange") {
+    // both group-bys cluster on a superset of the window's user_id
+    // partitioning, so one hash exchange must feed all three operators —
+    // at 100 TB the sessionization pays exactly one shuffle of
+    // (user_id, us, event_id)
+    val p = plan("q_sessionize")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly one hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q_market_basket's pair self-join reuses the basket-key clustering") {
+    // distinct, cap filter and self-join all cluster on ok: the pair join
+    // must be exchange-free on top of the distinct's shuffle (no fresh
+    // repartition of either side), and the final top-50 must plan as
+    // TakeOrderedAndProject, never a global sort
+    val p = plan("q_market_basket")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must not global-sort:\n$p")
+  }
+
   test("q_join_bucketed joins and aggregates with zero hash exchanges") {
     // both sides bucketed+sorted on the join key: the join AND the
     // per-order aggregate must reuse the bucketing — the only exchange
