@@ -446,6 +446,85 @@ object SeriesOps {
           |FROM dev d JOIN best b ON d.event_type = b.event_type
           |                      AND d.hr = b.cp_hr
           |ORDER BY d.event_type""".stripMargin)
+    ),
+
+    // Hour-of-day seasonal profile + deseasonalized spike count per
+    // series: the seasonality half of the anomaly surface (q_ts_anomaly
+    // judges against a trailing window; this judges against the
+    // position-in-cycle baseline). The grid is ZERO-FILLED first —
+    // a silent hour is an observation of 0, not a missing row, or the
+    // profile biases high.
+    //
+    // Scale shape: same grid-first posture as the rest of the family —
+    // events die in a map-combined hourly count; the zero-fill, the
+    // 24-bucket profile and the spike join all run on the bounded
+    // (key × hour) grid. The spike test c·n_hours > 2·sum_c is an
+    // EXACT integer cross-multiplication — no mean is materialized, no
+    // double compared; the only double is the display mean, rounded at
+    // the end on both engines.
+    QueryDef(
+      "q_ts_seasonal",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val b = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi")).head()
+        val spine = s.range(1).select(explode(sequence(
+          lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+          expr("interval 1 hour"))).as("hr"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(spine))
+        val hourly = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val filled = grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("c"), lit(0L)).as("c"),
+            hour(col("hr")).cast("long").as("hod"))
+        val prof = filled.groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sum_c"))
+        val spikes = filled.join(prof, Seq("event_type", "hod"))
+          .filter(col("c") * col("n_hours") > lit(2L) * col("sum_c"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("ns"))
+        prof.join(spikes, Seq("event_type", "hod"), "left")
+          .select(col("event_type"), col("hod"), col("n_hours"),
+            col("sum_c"),
+            round(col("sum_c").cast(DoubleType) / col("n_hours"), 6)
+              .as("mean_c"),
+            coalesce(col("ns"), lit(0L)).as("n_spikes"))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      Some(
+        """WITH bounds AS (
+          |  SELECT date_trunc('hour', min(ts)) AS lo,
+          |         date_trunc('hour', max(ts)) AS hi FROM events),
+          |spine AS (
+          |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          |  FROM bounds),
+          |grid AS (
+          |  SELECT event_type, hr
+          |  FROM (SELECT DISTINCT event_type FROM events), spine),
+          |hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |filled AS (
+          |  SELECT g.event_type, g.hr, coalesce(h.c, 0) AS c,
+          |         hour(g.hr) AS hod
+          |  FROM grid g LEFT JOIN hourly h USING (event_type, hr)),
+          |prof AS (
+          |  SELECT event_type, hod, count(*) AS n_hours, sum(c) AS sum_c
+          |  FROM filled GROUP BY 1, 2),
+          |spikes AS (
+          |  SELECT f.event_type, f.hod, count(*) AS ns
+          |  FROM filled f JOIN prof p USING (event_type, hod)
+          |  WHERE f.c * p.n_hours > 2 * p.sum_c
+          |  GROUP BY 1, 2)
+          |SELECT p.event_type, p.hod, p.n_hours, p.sum_c,
+          |       round(CAST(p.sum_c AS DOUBLE) / p.n_hours, 6) AS mean_c,
+          |       coalesce(s.ns, 0) AS n_spikes
+          |FROM prof p LEFT JOIN spikes s USING (event_type, hod)
+          |ORDER BY p.event_type, p.hod""".stripMargin)
     )
   )
 }
