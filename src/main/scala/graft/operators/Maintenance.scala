@@ -212,6 +212,66 @@ object Maintenance {
           |FROM events
           |WHERE user_id BETWEEN 4 AND 7 AND day(ts) BETWEEN 8 AND 15
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // File-level min/max manifest + pruned read — the data-skipping
+    // core of a table format (Iceberg/Delta): collect per-file column
+    // stats into a persisted manifest table, then plan a range query by
+    // consulting the MANIFEST instead of listing/footer-probing every
+    // file. At 100 TB the difference is structural: planning cost is
+    // one small-table read (the manifest) instead of one ranged GET per
+    // parquet footer across millions of objects, and the data scan
+    // touches only the files whose [min,max] intersects the predicate.
+    //
+    // The layout is staged once (range-partitioned + sorted on
+    // l_shipdate, so files are disjoint date tiles — the layout z-order
+    // generalizes to 2-D). The manifest build (one stats pass, grouped
+    // by file) and the manifest-planned pruned read run EVERY time —
+    // they are the operator under test. The driver-side file-list
+    // collect is commit planning over a file-count-sized table, the
+    // same posture as q_purge_rewrite's affected-bucket list.
+    // MaintSpec proves the plan actually prunes (≤ half the files);
+    // the DuckDB oracle (full-table scan + predicate) proves the
+    // pruned read lost nothing.
+    QueryDef(
+      "q_manifest_prune",
+      (s, dir) => {
+        val layout = graft.Staging.cached(
+          s"manifest_layout_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.lineitem(s, dir)
+            .repartitionByRange(24, col("l_shipdate"))
+            .sortWithinPartitions(col("l_shipdate"))
+            .write.mode("overwrite").parquet(tgt)
+        }
+        val manifestDir = graft.Staging.dir("q_manifest_prune")
+        s.read.parquet(layout)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("l_shipdate")).as("lo"),
+            max(col("l_shipdate")).as("hi"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(manifestDir)
+        val qLo = lit("1997-01-01").cast("timestamp")
+        val qHi = lit("1997-12-31 23:59:59").cast("timestamp")
+        val files = s.read.parquet(manifestDir)
+          .filter(col("lo") <= qHi && col("hi") >= qLo)
+          .select(col("file")).collect().map(_.getString(0)).sorted
+        s.read.parquet(files: _*)
+          .filter(col("l_shipdate").between(qLo, qHi))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"),
+            round(sum(col("l_extendedprice")), 2).as("price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS qty,
+          |       round(sum(l_extendedprice), 2) AS price
+          |FROM lineitem
+          |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+          |                     AND TIMESTAMP '1997-12-31 23:59:59'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -169,6 +169,36 @@ class LayoutSpec extends SparkSpec {
       "user-sorted control unexpectedly skipped day-filtered files")
   }
 
+  test("q_manifest_prune: the manifest plans a strict file subset and loses nothing") {
+    q("q_manifest_prune").collect() // stages the layout + persists the manifest
+    val manifest = spark.read.parquet(Staging.dir("q_manifest_prune"))
+    val total = manifest.count()
+    assert(total >= 8, s"need a multi-file layout, got $total files")
+    val qLo = lit("1997-01-01").cast("timestamp")
+    val qHi = lit("1997-12-31 23:59:59").cast("timestamp")
+    val selected = manifest
+      .filter(col("lo") <= qHi && col("hi") >= qLo).count()
+    // the year predicate spans ~1/7 of the date range; a manifest that
+    // selects more than half the files is not skipping
+    assert(selected > 0 && selected * 2 <= total,
+      s"manifest pruned nothing: $selected of $total files selected")
+    // materialize the file list BEFORE re-running the query: the rerun
+    // overwrites the manifest dir and would invalidate the lazy read
+    val allFiles = manifest.select(col("file")).collect()
+      .map(_.getString(0)).toIndexedSeq
+    // and the pruned result must equal the unpruned full-scan filter
+    val pruned = q("q_manifest_prune").collect().map(_.toString).sorted
+    val full = spark.read
+      .parquet(allFiles: _*)
+      .filter(col("l_shipdate").between(qLo, qHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("price"))
+      .orderBy(col("l_returnflag")).collect().map(_.toString).sorted
+    assert(pruned.sameElements(full), "pruned read diverged from full scan")
+  }
+
   test("corrupt landing files: fail loudly by default, skip explicitly when asked") {
     // a 100 TB landing zone WILL contain a truncated upload eventually.
     // The default must be a loud failure (silent data loss is worse);
