@@ -445,6 +445,64 @@ object Relational {
           |            ELSE fid END AS purchase_id
           |FROM b JOIN f ON b.event_id = f.event_id
           |ORDER BY b.event_id""".stripMargin)
+    ),
+
+    // Bloom-filter semi-join pruning, built explicitly: when the dim
+    // side is too big to broadcast whole but its KEY SET compresses
+    // into a few KB of bits, ship the bits and drop non-matching fact
+    // rows BEFORE the join shuffle. This is the runtime-filter pattern
+    // (Spark's spark.sql.optimizer.runtime.bloomFilter, Trino's dynamic
+    // filters) surfaced as a first-class operator so the pruning is
+    // visible, tunable and testable.
+    //
+    // Scale shape: the filter build is one partial-aggregated pass over
+    // the dim keys (bit_or combine — 1024 longs cross the wire per
+    // partition, not the key set); the 8 KB word array ships to every
+    // fact task as a literal, so the fact side is pruned AT THE SCAN —
+    // zero extra shuffles, and the join's shuffle carries only
+    // survivors (~selectivity + FP rate; k=4, m=64Ki, n≈3k keys →
+    // FP ≈ 0.1%). False positives are removed by the real join, so the
+    // bloom is semantically invisible — the oracle is the PLAIN join.
+    // RelationalSpec pins the survivor bound; at a real 100 TB the same
+    // build swaps the literal for a broadcast variable and m scales
+    // with the key count (bits ≈ 10·n for ~1% FP).
+    QueryDef(
+      "q_join_bloom_prune",
+      (s, dir) => {
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val m = 65536L
+        val nWords = (m / 64).toInt
+        val seeds = 0 until 4
+        val words = new Array[Long](nWords)
+        dim.select(explode(array(seeds.map(i =>
+            expr(s"pmod(xxhash64(o_orderkey, $i), $m)")): _*)).as("bit"))
+          .select(expr("CAST(bit DIV 64 AS INT)").as("word"),
+            expr("CAST(bit % 64 AS INT)").as("pos"))
+          .groupBy(col("word"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos))").as("bits"))
+          .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+        val fact = Tables.lineitem(s, dir)
+          .withColumn("bs", typedLit(words))
+          .filter(seeds.map(i => expr(
+            s"""((element_at(bs, CAST(pmod(xxhash64(l_orderkey, $i), $m)
+               | DIV 64 AS INT) + 1)
+               | >> CAST(pmod(xxhash64(l_orderkey, $i), $m) % 64 AS INT))
+               | & 1) = 1""".stripMargin.replaceAll("\n", "")))
+            .reduce(_ && _))
+          .drop("bs")
+        fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS n,
+          |       round(sum(l_quantity), 2) AS qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

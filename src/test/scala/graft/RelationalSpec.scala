@@ -121,4 +121,39 @@ class RelationalSpec extends SparkSpec {
       .orderBy(col("o_orderkey")).collect().toSeq
     assert(run(2) == run(13))
   }
+
+  test("bloom prune: every true match survives; survivors stay near selectivity") {
+    import sources.Tables
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val m = 65536L
+    val words = new Array[Long]((m / 64).toInt)
+    dim.select(explode(array((0 until 4).map(i =>
+        expr(s"pmod(xxhash64(o_orderkey, $i), $m)")): _*)).as("bit"))
+      .select(expr("CAST(bit DIV 64 AS INT)").as("word"),
+        expr("CAST(bit % 64 AS INT)").as("pos"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos))").as("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val fact = Tables.lineitem(spark, sf)
+    val survivors = fact
+      .withColumn("bs", typedLit(words))
+      .filter((0 until 4).map(i => expr(
+        s"""((element_at(bs, CAST(pmod(xxhash64(l_orderkey, $i), $m)
+           | DIV 64 AS INT) + 1)
+           | >> CAST(pmod(xxhash64(l_orderkey, $i), $m) % 64 AS INT))
+           | & 1) = 1""".stripMargin.replaceAll("\n", "")))
+        .reduce(_ && _))
+    val total = fact.count()
+    val passed = survivors.count()
+    val trueMatches = fact.join(dim,
+      fact("l_orderkey") === dim("o_orderkey"), "left_semi").count()
+    // no false negatives: a bloom filter can only over-approximate
+    assert(passed >= trueMatches,
+      s"bloom dropped true matches: $passed < $trueMatches")
+    // and it must actually prune: ~20% selectivity + ~0.1% FP at
+    // n≈3k/m=64Ki/k=4 — a quarter of the fact is a generous ceiling
+    assert(passed * 4 <= total,
+      s"bloom pruned nothing: $passed of $total rows passed")
+  }
 }
