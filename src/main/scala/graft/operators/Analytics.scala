@@ -439,6 +439,143 @@ object Analytics {
           |CROSS JOIN nb
           |ORDER BY support DESC, lift DESC, pa, pb
           |LIMIT 50""".stripMargin)
+    ),
+
+    // Interval overlap join: which user sessions (2h-gap, as in
+    // q_sessionize) overlap which per-type "busy windows" (maximal runs
+    // of hours where a type's event count exceeds 1.1× its hourly
+    // average). Overlap microseconds are exact BIGINT arithmetic.
+    //
+    // Scale shape: the overlap theta-join is rewritten as an EQUI-JOIN
+    // ON THE HOUR CELL — both interval sets explode into the hour cells
+    // they cover and join per cell, so neither side is ever broadcast
+    // and the work is Σ per-cell |sessions|×|windows|, not |A|×|B|.
+    // Each overlapping pair is emitted ONCE, at the latest of the two
+    // first-cells (`hr === greatest(s_hr0, w_hr0)` — the smallest
+    // shared cell of two contiguous cell ranges; the round-7 emit-once
+    // discipline, stateless, no post-join distinct). Because windows
+    // are hour-aligned, cell sharing is exactly equivalent to the
+    // closed-interval overlap predicate — the oracle proves that by
+    // running the plain theta join. Sessionization and the busy-hour
+    // grid both stay partitioned on their keys (user / event_type);
+    // the grid is collapsed FIRST so all window math is grid-sized.
+    QueryDef(
+      "q_join_interval",
+      (s, dir) => {
+        val HrUs = 3600000000L
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val gapUs = 2L * 3600L * 1000000L
+        val sessions = e
+          .withColumn("brk",
+            when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+              lag(col("us"), 1).over(w).isNull, lit(1L)).otherwise(lit(0L)))
+          .withColumn("sess",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val grid = e.groupBy(col("event_type"),
+            expr(s"us DIV $HrUs").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val tot = grid.groupBy(col("event_type"))
+          .agg(sum(col("c")).as("total"), count(lit(1)).as("nh"))
+        val busy = grid.join(tot, "event_type")
+          .where(col("c") * col("nh") * lit(10L) > col("total") * lit(11L))
+          .select(col("event_type"), col("hr"))
+        val bw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val wins = busy
+          .withColumn("brk",
+            when(col("hr") - lag(col("hr"), 1).over(bw) > 1 ||
+              lag(col("hr"), 1).over(bw).isNull, lit(1L)).otherwise(lit(0L)))
+          .withColumn("run",
+            sum(col("brk")).over(bw.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("event_type"), col("run"))
+          .agg((min(col("hr")) * HrUs).as("ws_us"),
+            ((max(col("hr")) + 1) * HrUs).as("we_us"))
+        val sCells = sessions
+          .withColumn("s_hr0", expr(s"s_us DIV $HrUs"))
+          .withColumn("hr",
+            explode(sequence(col("s_hr0"), expr(s"e_us DIV $HrUs"))))
+        val wCells = wins
+          .withColumn("w_hr0", expr(s"ws_us DIV $HrUs"))
+          .withColumn("hr",
+            explode(sequence(col("w_hr0"), expr(s"we_us DIV $HrUs") - 1)))
+        sCells.join(wCells, "hr")
+          .where(col("hr") === greatest(col("s_hr0"), col("w_hr0")))
+          .select(col("user_id"), col("event_type"),
+            (least(col("e_us"), col("we_us")) -
+              greatest(col("s_us"), col("ws_us"))).as("ov"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct(col("event_type")).as("n_busy_types"),
+            sum(col("ov")).as("total_overlap_us"),
+            max(col("ov")).as("max_overlap_us"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+          |  FROM events),
+          |marked AS (
+          |  SELECT user_id, us,
+          |         CASE WHEN us - lag(us) OVER w > 7200000000
+          |                OR lag(us) OVER w IS NULL
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          |numbered AS (
+          |  SELECT user_id, us,
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING
+          |                        AND CURRENT ROW) AS sess
+          |  FROM marked),
+          |sessions AS (
+          |  SELECT user_id, sess, min(us) AS s_us, max(us) AS e_us
+          |  FROM numbered GROUP BY user_id, sess),
+          |grid AS (
+          |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (
+          |  SELECT event_type, sum(c) AS total, count(*) AS nh
+          |  FROM grid GROUP BY 1),
+          |busy AS (
+          |  SELECT g.event_type, g.hr
+          |  FROM grid g JOIN tot t USING (event_type)
+          |  WHERE g.c * t.nh * 10 > t.total * 11),
+          |bmarked AS (
+          |  SELECT event_type, hr,
+          |         CASE WHEN hr - lag(hr) OVER bw > 1
+          |                OR lag(hr) OVER bw IS NULL
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM busy
+          |  WINDOW bw AS (PARTITION BY event_type ORDER BY hr)),
+          |bnum AS (
+          |  SELECT event_type, hr,
+          |         sum(brk) OVER (PARTITION BY event_type ORDER BY hr
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING
+          |                        AND CURRENT ROW) AS run
+          |  FROM bmarked),
+          |wins AS (
+          |  SELECT event_type, run,
+          |         min(hr) * 3600000000 AS ws_us,
+          |         (max(hr) + 1) * 3600000000 AS we_us
+          |  FROM bnum GROUP BY 1, 2),
+          |hits AS (
+          |  SELECT s.user_id, w.event_type,
+          |         least(s.e_us, w.we_us) - greatest(s.s_us, w.ws_us) AS ov
+          |  FROM sessions s JOIN wins w
+          |    ON s.s_us < w.we_us AND s.e_us >= w.ws_us)
+          |SELECT user_id, count(*) AS n_hits,
+          |       count(DISTINCT event_type) AS n_busy_types,
+          |       sum(ov) AS total_overlap_us,
+          |       max(ov) AS max_overlap_us
+          |FROM hits GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }

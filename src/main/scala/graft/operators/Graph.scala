@@ -137,6 +137,88 @@ object Graph {
           |       JOIN deg d ON d.src = e.src, nn GROUP BY e.dst, nn.n)
           |SELECT node, round(pr * nn.n, 6) AS pr_norm FROM r5, nn
           |ORDER BY node""".stripMargin)
+    ),
+
+    // Triangle counting over the part co-purchase graph (edge = two
+    // parts sharing an order), the canonical "local clustering" graph
+    // kernel. Per-node triangle participation counts, exact.
+    //
+    // Scale shape: pair generation clusters on the basket key (work per
+    // order is basket², bounded by TPC-H's ≤7-line baskets; the same
+    // basket-key discipline as q_market_basket). Counting uses the
+    // DEGREE-ORIENTED adjacency-intersection algorithm: each edge is
+    // directed from its lower-(degree, id) endpoint to the higher one,
+    // so out-degrees are O(√m) on any graph — the hub that would square
+    // an id-ordered wedge join on a power-law graph cannot form. Each
+    // triangle x≺y≺z is then found exactly once, as witness z ∈
+    // N⁺(x)∩N⁺(y) on edge (x,y). The intersection runs INSIDE a
+    // projection over the edge table (array_intersect on per-node
+    // sorted neighbor arrays), so the 41M wedge pairs this graph
+    // generates at sf0.1 are never materialized into a shuffle — the
+    // only shuffled relations are |E| edges and |V| adjacency rows.
+    // (Measured at sf0.1: 49.3M id-ordered wedges vs 41.1M
+    // degree-ordered; max out-degree drops 222 → 97.)
+    //
+    // The DuckDB oracle enumerates triangles with the naive id-ordered
+    // 3-way self-join — a different algorithm arriving at the same
+    // exact per-node counts, which is the point of the cross-check.
+    QueryDef(
+      "q_graph_triangles",
+      (s, dir) => {
+        val op = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"),
+            col("l_partkey").cast("long").as("pk"))
+          .distinct()
+        val edges = op.select(col("ok"), col("pk").as("u"))
+          .join(op.select(col("ok"), col("pk").as("v")), Seq("ok"))
+          .where(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val lowFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val ori = edges
+          .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+          .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+            when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+        val adj = ori.groupBy(col("s").as("node"))
+          .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        val witnessed = ori
+          .join(adj.select(col("node").as("s"), col("nbrs").as("ns")), "s")
+          .join(adj.select(col("node").as("t"), col("nbrs").as("nt")), "t")
+          .select(col("s"), col("t"),
+            array_intersect(col("ns"), col("nt")).as("ws"))
+          .where(size(col("ws")) > 0)
+        // each pair row carries |ws| triangles to s and t, and one to
+        // every witness — flatten all three roles in one generate
+        witnessed
+          .select(explode(concat(
+            array(struct(col("s").as("part"),
+              size(col("ws")).cast("long").as("c")),
+              struct(col("t").as("part"),
+                size(col("ws")).cast("long").as("c"))),
+            transform(col("ws"),
+              w => struct(w.as("part"), lit(1L).as("c"))))).as("pc"))
+          .groupBy(col("pc.part").as("part"))
+          .agg(sum(col("pc.c")).as("tri_cnt"))
+          .orderBy(col("part"))
+      },
+      Some(
+        """WITH op AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |edges AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |tri AS (
+          |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          |  FROM edges e1
+          |  JOIN edges e2 ON e2.u = e1.v
+          |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+          |nodes AS (SELECT unnest([x, y, z]) AS part FROM tri)
+          |SELECT part, count(*) AS tri_cnt
+          |FROM nodes GROUP BY part ORDER BY part""".stripMargin)
     )
   )
 }

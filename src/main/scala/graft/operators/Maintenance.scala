@@ -272,6 +272,183 @@ object Maintenance {
           |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
           |                     AND TIMESTAMP '1997-12-31 23:59:59'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Data-quality audit: a declared rule catalog (uniqueness, range,
+    // format, referential integrity) evaluated across three tables,
+    // one result row per rule with exact violation counts. This is the
+    // expectation-suite shape (Deequ/Great Expectations) a pipeline
+    // gates ingest batches on.
+    //
+    // Scale shape: rules are grouped BY TABLE and evaluated as ONE
+    // conditional-aggregation pass per table — adding a rule adds a
+    // sum(when(..)) column, not a scan. The two referential rules ride
+    // a single left join each (bad = unmatched), sharing the pass that
+    // computes their n_checked, so the whole 10-rule audit costs three
+    // table scans + two key joins regardless of rule count. The
+    // uniqueness rule's count_distinct partial-aggregates map-side.
+    // Several rules FAIL on this data by design (duplicate lineitem
+    // line numbers, >8% discounts, post-1999 order dates) — an audit
+    // that can only say "pass" proves nothing.
+    QueryDef(
+      "q_dq_audit",
+      (s, dir) => {
+        def rule(id: String, tbl: String, n: org.apache.spark.sql.Column,
+                 bad: org.apache.spark.sql.Column) =
+          struct(lit(id).as("rule_id"), lit(tbl).as("tbl"),
+            n.cast("long").as("n_checked"), bad.cast("long").as("n_bad"))
+        def stack(df: org.apache.spark.sql.DataFrame,
+                  rules: org.apache.spark.sql.Column*) =
+          df.select(explode(array(rules: _*)).as("r")).select(col("r.*"))
+        val li = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nkeys"),
+          sum(when(!col("l_quantity").between(1.0, 50.0), 1L)
+            .otherwise(0L)).as("qty_bad"),
+          sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("disc_bad"))
+        val liRules = stack(li,
+          rule("li_disc_max8pct", "lineitem", col("n"), col("disc_bad")),
+          rule("li_pk_unique", "lineitem", col("n"), col("n") - col("nkeys")),
+          rule("li_qty_range", "lineitem", col("n"), col("qty_bad")))
+        val ord = Tables.orders(s, dir).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price_bad"),
+          sum(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"),
+            1L).otherwise(0L)).as("date_bad"))
+        val ordRules = stack(ord,
+          rule("ord_date_window", "orders", col("n"), col("date_bad")),
+          rule("ord_price_positive", "orders", col("n"), col("price_bad")))
+        val ev = Tables.events(s, dir).agg(
+          count(lit(1)).as("n"),
+          sum(when(!(col("value") > 0.0 && col("value") <= 1000.0), 1L)
+            .otherwise(0L)).as("val_bad"),
+          sum(when(!col("props").rlike("^\\{\"k\": [0-9]+\\}$"), 1L)
+            .otherwise(0L)).as("props_bad"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_bad"))
+        val evRules = stack(ev,
+          rule("ev_props_format", "events", col("n"), col("props_bad")),
+          rule("ev_user_nonnull", "events", col("n"), col("user_bad")),
+          rule("ev_value_range", "events", col("n"), col("val_bad")))
+        val liFk = Tables.lineitem(s, dir).select(col("l_orderkey"))
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), lit(1L).as("hit")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orph"))
+        val liFkRules = stack(liFk,
+          rule("li_fk_orders", "lineitem", col("n"), col("orph")))
+        val ordFk = Tables.orders(s, dir).select(col("o_custkey"))
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), lit(1L).as("hit")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orph"))
+        val ordFkRules = stack(ordFk,
+          rule("ord_fk_customer", "orders", col("n"), col("orph")))
+        liRules.unionByName(ordRules).unionByName(evRules)
+          .unionByName(liFkRules).unionByName(ordFkRules)
+          .withColumn("pass", col("n_bad") === 0L)
+          .orderBy(col("rule_id"))
+      },
+      Some(
+        """SELECT rule_id, tbl, n_checked, n_bad, n_bad = 0 AS pass
+          |FROM (
+          |  SELECT 'li_disc_max8pct' AS rule_id, 'lineitem' AS tbl,
+          |         count(*) AS n_checked,
+          |         count(*) FILTER (WHERE l_discount > 0.08) AS n_bad
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'li_pk_unique', 'lineitem', count(*),
+          |         count(*) - (SELECT count(*) FROM
+          |           (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'li_qty_range', 'lineitem', count(*),
+          |         count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50))
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'ord_date_window', 'orders', count(*),
+          |         count(*) FILTER
+          |           (WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'ord_price_positive', 'orders', count(*),
+          |         count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+          |  UNION ALL
+          |  SELECT 'ev_props_format', 'events', count(*),
+          |         count(*) FILTER
+          |           (WHERE NOT regexp_matches(props, '^\{"k": [0-9]+\}$'))
+          |  FROM events
+          |  UNION ALL
+          |  SELECT 'ev_user_nonnull', 'events', count(*),
+          |         count(*) FILTER (WHERE user_id IS NULL) FROM events
+          |  UNION ALL
+          |  SELECT 'ev_value_range', 'events', count(*),
+          |         count(*) FILTER
+          |           (WHERE NOT (value > 0 AND value <= 1000)) FROM events
+          |  UNION ALL
+          |  SELECT 'li_fk_orders', 'lineitem', count(*),
+          |         count(*) FILTER (WHERE o.o_orderkey IS NULL)
+          |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  UNION ALL
+          |  SELECT 'ord_fk_customer', 'orders', count(*),
+          |         count(*) FILTER (WHERE c.c_custkey IS NULL)
+          |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+          |ORDER BY rule_id""".stripMargin)
+    ),
+
+    // Incremental aggregate maintenance: a stored daily-revenue
+    // materialized view is brought up to date by merging ONLY the
+    // delta batch's partial aggregates — the base data is never
+    // rescanned. The MV stores MERGEABLE partials (count + exact
+    // cent-sum), never finals like avg: avg is derived at read time
+    // from the merged partials, which is what makes the view
+    // incrementally maintainable at all. The cutoff falls mid-day, so
+    // the boundary day genuinely merges a base partial with a delta
+    // partial rather than unioning disjoint grids.
+    //
+    // Scale shape: update cost is O(delta + touched grid), independent
+    // of base size — the difference between a 100 TB view that refreshes
+    // in minutes and one that recomputes for hours. Sums are kept as
+    // exact BIGINT cents for as long as possible (order-independent
+    // under retries/AQE); doubles appear only in the final projection,
+    // rounded identically on both engines. The base MV is staged once
+    // (pure function of the source stamp) — it plays the role of the
+    // stored view; the delta scan + merge run every time and are the
+    // operator under test. Oracle: a full recompute over all events.
+    QueryDef(
+      "q_incremental_agg",
+      (s, dir) => {
+        val cutoff = lit("2024-01-25 12:00:00").cast("timestamp")
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 100).cast("long")).as("cents"))
+        val mv = graft.Staging.cached(
+          s"incragg_mv_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          partials(Tables.events(s, dir).filter(col("ts") < cutoff))
+            .write.mode("overwrite").parquet(tgt)
+        }
+        val delta = partials(
+          Tables.events(s, dir).filter(col("ts") >= cutoff))
+        s.read.parquet(mv).unionByName(delta)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("cents"))
+          .select(col("event_type"), col("day"), col("n_events"),
+            round(col("cents").cast("double") / 100.0, 2).as("amount"),
+            round(col("cents").cast("double") /
+              (lit(100.0) * col("n_events")), 6).as("avg_value"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(
+        """SELECT event_type, CAST(ts AS DATE) AS day,
+          |       count(*) AS n_events,
+          |       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+          |               AS DOUBLE) / 100.0, 2) AS amount,
+          |       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+          |               AS DOUBLE) / (100.0 * count(*)), 6) AS avg_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

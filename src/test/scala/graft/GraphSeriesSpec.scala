@@ -220,4 +220,36 @@ class GraphSeriesSpec extends SparkSpec {
       assert(high == group.map(_._3).max && low == group.map(_._3).min)
     }
   }
+
+  test("triangles: degree-oriented counts equal the naive id-ordered enumeration") {
+    val rows = q("q_graph_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0),
+      "only triangle-participating parts appear, all with positive counts")
+    // recompute naively: id-ordered edges, 3-way self-join (the oracle
+    // algorithm, here run through Spark so the spec is engine-internal)
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("long").as("pk")).distinct()
+    val edges = op.select(col("ok"), col("pk").as("u"))
+      .join(op.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().localCheckpoint()
+    val e1 = edges.select(col("u").as("x"), col("v").as("y"))
+    val e2 = edges.select(col("u").as("y"), col("v").as("z"))
+    val e3 = edges.select(col("u").as("x"), col("v").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    val nTri = tri.count()
+    assert(rows.map(_._2).sum == 3 * nTri,
+      s"per-node counts must sum to 3×$nTri triangles")
+    val naive = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+      .groupBy("part").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (p, c) =>
+      assert(naive.getOrElse(p, 0L) == c,
+        s"part $p: degree-oriented $c != naive ${naive.getOrElse(p, 0L)}")
+    }
+    assert(rows.length == naive.size, "same participating-part set")
+  }
 }

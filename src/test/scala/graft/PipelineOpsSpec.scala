@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the B53 pipeline-operations pair: the data-quality audit
+  * and incremental aggregate maintenance. DuckDB equality is the Verify
+  * gate; these pin the properties the oracle can't state — that the
+  * audit actually catches planted defects, and that the delta-merge
+  * path reproduces a from-scratch recompute inside the same engine. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("dq audit: failing rules fail, clean rules pass, pass flag consistent") {
+    val rows = q("q_dq_audit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 10, "one row per declared rule")
+    val byId = rows.map(r => r._1 -> r).toMap
+    // planted defects in the fixture data must be caught
+    assert(byId("li_pk_unique")._4 > 0, "duplicate line numbers exist")
+    assert(byId("li_disc_max8pct")._4 > 0, "discounts above 8% exist")
+    assert(byId("ord_date_window")._4 > 0, "post-1999 orders exist")
+    // referential integrity holds on this data
+    assert(byId("li_fk_orders")._4 == 0 && byId("ord_fk_customer")._4 == 0)
+    // the flag is exactly n_bad == 0, and n_bad never exceeds n_checked
+    rows.foreach { case (id, _, n, bad, pass) =>
+      assert(pass == (bad == 0L), s"$id: pass flag inconsistent")
+      assert(bad >= 0 && bad <= n, s"$id: n_bad $bad outside [0, $n]")
+    }
+  }
+
+  test("incremental merge equals a from-scratch recompute") {
+    val merged = q("q_incremental_agg").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val full = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("cents").cast("double") / 100.0, 2).as("amount"),
+        round(col("cents").cast("double") / (lit(100.0) * col("n")), 6)
+          .as("avg_value"))
+      .orderBy(col("event_type"), col("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(merged.toSeq == full.toSeq,
+      "delta-merged view must be cell-identical to the full recompute")
+    // the boundary day (the mid-day cutoff) must appear exactly once —
+    // a real merge of base+delta partials, not a disjoint union
+    val boundary = merged.filter(_._2 == "2024-01-25")
+    assert(boundary.nonEmpty, "boundary day present")
+    assert(boundary.map(t => (t._1, t._2)).distinct.length == boundary.length,
+      "one merged row per (type, boundary day)")
+  }
+}

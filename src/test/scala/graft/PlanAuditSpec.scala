@@ -92,6 +92,8 @@ class PlanAuditSpec extends SparkSpec {
                             // TIME RANGE, not the row count)
       "q_ts_corr_matrix",   // hour spine x broadcast series-key set
                             // (grid-sized, both sides post-aggregation)
+      "q_ts_seasonal",      // keys x broadcast hour spine (zero-fill,
+                            // bounded by the TIME RANGE like interpolate)
       "q_drift_psi")        // sources x broadcast 6-row bin spine
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
@@ -342,5 +344,27 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
         s"vector re-attach must survive a non-broadcastable corpus:\n$p")
     } finally spark.conf.set(key, prev)
+  }
+
+  test("q_join_interval: overlap join is hash-equi on the hour cell, never nested-loop") {
+    // the point of the cell rewrite: an interval theta join that plans
+    // as an equi-join, with no broadcast-nested-loop or cartesian —
+    // the shape that survives when BOTH interval sets are huge
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval overlap must stay an equi-join on the cell:\n$p")
+  }
+
+  test("q_graph_triangles: wedges evaluated in-projection, no nested-loop joins") {
+    // degree-oriented adjacency intersection: every join in the plan is
+    // an equi-join on a node key; the 41M wedge pairs (sf0.1) exist only
+    // inside array_intersect, never as join output rows
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"triangle counting must never plan a nested-loop join:\n$p")
+    assert(p.contains("array_intersect"),
+      s"witness sets must come from the in-projection intersection:\n$p")
   }
 }
