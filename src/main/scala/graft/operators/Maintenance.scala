@@ -282,11 +282,12 @@ object Maintenance {
     //
     // Scale shape: rules are grouped BY TABLE and evaluated as ONE
     // conditional-aggregation pass per table — adding a rule adds a
-    // sum(when(..)) column, not a scan. The two referential rules ride
-    // a single left join each (bad = unmatched), sharing the pass that
-    // computes their n_checked, so the whole 10-rule audit costs three
-    // table scans + two key joins regardless of rule count. The
-    // uniqueness rule's count_distinct partial-aggregates map-side.
+    // sum(when(..)) column, not a scan. The referential rules ride the
+    // SAME pass as their table's other rules: the parent's key column
+    // left-joins in and "unmatched" is one more conditional column, so
+    // the whole 10-rule audit costs exactly three table scans + two key
+    // joins regardless of rule count. The uniqueness rule's
+    // count_distinct partial-aggregates map-side.
     // Several rules FAIL on this data by design (duplicate lineitem
     // line numbers, >8% discounts, post-1999 order dates) — an audit
     // that can only say "pass" proves nothing.
@@ -300,23 +301,39 @@ object Maintenance {
         def stack(df: org.apache.spark.sql.DataFrame,
                   rules: org.apache.spark.sql.Column*) =
           df.select(explode(array(rules: _*)).as("r")).select(col("r.*"))
-        val li = Tables.lineitem(s, dir).agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nkeys"),
-          sum(when(!col("l_quantity").between(1.0, 50.0), 1L)
-            .otherwise(0L)).as("qty_bad"),
-          sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("disc_bad"))
+        // each table's rules — INCLUDING its FK rule — ride one pass:
+        // the FK parent's key column left-joins in (broadcast for dims,
+        // shuffle at scale) and "unmatched" is just one more
+        // conditional column in the same aggregate
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), lit(1L).as("ord_hit")),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("l_orderkey"), col("l_linenumber")).as("nkeys"),
+            sum(when(!col("l_quantity").between(1.0, 50.0), 1L)
+              .otherwise(0L)).as("qty_bad"),
+            sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("disc_bad"),
+            sum(when(col("ord_hit").isNull, 1L).otherwise(0L)).as("orph"))
         val liRules = stack(li,
           rule("li_disc_max8pct", "lineitem", col("n"), col("disc_bad")),
+          rule("li_fk_orders", "lineitem", col("n"), col("orph")),
           rule("li_pk_unique", "lineitem", col("n"), col("n") - col("nkeys")),
           rule("li_qty_range", "lineitem", col("n"), col("qty_bad")))
-        val ord = Tables.orders(s, dir).agg(
-          count(lit(1)).as("n"),
-          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price_bad"),
-          sum(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"),
-            1L).otherwise(0L)).as("date_bad"))
+        val ord = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), lit(1L).as("cust_hit")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("price_bad"),
+            sum(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"),
+              1L).otherwise(0L)).as("date_bad"),
+            sum(when(col("cust_hit").isNull, 1L).otherwise(0L)).as("orph"))
         val ordRules = stack(ord,
           rule("ord_date_window", "orders", col("n"), col("date_bad")),
+          rule("ord_fk_customer", "orders", col("n"), col("orph")),
           rule("ord_price_positive", "orders", col("n"), col("price_bad")))
         val ev = Tables.events(s, dir).agg(
           count(lit(1)).as("n"),
@@ -329,24 +346,7 @@ object Maintenance {
           rule("ev_props_format", "events", col("n"), col("props_bad")),
           rule("ev_user_nonnull", "events", col("n"), col("user_bad")),
           rule("ev_value_range", "events", col("n"), col("val_bad")))
-        val liFk = Tables.lineitem(s, dir).select(col("l_orderkey"))
-          .join(Tables.orders(s, dir)
-            .select(col("o_orderkey"), lit(1L).as("hit")),
-            col("l_orderkey") === col("o_orderkey"), "left")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orph"))
-        val liFkRules = stack(liFk,
-          rule("li_fk_orders", "lineitem", col("n"), col("orph")))
-        val ordFk = Tables.orders(s, dir).select(col("o_custkey"))
-          .join(Tables.customer(s, dir)
-            .select(col("c_custkey"), lit(1L).as("hit")),
-            col("o_custkey") === col("c_custkey"), "left")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orph"))
-        val ordFkRules = stack(ordFk,
-          rule("ord_fk_customer", "orders", col("n"), col("orph")))
         liRules.unionByName(ordRules).unionByName(evRules)
-          .unionByName(liFkRules).unionByName(ordFkRules)
           .withColumn("pass", col("n_bad") === 0L)
           .orderBy(col("rule_id"))
       },
