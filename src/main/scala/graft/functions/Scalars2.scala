@@ -130,7 +130,7 @@ object Scalars2 {
           |       xor(event_id, user_id) AS xored,
           |       event_id << 3 AS shl3,
           |       event_id >> 2 AS shr2,
-          |       bit_count(event_id) AS popcount
+          |       CAST(bit_count(event_id) AS BIGINT) AS popcount
           |FROM events ORDER BY event_id""".stripMargin)
     ),
 

@@ -216,10 +216,10 @@ object Analytics {
           |       min(rv) AS first_view_us,
           |       min(rc) AS first_click_us,
           |       min(rp) AS first_purchase_us,
-          |       CASE WHEN min(rp) IS NOT NULL THEN 3
-          |            WHEN min(rc) IS NOT NULL THEN 2
-          |            WHEN min(rv) IS NOT NULL THEN 1
-          |            ELSE 0 END AS funnel_stage
+          |       CAST(CASE WHEN min(rp) IS NOT NULL THEN 3
+          |                 WHEN min(rc) IS NOT NULL THEN 2
+          |                 WHEN min(rv) IS NOT NULL THEN 1
+          |                 ELSE 0 END AS BIGINT) AS funnel_stage
           |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
@@ -351,7 +351,7 @@ object Analytics {
         """WITH e AS (
           |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
           |marked AS (
-          |  SELECT user_id, us,
+          |  SELECT user_id, us, event_id,
           |         CASE WHEN us - lag(us) OVER w > 7200000000
           |                OR lag(us) OVER w IS NULL
           |              THEN 1 ELSE 0 END AS brk
@@ -359,7 +359,7 @@ object Analytics {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
           |numbered AS (
           |  SELECT user_id, us,
-          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
           |                        ROWS BETWEEN UNBOUNDED PRECEDING
           |                        AND CURRENT ROW) AS sess
           |  FROM marked),
@@ -368,9 +368,9 @@ object Analytics {
           |         max(us) - min(us) AS dur_us
           |  FROM numbered GROUP BY user_id, sess)
           |SELECT user_id, count(*) AS n_sessions,
-          |       sum(n_ev) AS n_events,
+          |       CAST(sum(n_ev) AS BIGINT) AS n_events,
           |       max(n_ev) AS max_session_events,
-          |       sum(dur_us) AS total_active_us,
+          |       CAST(sum(dur_us) AS BIGINT) AS total_active_us,
           |       max(dur_us) AS longest_session_us
           |FROM sessions GROUP BY user_id
           |ORDER BY user_id""".stripMargin)
@@ -522,7 +522,7 @@ object Analytics {
           |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
           |  FROM events),
           |marked AS (
-          |  SELECT user_id, us,
+          |  SELECT user_id, us, event_id,
           |         CASE WHEN us - lag(us) OVER w > 7200000000
           |                OR lag(us) OVER w IS NULL
           |              THEN 1 ELSE 0 END AS brk
@@ -530,7 +530,7 @@ object Analytics {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
           |numbered AS (
           |  SELECT user_id, us,
-          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+          |         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
           |                        ROWS BETWEEN UNBOUNDED PRECEDING
           |                        AND CURRENT ROW) AS sess
           |  FROM marked),
@@ -573,7 +573,7 @@ object Analytics {
           |    ON s.s_us < w.we_us AND s.e_us >= w.ws_us)
           |SELECT user_id, count(*) AS n_hits,
           |       count(DISTINCT event_type) AS n_busy_types,
-          |       sum(ov) AS total_overlap_us,
+          |       CAST(sum(ov) AS BIGINT) AS total_overlap_us,
           |       max(ov) AS max_overlap_us
           |FROM hits GROUP BY user_id ORDER BY user_id""".stripMargin)
     )

@@ -448,7 +448,7 @@ object Curation {
           |              AS BIGINT) < r.rate * 65536.0 AS kept
           |  FROM documents d JOIN rates r USING (source))
           |SELECT source, n_docs,
-          |       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+          |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |       round(rate, 6) AS target_rate,
           |       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / n_docs, 6)
           |         AS kept_frac
@@ -700,7 +700,8 @@ object Curation {
           |              (CAST(cb + 1 AS DOUBLE) / (nb + 6)))
           |           * 1000000000) AS BIGINT) AS term9
           |  FROM tot)
-          |SELECT source, max(na) AS n_a, max(nb) AS n_b,
+          |SELECT source, CAST(max(na) AS BIGINT) AS n_a,
+          |       CAST(max(nb) AS BIGINT) AS n_b,
           |       round(sum(term9) / 1000000000.0, 6) AS psi,
           |       round(sum(term9) / 1000000000.0, 6) >= 0.1 AS drifted
           |FROM terms GROUP BY source ORDER BY source""".stripMargin)

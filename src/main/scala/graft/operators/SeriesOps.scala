@@ -439,7 +439,8 @@ object SeriesOps {
           |  FROM dev d JOIN mx ON d.event_type = mx.event_type
           |                    AND d.absc = mx.m
           |  GROUP BY 1)
-          |SELECT d.event_type, b.cp_hr, d.t AS cp_t, d.absc AS max_dev,
+          |SELECT d.event_type, b.cp_hr, d.t AS cp_t,
+          |       CAST(d.absc AS BIGINT) AS max_dev,
           |       round(CAST(d.cum_c AS DOUBLE) / d.t, 6) AS mean_pre,
           |       round(CAST(d.s_tot - d.cum_c AS DOUBLE) /
           |             (d.n_tot - d.t), 6) AS mean_post
@@ -520,7 +521,8 @@ object SeriesOps {
           |  FROM filled f JOIN prof p USING (event_type, hod)
           |  WHERE f.c * p.n_hours > 2 * p.sum_c
           |  GROUP BY 1, 2)
-          |SELECT p.event_type, p.hod, p.n_hours, p.sum_c,
+          |SELECT p.event_type, p.hod, p.n_hours,
+          |       CAST(p.sum_c AS BIGINT) AS sum_c,
           |       round(CAST(p.sum_c AS DOUBLE) / p.n_hours, 6) AS mean_c,
           |       coalesce(s.ns, 0) AS n_spikes
           |FROM prof p LEFT JOIN spikes s USING (event_type, hod)

@@ -132,7 +132,8 @@ object TextAnalysis {
           |    len(list_filter(ts, x -> x IN ('el','la','de','que','y','en'))) AS s_es,
           |    len(list_filter(ts, x -> x IN ('der','die','und','das','ist','von'))) AS s_de,
           |    len(list_filter(ts, x -> x IN ('le','les','et','des','un','une'))) AS s_fr,
-          |    CASE WHEN regexp_matches(text, '\p{Han}') THEN 100 ELSE 0 END AS s_zh
+          |    CAST(CASE WHEN regexp_matches(text, '\p{Han}')
+          |              THEN 100 ELSE 0 END AS BIGINT) AS s_zh
           |  FROM t)
           |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr, s_zh,
           |       CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'

@@ -33,9 +33,30 @@ def norm_cell(v):
 def fetch_sorted(con, sql):
     rel = con.sql(sql)
     cols = rel.columns
+    types = [str(t).upper() for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(norm_cell(r[i]) for i in order) for r in rel.fetchall()]
-    return [cols[i] for i in order], rows
+    return [cols[i] for i in order], [types[i] for i in order], rows
+
+
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"}
+
+
+def type_mismatch(ot, st):
+    """Reason string if this oracle/spark type pair would trip the driver's
+    width-sensitive hash (cells_equal coerces numerically and cannot see
+    it — the round-6 HUGEINT class). DuckDB widens sum(BIGINT) and
+    BIGINT*BIGINT to HUGEINT; always CAST(... AS BIGINT) in oracles."""
+    if ot == st:
+        return None
+    if ot in INT_TYPES and st in INT_TYPES:
+        return f"integer width {ot} vs {st}"
+    if ot.startswith("DECIMAL") or st.startswith("DECIMAL"):
+        return f"decimal vs {st if ot.startswith('DECIMAL') else ot}"
+    if "HUGEINT" in (ot, st):
+        return f"{ot} vs {st}"
+    return None
 
 
 def cells_equal(a, b):
@@ -84,8 +105,8 @@ def main():
         if only and name not in only:
             continue
         try:
-            ocols, orows = fetch_sorted(con, sql)
-            scols, srows = fetch_sorted(
+            ocols, otypes, orows = fetch_sorted(con, sql)
+            scols, stypes, srows = fetch_sorted(
                 con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as ex:
             print(f"FAIL {name}: exec error: {str(ex)[:300]}")
@@ -93,6 +114,14 @@ def main():
             continue
         if [c.lower() for c in ocols] != [c.lower() for c in scols]:
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        twarn = [(c, r) for c, ot, st in zip(ocols, otypes, stypes)
+                 for r in [type_mismatch(ot, st)] if r]
+        if twarn:
+            for c, r in twarn:
+                print(f"FAIL {name}: col {c} type: {r} (driver hash is "
+                      f"width-sensitive; CAST the oracle column)")
             n_fail += 1
             continue
         if len(orows) != len(srows):
