@@ -304,9 +304,13 @@ object Maintenance {
         // each table's rules — INCLUDING its FK rule — ride one pass:
         // the FK parent's key column left-joins in (broadcast for dims,
         // shuffle at scale) and "unmatched" is just one more
-        // conditional column in the same aggregate
+        // conditional column in the same aggregate. The parent side is
+        // a DISTINCT key projection: a duplicated parent key (exactly
+        // the defect class a DQ audit exists to catch) must not fan out
+        // child rows and inflate every other rule's counts on this pass.
         val li = Tables.lineitem(s, dir)
           .join(Tables.orders(s, dir)
+            .select(col("o_orderkey")).distinct()
             .select(col("o_orderkey"), lit(1L).as("ord_hit")),
             col("l_orderkey") === col("o_orderkey"), "left")
           .agg(
@@ -323,6 +327,7 @@ object Maintenance {
           rule("li_qty_range", "lineitem", col("n"), col("qty_bad")))
         val ord = Tables.orders(s, dir)
           .join(Tables.customer(s, dir)
+            .select(col("c_custkey")).distinct()
             .select(col("c_custkey"), lit(1L).as("cust_hit")),
             col("o_custkey") === col("c_custkey"), "left")
           .agg(

@@ -38,13 +38,29 @@ object Relational {
       val (o, l) = (s"g_orders_b$key", s"g_lineitem_b$key")
       s.sql(s"DROP TABLE IF EXISTS $o")
       s.sql(s"DROP TABLE IF EXISTS $l")
+      // bucket count scales with the data: a fixed count either caps
+      // scan parallelism below the core count (8 buckets was 8 of 32
+      // cores at bench SF) or shatters a small table into empty files.
+      // Floor = 2 buckets per core so every core gets work; growth =
+      // one bucket per ~64 MB of source parquet so buckets stay
+      // executor-memory-sized at any SF; power of two for a stable
+      // layout. Both tables MUST share the count or the join shuffles.
+      val bytes = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir, "lineitem.parquet"))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      val want = math.max(8L, math.max(2L * s.sparkContext.defaultParallelism,
+        bytes / (64L << 20)).min(4096L)).toInt
+      val nBuckets = Integer.highestOneBit(want - 1) * 2
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .write.mode("overwrite").bucketBy(nBuckets, "o_orderkey")
+        .sortBy("o_orderkey")
         .option("path", graft.Staging.dir(o)).saveAsTable(o)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .write.mode("overwrite").bucketBy(nBuckets, "l_orderkey")
+        .sortBy("l_orderkey")
         .option("path", graft.Staging.dir(l)).saveAsTable(l)
       (o, l)
     })

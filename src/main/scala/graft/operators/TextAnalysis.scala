@@ -586,6 +586,110 @@ object TextAnalysis {
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // North star — byte-pair-encoding tokenizer training: induce a
+    // subword merge table from the corpus by ITERATIVE PAIR-MERGE
+    // (Sennrich-style BPE), then report the final subword segmentation
+    // of the top vocabulary. Extends q_text_vocab_encode past
+    // word-level: this is the production tokenizer-training shape for
+    // an LLM data pipeline.
+    //
+    // Two representation choices carry the whole operator:
+    // (1) the corpus collapses FIRST to the bounded (word, freq) table
+    //     — classic BPE trains on word frequencies, so every merge
+    //     round runs over ≤2000 rows no matter how many PB the corpus
+    //     is (the grid-first discipline); the top-K cut is a TakeOrdered
+    //     (bounded top-k), not a global window.
+    // (2) a word's symbol sequence is a SPACE-DELIMITED STRING with
+    //     sentinel spaces, so applying merge (a,b) is
+    //     replace(seq, ' a b ', ' ab ') — string replace is
+    //     left-to-right and non-overlapping in both engines, which IS
+    //     the BPE merge semantics ('aaa' + (a,a) → [aa, a]); no
+    //     stateful fold, no UDF, stays in codegen.
+    // Each round is: adjacent-pair explode + map-combined count, argmax
+    // via TakeOrdered(1) (ties: count desc, then pair lexicographic —
+    // deterministic), then a 1-row broadcast crossJoin applies the
+    // merge — the bounded-round iterative-join discipline of the
+    // PageRank loop. Each round's result is localCheckpoint'ed: the
+    // argmax AND the next round both consume it, so without the cut
+    // the lazy plan re-evaluates every earlier round per consumer —
+    // 2^rounds corpus scans. With it, the corpus is scanned once and
+    // each round is one tiny job over ≤2000 checkpointed rows.
+    QueryDef(
+      "q_text_bpe",
+      (s, dir) => {
+        val rounds = 6
+        val words = Tables.documents(s, dir)
+          .select(explode(TextFns.tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]{2,20}$"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("word")).limit(2000)
+        var seqs = words.select(col("word"), col("cnt"),
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+            .as("seq")).localCheckpoint()
+        for (i <- 1 to rounds) {
+          val toks = seqs.select(col("cnt"),
+            split(trim(col("seq")), " ").as("ts"))
+          val pairs = toks
+            .select(col("cnt"), explode(zip_with(
+              slice(col("ts"), lit(1), size(col("ts")) - 1),
+              slice(col("ts"), lit(2), size(col("ts")) - 1),
+              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("n"))
+          val best = pairs.orderBy(desc("n"), col("a"), col("b")).limit(1)
+            .select(col("a").as(s"ma$i"), col("b").as(s"mb$i"))
+          seqs = seqs.crossJoin(broadcast(best))
+            .withColumn("seq", expr(
+              s"replace(seq, ' ' || ma$i || ' ' || mb$i || ' ', " +
+                s"' ' || ma$i || mb$i || ' ')"))
+            .drop(s"ma$i", s"mb$i")
+            .localCheckpoint()
+        }
+        seqs.select(col("word"), col("cnt"), trim(col("seq")).as("encoded"),
+            size(split(trim(col("seq")), " ")).cast(LongType).as("n_tokens"))
+          .orderBy(desc("cnt"), col("word")).limit(150)
+      },
+      Some {
+        // every seq CTE is referenced twice (pair count + next round)
+        // and the 1-row argmax joins in by cross product — WITHOUT
+        // `AS MATERIALIZED` DuckDB inlines the chain and re-evaluates
+        // each round per reference, which goes exponential in rounds
+        // (measured: hangs at 6 rounds even at sf0.001)
+        val head =
+          """WITH toks AS MATERIALIZED (
+            |  SELECT unnest(string_split(lower(text), ' ')) AS word
+            |  FROM documents),
+            |words AS MATERIALIZED (
+            |  SELECT word, count(*) AS cnt FROM toks
+            |  WHERE regexp_matches(word, '^[a-z]{2,20}$')
+            |  GROUP BY word ORDER BY cnt DESC, word LIMIT 2000),
+            |seq0 AS MATERIALIZED (
+            |  SELECT word, cnt,
+            |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+            |  FROM words)""".stripMargin
+        val roundCtes = (1 to 6).map { i =>
+          val p = s"seq${i - 1}"
+          s"""b$i AS MATERIALIZED (
+             |  SELECT ts[j] AS a, ts[j + 1] AS b,
+             |         CAST(sum(cnt) AS BIGINT) AS n
+             |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS ts FROM $p),
+             |       unnest(range(1, len(ts))) AS u(j)
+             |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+             |seq$i AS MATERIALIZED (
+             |  SELECT word, cnt,
+             |         replace(seq, ' ' || a || ' ' || b || ' ',
+             |                      ' ' || a || b || ' ') AS seq
+             |  FROM $p, b$i)""".stripMargin
+        }
+        (head +: roundCtes).mkString(",\n") +
+          """
+            |SELECT word, cnt, trim(seq) AS encoded,
+            |       CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
+            |         AS n_tokens
+            |FROM seq6 ORDER BY cnt DESC, word LIMIT 150""".stripMargin
+      }
+    ),
+
     // North star — cross-source overlap (leakage) matrix: for every
     // ordered source pair (a, b), the fraction of a's docs sharing at
     // least one rare 3-shingle with ANY doc of b — the provenance /

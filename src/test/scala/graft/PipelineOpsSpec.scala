@@ -52,5 +52,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(boundary.nonEmpty, "boundary day present")
     assert(boundary.map(t => (t._1, t._2)).distinct.length == boundary.length,
       "one merged row per (type, boundary day)")
+    // ...and the merge is genuine: BOTH inputs carry boundary-day
+    // partials. Read the staged base MV itself (already built by the
+    // query run above — the build lambda must not fire) and check the
+    // boundary day appears on each side of the cutoff.
+    val mvPath = Staging.cached(
+      s"incragg_mv_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1) {
+      _ => fail("base MV must already be staged by the query run")
+    }
+    val base = spark.read.parquet(mvPath)
+    val bday = lit("2024-01-25").cast("date")
+    assert(base.filter(col("day") === bday).count() > 0,
+      "base MV holds pre-cutoff partials for the boundary day")
+    assert(base.filter(col("day") > bday).count() == 0,
+      "base MV holds nothing past the cutoff day")
+    val cutoff = lit("2024-01-25 12:00:00").cast("timestamp")
+    val deltaBoundary = sources.Tables.events(spark, sf)
+      .filter(col("ts") >= cutoff && col("ts").cast("date") === bday)
+    assert(deltaBoundary.count() > 0,
+      "delta side also contributes rows to the boundary day")
   }
 }

@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
       "q_text_bm25",        // 1-row broadcast (corpus stats attach)
       "q_text_vocab_encode", // join-rank over the vocab-sized term table
+      "q_text_bpe",         // 1-row broadcast per merge round (argmax
+                            // pair attach), over the bounded vocab
 
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)

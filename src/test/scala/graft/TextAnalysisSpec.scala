@@ -76,4 +76,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._5 == expectMd5, s"doc $probe rewrite digest")
     assert(got._3 == segs.count(dfCount(_) > 1).toLong, s"doc $probe dup count")
   }
+
+  test("bpe: matches a from-first-principles 6-round merge train exactly") {
+    val rows = q("q_text_bpe").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, _, enc, n) =>
+      assert(enc.split(" ").mkString == w, s"$w: encoding must concat back")
+      assert(n == enc.split(" ").length.toLong, s"$w: token count")
+    }
+    assert(rows.exists { case (w, _, _, n) => n < w.length },
+      "six merges must shorten at least one top word")
+    // independent reimplementation: plain-Scala BPE over the same vocab
+    // (greedy left-to-right non-overlapping apply, count-desc/pair-asc
+    // argmax) — the query's string-replace encoding must match it
+    // cell-for-cell, proving replace() really is the BPE merge
+    val words = sources.Tables.documents(spark, sf)
+      .select(lower(col("text"))).collect().map(_.getString(0))
+      .flatMap(_.split(" ")).filter(_.matches("^[a-z]{2,20}$"))
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val top = words.toSeq.sortBy { case (w, c) => (-c, w) }.take(2000)
+    var seqs = top.map { case (w, c) => (w, c, w.map(_.toString).toVector) }
+    for (_ <- 1 to 6) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (_, c, ts) =>
+        ts.zip(ts.drop(1)).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      val (ba, bb) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      seqs = seqs.map { case (w, c, ts) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == ba && ts(i + 1) == bb) {
+            out += ts(i) + ts(i + 1); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        (w, c, out.result())
+      }
+    }
+    val expect = seqs
+      .map { case (w, c, ts) => (w, c, ts.mkString(" "), ts.length.toLong) }
+      .sortBy { case (w, c, _, _) => (-c, w) }.take(150)
+    assert(rows.toSeq == expect,
+      "query encodings must equal the first-principles BPE train")
+  }
 }
