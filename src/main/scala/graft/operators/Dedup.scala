@@ -514,12 +514,13 @@ object Dedup {
         val e = Tables.embeddings(s, dir)
           .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
         val n = e.count()
-        // multi-probe membership (each vector lives in its nProbe=3
+        // multi-probe membership (each vector lives in its nProbe=4
         // nearest cells for CANDIDATE generation): single-assignment
         // SemDeDup misses near-dup pairs that straddle a Voronoi
-        // boundary — measured dropped-set recall vs the brute rule:
-        // 2-probe 0.55 / 3-probe 0.76 at sf0.1 (1-probe 0.36 /
-        // 2-probe 0.79 at sf0.01), at ≤ nProbe² × the within-cell pair
+        // boundary — measured dropped-set recall vs the brute rule at
+        // sf0.1: 2-probe 0.55 / 3-probe 0.76 / 4-probe 0.92, the last
+        // probe costing +14% runtime and +40% candidate shuffle
+        // (SCALEPROBE round 7), at ≤ nProbe² × the within-cell pair
         // volume. A pair meets once per SHARED cell (≤ nProbe), the
         // cos filter runs per meeting, and only the post-filter
         // near-dup rows reach the distinct — candidate dedup never
@@ -531,7 +532,7 @@ object Dedup {
           .partitionBy(col("vec_id"))
         val probes = Similarity.ivfProbeAssign(
             e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-            nCells = Similarity.ivfCellsFor(n), trainIters = 2, nProbe = 3,
+            nCells = Similarity.ivfCellsFor(n), trainIters = 2, nProbe = 4,
             corpusN = n)
           .withColumn("psig", sort_array(collect_list(col("cell_id")).over(wSig)))
           .select(col("vec_id"), col("cell_id"), col("probe_rank"), col("psig"))

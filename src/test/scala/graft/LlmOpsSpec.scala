@@ -71,9 +71,10 @@ class LlmOpsSpec extends SparkSpec {
       s"semantic drops not in brute set: ${(droppedSem -- droppedBrute).take(3)}")
     val r = recalls("semantic_dedup")
     assume(r.exactPairs > 0)
-    // measured 3-probe recall: 1.0 (7/7) at sf0.001 / 0.756 at
-    // sf0.1; deterministic — floor just under measured
-    assert(r.recall >= 0.72,
+    // measured 4-probe recall: 1.0 (7/7) at sf0.001 / 0.919 at
+    // sf0.1 (3-probe was 0.756; the extra probe costs +14% runtime —
+    // SCALEPROBE round 7); deterministic — floor just under measured
+    assert(r.recall >= 0.85,
       s"semantic dedup recall ${r.recall} over ${r.exactPairs} brute drops")
   }
 
