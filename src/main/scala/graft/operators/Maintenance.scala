@@ -454,6 +454,129 @@ object Maintenance {
           |       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
           |               AS DOUBLE) / (100.0 * count(*)), 6) AS avg_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Multi-writer OPTIMISTIC-CONCURRENCY commit protocol + snapshot
+    // isolation (the Delta/Iceberg transaction-log shape, closing the
+    // B51 gap called out in round 6): the table is data files plus an
+    // append-only `_log/vNNN.json` manifest chain; a commit is an
+    // ATOMIC create of the next version file (put-if-absent is the
+    // entire concurrency primitive — object stores offer it as
+    // if-none-match), and a writer that loses the race REBASES:
+    // re-reads every manifest committed past its snapshot, checks its
+    // declared key range is disjoint from theirs, and retries at the
+    // next version without rewriting data. Readers get snapshot
+    // isolation for free: a version's live file set is fixed by the
+    // log, so a time-travel read at v sees exactly v's files no matter
+    // what later writers do.
+    //
+    // The scenario stages deterministically: writer A and writer B
+    // both snapshot v0; A commits v1; B — holding the now-STALE
+    // snapshot — attempts v1, hits the already-exists conflict, and
+    // rebases to v2 (attempt 2 is recorded in the manifest; the spec
+    // asserts the conflict really happened). The staged log plays the
+    // stored-table role (pure function of the source, as with the
+    // incremental-agg MV); the operator under test on every run is the
+    // log resolution + the three time-travel reads. The oracle replays
+    // each version's predicate over the raw orders table: snapshot
+    // reads must agree with the logical row sets exactly.
+    //
+    // Scale shape: commit cost is O(manifest) regardless of table
+    // size; the conflict check reads only manifests past the snapshot
+    // (bounded by writer concurrency, not data); snapshot reads scan
+    // ONLY the live files listed by the log — the same
+    // manifest-planned pruning as q_manifest_prune. The per-version
+    // aggregate here rescans history by design (it is time travel,
+    // not incremental maintenance — that is q_incremental_agg).
+    QueryDef(
+      "q_snapshot_txn",
+      (s, dir) => {
+        val (c1, c2) = ("1998-01-01", "2000-01-01")
+        val root = graft.Staging.cached(
+          s"txnlog_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          import java.nio.file.{Files, FileAlreadyExistsException, Paths}
+          val log = Paths.get(tgt, "_log")
+          Files.createDirectories(log)
+          val orders = Tables.orders(s, dir)
+          val range = """"lo":"([^"]*)","hi":"([^"]*)"""".r
+          def tryCommit(v: Int, writer: String, attempt: Int,
+                        adds: Seq[String], lo: String, hi: String): Unit = {
+            val f = log.resolve(f"v$v%03d.json")
+            val body =
+              s"""{"version":$v,"writer":"$writer","attempt":$attempt,""" +
+                s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""lo":"$lo","hi":"$hi"}"""
+            // CREATE_NEW (O_EXCL) is the put-if-absent commit: exactly
+            // one contending writer creates the version file — the
+            // filesystem analog of an object store's conditional PUT.
+            // (NOT rename: POSIX rename() silently replaces, which
+            // would let a losing writer clobber the winner.)
+            try Files.write(f, body.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            catch {
+              case _: FileAlreadyExistsException =>
+                // rebase: ranges of every manifest we lost to must be
+                // disjoint from ours, else the writer must abort (an
+                // append-only writer pair here — the check still runs)
+                val winner = Files.readString(f)
+                val ok = range.findFirstMatchIn(winner).exists { m =>
+                  hi <= m.group(1) || m.group(2) <= lo
+                }
+                require(ok, s"$writer: range overlap with committed v$v")
+                tryCommit(v + 1, writer, attempt + 1, adds, lo, hi)
+            }
+          }
+          def writeData(name: String,
+                        df: org.apache.spark.sql.DataFrame): Unit =
+            df.coalesce(1).write.mode("overwrite").parquet(s"$tgt/$name")
+          val od = col("o_orderdate")
+          writeData("base", orders.filter(od < lit(c1).cast("timestamp")))
+          tryCommit(0, "base", 1, Seq("base"), "0000-01-01", c1)
+          writeData("a1", orders.filter(od >= lit(c1).cast("timestamp") &&
+            od < lit(c2).cast("timestamp")))
+          writeData("b1", orders.filter(od >= lit(c2).cast("timestamp")))
+          // both writers hold snapshot v0; A wins v1, B conflicts on
+          // v1 and rebases to v2
+          tryCommit(1, "A", 1, Seq("a1"), c1, c2)
+          tryCommit(1, "B", 1, Seq("b1"), c2, "9999-12-31")
+        }
+        // every run: resolve the log (bounded: one row per commit) and
+        // time-travel-read each version from exactly its live files
+        val ms = s.read.json(s"$root/_log")
+          .select(col("version").cast(LongType), col("writer"), col("adds"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+          .sortBy(_._1)
+        ms.map { case (v, w, _) =>
+          val live = ms.filter(_._1 <= v).flatMap(_._3)
+            .map(n => s"$root/$n")
+          s.read.parquet(live: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("o_totalprice") * 100).cast(LongType))
+                .as("cents"))
+            .select(lit(v).as("version"), lit(w).as("writer"),
+              col("n_rows"), col("cents"))
+        }.reduce(_.unionByName(_)).orderBy(col("version"))
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS version, 'base' AS writer,
+          |         count(*) AS n_rows,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 1, 'A', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 2, 'B', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders)
+          |ORDER BY version""".stripMargin)
     )
   )
 }
