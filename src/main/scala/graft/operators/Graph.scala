@@ -139,6 +139,79 @@ object Graph {
           |ORDER BY node""".stripMargin)
     ),
 
+    // Synchronous min-label propagation over the supplier↔part
+    // bipartite graph, 4 fixed rounds — the community-detection /
+    // partial-connected-components shape as bounded iterative joins
+    // (full CC with pointer doubling lives in Dedup; this is the
+    // fixed-budget variant a pipeline runs when it wants "good enough
+    // in k passes" semantics with a hard cost ceiling).
+    //
+    // Scale shape: identical traffic to a PageRank round — each round
+    // shuffles the label vector (|V| rows) into one edge join and one
+    // min-aggregate by node; the edge list is checkpointed once and
+    // every round starts from a materialized ≤|V| label table
+    // (lineage cut per round, plan never grows). Labels are the long
+    // node ids, so round r's table is |V| (node, label) long pairs —
+    // no strings, no arrays in the loop. The oracle unrolls the same
+    // four rounds as MATERIALIZED CTEs (inlined CTEs re-evaluate per
+    // reference — the q_text_bpe lesson).
+    QueryDef(
+      "q_graph_labelprop",
+      (s, dir) => {
+        val rounds = 4
+        val edges = edgeList(s, dir).localCheckpoint()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("lbl", col("node")).localCheckpoint()
+        for (_ <- 1 to rounds) {
+          val fromNbrs = edges
+            .join(labels.select(col("node").as("dst"),
+              col("lbl").as("nlbl")), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(min(col("nlbl")).as("minn"))
+          labels = labels.join(fromNbrs, Seq("node"), "left_outer")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("minn"), col("lbl")))
+                .as("lbl"))
+            .localCheckpoint()
+        }
+        // display form only in the final projection (ids stay long in
+        // the loop): s<k> for suppliers (even), p<k> for parts (odd)
+        def disp(c: org.apache.spark.sql.Column) =
+          when(c % 2 === 0, concat(lit("s"), (c / 2).cast("long")))
+            .otherwise(concat(lit("p"), ((c - 1) / 2).cast("long")))
+        labels
+          .select(disp(col("node")).as("node"), disp(col("lbl")).as("label"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val head =
+          """WITH pairs AS MATERIALIZED (
+            |  SELECT DISTINCT l_suppkey * 2 AS sk, l_partkey * 2 + 1 AS pk
+            |  FROM lineitem),
+            |edges AS MATERIALIZED (
+            |  SELECT sk AS src, pk AS dst FROM pairs
+            |  UNION ALL SELECT pk, sk FROM pairs),
+            |l0 AS MATERIALIZED (
+            |  SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+        val roundCtes = (1 to 4).map { i =>
+          s"""l$i AS MATERIALIZED (
+             |  SELECT p.node,
+             |         least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
+             |  FROM l${i - 1} p
+             |  LEFT JOIN edges e ON e.src = p.node
+             |  LEFT JOIN l${i - 1} n ON n.node = e.dst
+             |  GROUP BY p.node, p.lbl)""".stripMargin
+        }
+        (head +: roundCtes).mkString(",\n") +
+          """
+            |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+            |            ELSE 'p' || ((node - 1) // 2) END AS node,
+            |       CASE WHEN lbl % 2 = 0 THEN 's' || (lbl // 2)
+            |            ELSE 'p' || ((lbl - 1) // 2) END AS label
+            |FROM l4 ORDER BY node""".stripMargin
+      }
+    ),
+
     // Triangle counting over the part co-purchase graph (edge = two
     // parts sharing an order), the canonical "local clustering" graph
     // kernel. Per-node triangle participation counts, exact.

@@ -252,4 +252,27 @@ class GraphSeriesSpec extends SparkSpec {
     }
     assert(rows.length == naive.size, "same participating-part set")
   }
+
+  test("labelprop: label is exactly the min id within 4 hops (first-principles BFS)") {
+    val rows = q("q_graph_labelprop").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    // rebuild the bipartite graph in plain Scala and run 4 synchronous
+    // min-propagation rounds — the query must agree on every node
+    val pairs = sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").cast("long"), col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4)
+      lbl = lbl.map { case (n, l) =>
+        n -> math.min(l, adj(n).map(lbl).min)
+      }
+    def disp(x: Long) = if (x % 2 == 0) s"s${x / 2}" else s"p${(x - 1) / 2}"
+    val expect = lbl.toSeq.map { case (n, l) => (disp(n), disp(l)) }
+      .sortBy(_._1)
+    assert(rows.toSeq == expect,
+      "4-round labels must equal the first-principles propagation")
+  }
 }
