@@ -400,7 +400,9 @@ object Analytics {
         val sized = b.groupBy(col("ok"))
           .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 100)
         val bb = b.join(sized, "ok")
-        val nBaskets = sized.count()
+        // basket count rides the plan as a 1-row broadcast crossJoin
+        // (no separate driver job for one scalar)
+        val nBaskets = sized.agg(count(lit(1)).as("nb"))
         val partCnt = bb.groupBy(col("pk")).agg(count(lit(1)).as("pc"))
         val pairs = bb.select(col("ok"), col("pk").as("pa"))
           .join(bb.select(col("ok"), col("pk").as("pb")), "ok")
@@ -409,8 +411,9 @@ object Analytics {
         pairs
           .join(partCnt.select(col("pk").as("pa"), col("pc").as("ca")), "pa")
           .join(partCnt.select(col("pk").as("pb"), col("pc").as("cb")), "pb")
+          .crossJoin(broadcast(nBaskets))
           .select(col("pa"), col("pb"), col("support"),
-            round((col("support") * lit(nBaskets)).cast(DoubleType) /
+            round((col("support") * col("nb")).cast(DoubleType) /
               (col("ca") * col("cb")), 6).as("lift"))
           .orderBy(col("support").desc, col("lift").desc, col("pa"),
             col("pb"))

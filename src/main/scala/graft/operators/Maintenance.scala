@@ -494,18 +494,21 @@ object Maintenance {
         val (c1, c2) = ("1998-01-01", "2000-01-01")
         val root = graft.Staging.cached(
           s"txnlog_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
-          rev = 1) { tgt =>
+          rev = 2) { tgt =>
           import java.nio.file.{Files, FileAlreadyExistsException, Paths}
           val log = Paths.get(tgt, "_log")
           Files.createDirectories(log)
           val orders = Tables.orders(s, dir)
           val range = """"lo":"([^"]*)","hi":"([^"]*)"""".r
           def tryCommit(v: Int, writer: String, attempt: Int,
-                        adds: Seq[String], lo: String, hi: String): Unit = {
+                        adds: Seq[String], lo: String, hi: String,
+                        removes: Seq[String] = Nil): Unit = {
             val f = log.resolve(f"v$v%03d.json")
+            def arr(xs: Seq[String]) =
+              xs.map("\"" + _ + "\"").mkString("[", ",", "]")
             val body =
               s"""{"version":$v,"writer":"$writer","attempt":$attempt,""" +
-                s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+                s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
                 s""""lo":"$lo","hi":"$hi"}"""
             // CREATE_NEW (O_EXCL) is the put-if-absent commit: exactly
             // one contending writer creates the version file — the
@@ -524,7 +527,7 @@ object Maintenance {
                   hi <= m.group(1) || m.group(2) <= lo
                 }
                 require(ok, s"$writer: range overlap with committed v$v")
-                tryCommit(v + 1, writer, attempt + 1, adds, lo, hi)
+                tryCommit(v + 1, writer, attempt + 1, adds, lo, hi, removes)
             }
           }
           def writeData(name: String,
@@ -540,16 +543,32 @@ object Maintenance {
           // v1 and rebases to v2
           tryCommit(1, "A", 1, Seq("a1"), c1, c2)
           tryCommit(1, "B", 1, Seq("b1"), c2, "9999-12-31")
+          // OPTIMIZE as a transaction: compact the v2 live set into one
+          // file and commit the rewrite as removes+adds — readers at
+          // v2 still resolve the old files (time travel is why removed
+          // files are only ever unlinked by a later VACUUM, never by
+          // the commit), readers at v3 see one file and identical rows
+          writeData("compact0", s.read.parquet(
+            s"$tgt/base", s"$tgt/a1", s"$tgt/b1"))
+          tryCommit(3, "OPT", 1, Seq("compact0"),
+            "0000-01-01", "9999-12-31", removes = Seq("base", "a1", "b1"))
         }
         // every run: resolve the log (bounded: one row per commit) and
         // time-travel-read each version from exactly its live files
+        // (fold adds/removes in version order — a removed file stays
+        // readable at earlier versions, the whole point of the log)
         val ms = s.read.json(s"$root/_log")
-          .select(col("version").cast(LongType), col("writer"), col("adds"))
+          .select(col("version").cast(LongType), col("writer"),
+            col("adds"), col("removes"))
           .collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+          .map(r => (r.getLong(0), r.getString(1),
+            r.getSeq[String](2), r.getSeq[String](3)))
           .sortBy(_._1)
-        ms.map { case (v, w, _) =>
-          val live = ms.filter(_._1 <= v).flatMap(_._3)
+        ms.map { case (v, w, _, _) =>
+          val live = ms.filter(_._1 <= v)
+            .foldLeft(Seq.empty[String]) { case (acc, (_, _, adds, rms)) =>
+              acc.filterNot(rms.contains) ++ adds
+            }
             .map(n => s"$root/$n")
           s.read.parquet(live: _*)
             .agg(count(lit(1)).as("n_rows"),
@@ -573,6 +592,11 @@ object Maintenance {
           |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
           |  UNION ALL
           |  SELECT 2, 'B', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 3, 'OPT', count(*),
           |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
           |           AS BIGINT)
           |  FROM orders)

@@ -237,28 +237,38 @@ class LayoutSpec extends SparkSpec {
   test("q_snapshot_txn: conflict really happened; snapshots isolate exactly") {
     val rows = q("q_snapshot_txn").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "three committed versions")
-    assert(rows.map(_._2).toSeq == Seq("base", "A", "B"))
-    // monotone growth: each snapshot strictly extends the previous
-    assert(rows.sliding(2).forall { case Array(a, b) => b._3 > a._3 },
-      "later snapshots must contain strictly more rows")
-    // the final snapshot is the whole table
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "four committed versions")
+    assert(rows.map(_._2).toSeq == Seq("base", "A", "B", "OPT"))
+    // monotone growth through the appends; the OPTIMIZE rewrite must
+    // change NOTHING logically (same rows, same cents)
+    assert(rows.sliding(2).take(2).forall { case Array(a, b) => b._3 > a._3 },
+      "append snapshots must contain strictly more rows")
+    assert(rows(3)._3 == rows(2)._3 && rows(3)._4 == rows(2)._4,
+      "compaction commit must be logically invisible")
+    // the final logical content is the whole table
     val total = sources.Tables.orders(spark, sf).count()
-    assert(rows.last._3 == total, "v2 snapshot must cover all of orders")
+    assert(rows.last._3 == total, "v3 snapshot must cover all of orders")
     // the losing writer's manifest must record the REBASE: version 2
     // committed by B on attempt 2 — proof the put-if-absent conflict
     // path actually ran, not just a happy-path append
     val root = Staging.cached(
-      s"txnlog_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1) {
+      s"txnlog_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 2) {
       _ => fail("txn log must already be staged by the query run")
     }
     val log = spark.read.json(s"$root/_log")
-      .select(col("version"), col("writer"), col("attempt"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .select(col("version"), col("writer"), col("attempt"),
+        col("adds"), col("removes"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3), r.getSeq[String](4)))
       .sortBy(_._1)
-    assert(log.toSeq == Seq((0L, "base", 1L), (1L, "A", 1L), (2L, "B", 2L)),
+    assert(log.map(m => (m._1, m._2, m._3)).toSeq ==
+      Seq((0L, "base", 1L), (1L, "A", 1L), (2L, "B", 2L), (3L, "OPT", 1L)),
       s"log must record B rebasing to v2 on attempt 2: ${log.toSeq}")
-    // time travel is stable: a v1 read repeated after v2 exists must
+    // the OPTIMIZE commit swaps three files for one; earlier versions
+    // keep resolving the removed files (time travel over a rewrite)
+    assert(log(3)._4 == Seq("compact0") &&
+      log(3)._5.toSet == Set("base", "a1", "b1"))
+    // time travel is stable: a v1 read repeated after v2/v3 exist must
     // not see B's rows (isolation, not read-latest)
     val v1rows = rows(1)._3
     assert(v1rows < total && v1rows > rows(0)._3)

@@ -88,6 +88,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_bpe",         // 1-row broadcast per merge round (argmax
                             // pair attach), over the bounded vocab
 
+      "q_market_basket",    // 1-row broadcast (basket-count scalar attach)
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)
       "q_ts_interpolate",   // keys x broadcast spine (bounded by the
