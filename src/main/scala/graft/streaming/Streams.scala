@@ -361,6 +361,76 @@ object Streams {
           |ORDER BY purchase_id, click_id""".stripMargin)
     ),
 
+    // B36-41 — LEFT OUTER watermarked stream-stream join: the outer
+    // complement of q_stream_join (same staged feed, same interval
+    // condition). Matched pairs emit immediately; an UNMATCHED
+    // purchase emits its null-click row only when the global watermark
+    // proves no eligible click can still arrive and its join state is
+    // evicted — the outer-join/state-eviction interplay that makes
+    // streaming outer joins different from batch ones. Purchases still
+    // inside the watermark horizon at end-of-input stay in state and
+    // do NOT emit (they would emit when later data closes them); the
+    // oracle replays exactly that rule: every matched pair, plus
+    // null rows only for unmatched purchases whose eviction bound
+    // cleared the final watermark (min of both sides' max ts − 4 h).
+    QueryDef(
+      "q_stream_join_outer",
+      (s, dir) => {
+        val path = graft.Staging.cached(
+          s"q_stream_join_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.events(s, dir)
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+            .repartition(1).sortWithinPartitions(col("ts_us"))
+            .write.mode("overwrite").json(tgt)
+        }
+        def side(tpe: String, user: String, id: String, ts: String) =
+          s.readStream.schema(eventsUserJsonSchema).json(path)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(user), col("event_id").as(id),
+              timestamp_micros(col("ts_us")).as(ts))
+            .withWatermark(ts, "4 hours")
+        val joined = side("purchase", "p_user", "purchase_id", "p_ts")
+          .join(side("click", "c_user", "click_id", "c_ts"),
+            expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 2 HOURS"),
+            "left_outer")
+          .select(col("purchase_id"), col("click_id"),
+            col("p_user").as("user_id"))
+        withStatePartitions(s, 8)(
+          drainAppend(s, joined, "q_stream_join_outer_sink"))
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT event_id, user_id, ts FROM events
+          |  WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT event_id, user_id, ts FROM events
+          |  WHERE event_type = 'click'),
+          |wm AS (
+          |  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+          |           - INTERVAL 4 HOURS AS w),
+          |matched AS (
+          |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          |         p.user_id
+          |  FROM p JOIN c
+          |    ON p.user_id = c.user_id
+          |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'),
+          |unmatched AS (
+          |  SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id,
+          |         p.user_id
+          |  FROM p CROSS JOIN wm
+          |  WHERE p.ts < wm.w
+          |    AND NOT EXISTS (
+          |      SELECT 1 FROM c WHERE c.user_id = p.user_id
+          |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'))
+          |SELECT * FROM (SELECT * FROM matched UNION ALL
+          |               SELECT * FROM unmatched)
+          |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)
+    ),
+
     // A18 — the reference's cron-cadence producer (EventBridge 1-minute
     // rate → one JSON drop per tick, app.py:131-134 +
     // lambda_producer.py:20-27) expressed Spark-native: a

@@ -193,4 +193,30 @@ class Streams2Spec extends SparkSpec {
     assert(got == expect, s"stream-static join != batch join: $got vs $expect")
     spark.catalog.dropTempView("enrich_probe")
   }
+
+  test("outer stream join: null rows only for state evicted below the final watermark") {
+    val rows = q("q_stream_join_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.exists(_._2.isEmpty), "outer path must actually emit")
+    assert(rows.exists(_._2.isDefined), "inner path must actually emit")
+    // recompute the final watermark (min of both sides' max ts − 4 h)
+    // and every purchase's ts; null rows must sit strictly below it —
+    // a purchase still inside the horizon must be withheld even if
+    // unmatched (it could still match future input)
+    val ev = sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val wm = math.min(
+      ev.filter(_._2 == "purchase").map(_._3).max,
+      ev.filter(_._2 == "click").map(_._3).max) - 4L * 3600L * 1000000L
+    val pTs = ev.filter(_._2 == "purchase").map(t => t._1 -> t._3).toMap
+    val nullEmits = rows.filter(_._2.isEmpty).map(_._1)
+    assert(nullEmits.forall(id => pTs(id) < wm),
+      "every null emission must be below the final watermark")
+    val emitted = rows.map(_._1).toSet
+    val withheld = pTs.filter { case (id, ts) => ts >= wm && !emitted(id) }
+    assert(withheld.nonEmpty,
+      "some unmatched in-horizon purchase must be withheld in state")
+  }
 }
