@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -454,6 +454,52 @@ object Maintenance {
           |       round(CAST(sum(CAST(round(value * 100) AS BIGINT))
           |               AS DOUBLE) / (100.0 * count(*)), 6) AS avg_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ANALYZE-TABLE statistics pass (the CBO input every warehouse
+    // maintains): per-column row count, null count, exact NDV, and
+    // min/max over the fact table, as ONE aggregate pass — adding a
+    // column adds aggregate expressions, not a scan. Exact
+    // count(DISTINCT) for N columns plans through Spark's Expand
+    // (N× row multiplier before the partial aggregate) — the exact
+    // form is the oracle-able exemplar; at 100 TB the same pass runs
+    // with approx_count_distinct (B16) and the Expand disappears.
+    // min/max are actual data values (no float summation), so the
+    // doubles compare exactly cross-engine without rounding.
+    QueryDef(
+      "q_table_stats",
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        val li = Tables.lineitem(s, dir)
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_ndv"),
+          min(col(c)).cast(DoubleType).as(s"${c}_min"),
+          max(col(c)).cast(DoubleType).as(s"${c}_max")))
+        li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col("n_rows"),
+            (col("n_rows") - col(s"${c}_n")).as("n_null"),
+            col(s"${c}_ndv").as("ndv"),
+            col(s"${c}_min").as("min_v"),
+            col(s"${c}_max").as("max_v"))): _*)).as("r"))
+          .select(col("r.*"))
+          .orderBy(col("col_name"))
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |       count(*) - count($c) AS n_null,
+             |       count(DISTINCT $c) AS ndv,
+             |       CAST(min($c) AS DOUBLE) AS min_v,
+             |       CAST(max($c) AS DOUBLE) AS max_v
+             |FROM lineitem""".stripMargin)
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", ")\nORDER BY col_name")
+      }
     ),
 
     // Multi-writer OPTIMISTIC-CONCURRENCY commit protocol + snapshot

@@ -24,6 +24,76 @@ object TextAnalysis {
   private val StopDe = Seq("der", "die", "und", "das", "ist", "von")
   private val StopFr = Seq("le", "les", "et", "des", "un", "une")
 
+  /** BPE merge train shared by q_text_bpe (report) and
+    * q_text_bpe_encode (apply): 6 rounds over the bounded top-2000
+    * word-frequency table; returns (word, cnt, seq) with seq the
+    * space-delimited subword string. See q_text_bpe's Scaladoc for the
+    * two representation choices that make this scale. */
+  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val rounds = 6
+    val words = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,20}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(2000)
+    var seqs = words.select(col("word"), col("cnt"),
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+        .as("seq")).localCheckpoint()
+    for (i <- 1 to rounds) {
+      val toks = seqs.select(col("cnt"),
+        split(trim(col("seq")), " ").as("ts"))
+      val pairs = toks
+        .select(col("cnt"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      val best = pairs.orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .select(col("a").as(s"ma$i"), col("b").as(s"mb$i"))
+      seqs = seqs.crossJoin(broadcast(best))
+        .withColumn("seq", expr(
+          s"replace(seq, ' ' || ma$i || ' ' || mb$i || ' ', " +
+            s"' ' || ma$i || mb$i || ' ')"))
+        .drop(s"ma$i", s"mb$i")
+        .localCheckpoint()
+    }
+    seqs
+  }
+
+  /** The shared DuckDB CTE chain for the BPE train (MATERIALIZED — see
+    * q_text_bpe), ending at `seq6`. Appended-to by both BPE oracles. */
+  private[operators] val BpeOracleCtes: String = {
+    val head =
+      """WITH toks AS MATERIALIZED (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |words AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt FROM toks
+        |  WHERE regexp_matches(word, '^[a-z]{2,20}$')
+        |  GROUP BY word ORDER BY cnt DESC, word LIMIT 2000),
+        |seq0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+        |  FROM words)""".stripMargin
+    val roundCtes = (1 to 6).map { i =>
+      val p = s"seq${i - 1}"
+      s"""b$i AS MATERIALIZED (
+         |  SELECT ts[j] AS a, ts[j + 1] AS b,
+         |         CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS ts FROM $p),
+         |       unnest(range(1, len(ts))) AS u(j)
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |seq$i AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         replace(seq, ' ' || a || ' ' || b || ' ',
+         |                      ' ' || a || b || ' ') AS seq
+         |  FROM $p, b$i)""".stripMargin
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // North star — token counting: whitespace tokens + a BPE-ish regex
@@ -617,77 +687,72 @@ object TextAnalysis {
     QueryDef(
       "q_text_bpe",
       (s, dir) => {
-        val rounds = 6
-        val words = Tables.documents(s, dir)
-          .select(explode(TextFns.tokens(col("text"))).as("word"))
-          .filter(col("word").rlike("^[a-z]{2,20}$"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), col("word")).limit(2000)
-        var seqs = words.select(col("word"), col("cnt"),
-          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
-            .as("seq")).localCheckpoint()
-        for (i <- 1 to rounds) {
-          val toks = seqs.select(col("cnt"),
-            split(trim(col("seq")), " ").as("ts"))
-          val pairs = toks
-            .select(col("cnt"), explode(zip_with(
-              slice(col("ts"), lit(1), size(col("ts")) - 1),
-              slice(col("ts"), lit(2), size(col("ts")) - 1),
-              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("n"))
-          val best = pairs.orderBy(desc("n"), col("a"), col("b")).limit(1)
-            .select(col("a").as(s"ma$i"), col("b").as(s"mb$i"))
-          seqs = seqs.crossJoin(broadcast(best))
-            .withColumn("seq", expr(
-              s"replace(seq, ' ' || ma$i || ' ' || mb$i || ' ', " +
-                s"' ' || ma$i || mb$i || ' ')"))
-            .drop(s"ma$i", s"mb$i")
-            .localCheckpoint()
-        }
+        val seqs = bpeTrain(s, dir)
         seqs.select(col("word"), col("cnt"), trim(col("seq")).as("encoded"),
             size(split(trim(col("seq")), " ")).cast(LongType).as("n_tokens"))
           .orderBy(desc("cnt"), col("word")).limit(150)
       },
-      Some {
-        // every seq CTE is referenced twice (pair count + next round)
-        // and the 1-row argmax joins in by cross product — WITHOUT
-        // `AS MATERIALIZED` DuckDB inlines the chain and re-evaluates
-        // each round per reference, which goes exponential in rounds
-        // (measured: hangs at 6 rounds even at sf0.001)
-        val head =
-          """WITH toks AS MATERIALIZED (
-            |  SELECT unnest(string_split(lower(text), ' ')) AS word
-            |  FROM documents),
-            |words AS MATERIALIZED (
-            |  SELECT word, count(*) AS cnt FROM toks
-            |  WHERE regexp_matches(word, '^[a-z]{2,20}$')
-            |  GROUP BY word ORDER BY cnt DESC, word LIMIT 2000),
-            |seq0 AS MATERIALIZED (
-            |  SELECT word, cnt,
-            |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
-            |  FROM words)""".stripMargin
-        val roundCtes = (1 to 6).map { i =>
-          val p = s"seq${i - 1}"
-          s"""b$i AS MATERIALIZED (
-             |  SELECT ts[j] AS a, ts[j + 1] AS b,
-             |         CAST(sum(cnt) AS BIGINT) AS n
-             |  FROM (SELECT cnt, string_split(trim(seq), ' ') AS ts FROM $p),
-             |       unnest(range(1, len(ts))) AS u(j)
-             |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
-             |seq$i AS MATERIALIZED (
-             |  SELECT word, cnt,
-             |         replace(seq, ' ' || a || ' ' || b || ' ',
-             |                      ' ' || a || b || ' ') AS seq
-             |  FROM $p, b$i)""".stripMargin
-        }
-        (head +: roundCtes).mkString(",\n") +
-          """
-            |SELECT word, cnt, trim(seq) AS encoded,
-            |       CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
-            |         AS n_tokens
-            |FROM seq6 ORDER BY cnt DESC, word LIMIT 150""".stripMargin
-      }
+      // every seq CTE is referenced twice (pair count + next round)
+      // and the 1-row argmax joins in by cross product — WITHOUT
+      // `AS MATERIALIZED` DuckDB inlines the chain and re-evaluates
+      // each round per reference, which goes exponential in rounds
+      // (measured: hangs at 6 rounds even at sf0.001)
+      Some(BpeOracleCtes +
+        """
+          |SELECT word, cnt, trim(seq) AS encoded,
+          |       CAST(len(string_split(trim(seq), ' ')) AS BIGINT)
+          |         AS n_tokens
+          |FROM seq6 ORDER BY cnt DESC, word LIMIT 150""".stripMargin)
+    ),
+
+    // North star — apply the trained BPE tokenizer to the corpus: the
+    // other half of the tokenizer pipeline (q_text_bpe trains, this
+    // encodes). The trained (word → subword seq) table is tiny
+    // (≤2000 rows) and BROADCASTS to the exploded token stream — the
+    // only shape that works when the corpus is 100 TB and the
+    // tokenizer is KBs: tokens never shuffle for the join, and the
+    // per-doc rollup is one map-combined aggregate. Out-of-vocabulary
+    // words fall back to character count (the worst-case subword
+    // count), flagged per doc — on a real corpus the OOV rate is the
+    // number a tokenizer report watches.
+    QueryDef(
+      "q_text_bpe_encode",
+      (s, dir) => {
+        val trained = bpeTrain(s, dir)
+          .select(col("word"),
+            size(split(trim(col("seq")), " ")).cast(LongType).as("nt"))
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]{2,20}$"))
+        toks.join(broadcast(trained), Seq("word"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("nt"), length(col("word")).cast(LongType))
+              .as("toklen"),
+            when(col("nt").isNull, 1L).otherwise(0L).as("oov"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("toklen")).as("n_tokens"),
+            sum(col("oov")).as("n_oov"))
+          .orderBy(col("doc_id"))
+      },
+      Some(BpeOracleCtes +
+        """,
+          |dtoks AS (
+          |  SELECT doc_id, word FROM (
+          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          |    FROM documents)
+          |  WHERE regexp_matches(word, '^[a-z]{2,20}$')),
+          |enc AS (
+          |  SELECT t.doc_id,
+          |         coalesce(len(string_split(trim(v.seq), ' ')),
+          |                  length(t.word)) AS toklen,
+          |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+          |  FROM dtoks t LEFT JOIN seq6 v ON t.word = v.word)
+          |SELECT doc_id, count(*) AS n_words,
+          |       CAST(sum(toklen) AS BIGINT) AS n_tokens,
+          |       CAST(sum(oov) AS BIGINT) AS n_oov
+          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
     // North star — cross-source overlap (leakage) matrix: for every

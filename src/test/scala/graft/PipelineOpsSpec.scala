@@ -72,4 +72,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(deltaBoundary.count() > 0,
       "delta side also contributes rows to the boundary day")
   }
+
+  test("table stats: internally consistent; one column recomputed from raw data") {
+    val rows = q("q_table_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 6, "one row per declared column")
+    rows.foreach { case (c, n, nNull, ndv, mn, mx) =>
+      assert(nNull >= 0 && nNull <= n, s"$c null count")
+      assert(ndv >= 1 && ndv <= n - nNull, s"$c ndv bounds")
+      assert(mn <= mx, s"$c min/max")
+    }
+    // cross-check l_discount end to end against a driver-side recompute
+    val vals = sources.Tables.lineitem(spark, sf)
+      .select(col("l_discount")).collect().map(_.getDouble(0))
+    val got = rows.find(_._1 == "l_discount").get
+    assert(got._2 == vals.length.toLong)
+    assert(got._4 == vals.distinct.length.toLong, "exact NDV")
+    assert(got._5 == vals.min && got._6 == vals.max)
+  }
 }

@@ -77,20 +77,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._3 == segs.count(dfCount(_) > 1).toLong, s"doc $probe dup count")
   }
 
-  test("bpe: matches a from-first-principles 6-round merge train exactly") {
-    val rows = q("q_text_bpe").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    assert(rows.nonEmpty)
-    rows.foreach { case (w, _, enc, n) =>
-      assert(enc.split(" ").mkString == w, s"$w: encoding must concat back")
-      assert(n == enc.split(" ").length.toLong, s"$w: token count")
-    }
-    assert(rows.exists { case (w, _, _, n) => n < w.length },
-      "six merges must shorten at least one top word")
-    // independent reimplementation: plain-Scala BPE over the same vocab
-    // (greedy left-to-right non-overlapping apply, count-desc/pair-asc
-    // argmax) — the query's string-replace encoding must match it
-    // cell-for-cell, proving replace() really is the BPE merge
+  /** Plain-Scala BPE reference (greedy left-to-right non-overlapping
+    * apply, count-desc/pair-asc argmax) over the sf fixture — shared by
+    * the train and encode tests. Returns (word, cnt, final symbols). */
+  private lazy val referenceBpe: Seq[(String, Long, Vector[String])] = {
     val words = sources.Tables.documents(spark, sf)
       .select(lower(col("text"))).collect().map(_.getString(0))
       .flatMap(_.split(" ")).filter(_.matches("^[a-z]{2,20}$"))
@@ -114,10 +104,48 @@ class TextAnalysisSpec extends SparkSpec {
         (w, c, out.result())
       }
     }
-    val expect = seqs
+    seqs
+  }
+
+  test("bpe: matches a from-first-principles 6-round merge train exactly") {
+    val rows = q("q_text_bpe").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, _, enc, n) =>
+      assert(enc.split(" ").mkString == w, s"$w: encoding must concat back")
+      assert(n == enc.split(" ").length.toLong, s"$w: token count")
+    }
+    assert(rows.exists { case (w, _, _, n) => n < w.length },
+      "six merges must shorten at least one top word")
+    // independent reimplementation — the query's string-replace
+    // encoding must match cell-for-cell, proving replace() really is
+    // the BPE merge
+    val expect = referenceBpe
       .map { case (w, c, ts) => (w, c, ts.mkString(" "), ts.length.toLong) }
       .sortBy { case (w, c, _, _) => (-c, w) }.take(150)
     assert(rows.toSeq == expect,
       "query encodings must equal the first-principles BPE train")
+  }
+
+  test("bpe encode: per-doc token counts recompute from the reference train") {
+    val rows = q("q_text_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ntOf = referenceBpe.map { case (w, _, ts) => w -> ts.length.toLong }
+      .toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nWords, nTokens, nOov) =>
+      val ws = docs(id).split(" ").filter(_.matches("^[a-z]{2,20}$"))
+      assert(nWords == ws.length.toLong, s"doc $id word count")
+      val expTok = ws.map(w => ntOf.getOrElse(w, w.length.toLong)).sum
+      assert(nTokens == expTok, s"doc $id token count")
+      assert(nOov == ws.count(!ntOf.contains(_)).toLong, s"doc $id oov")
+      assert(nTokens >= nWords && nOov >= 0)
+    }
+    // every document with any clean word must appear
+    assert(rows.length == docs.count(_._2.split(" ")
+      .exists(_.matches("^[a-z]{2,20}$"))))
   }
 }
