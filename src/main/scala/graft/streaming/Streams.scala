@@ -307,6 +307,40 @@ object Streams {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B40 at the SCALE form — dropDuplicatesWithinWatermark: plain
+    // dropDuplicates (q_stream_dedup) keys state by event_id FOREVER,
+    // an OOM on an unbounded stream; the watermarked variant expires a
+    // key's state once the watermark passes its event time + delay,
+    // which is the only deployable shape at 100 TB/day. Duplicates in
+    // this feed carry IDENTICAL event times (an at-least-once redeliver
+    // of the same record), so every duplicate pair is trivially within
+    // any delay and the deduped stream equals the batch distinct — the
+    // oracle. State boundedness (the point of the operator) is pinned
+    // by StreamsSpec on a controlled multi-batch feed.
+    QueryDef(
+      "q_stream_dedup_wm",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val doubled = src.unionAll(src)
+        val stream = stageAndStreamParquet(s, doubled, "q_stream_dedup",
+          eventsJsonSchema, dir)
+        val agg = stream
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainComplete(s, agg, "q_stream_dedup_wm_sink"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // B36-41 — watermarked stream-stream interval join: purchases joined
     // to same-user clicks up to 2 hours earlier, both sides real file
     // streams. AvailableNow drains the staged backlog in order, so no
