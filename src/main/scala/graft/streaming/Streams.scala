@@ -307,6 +307,97 @@ object Streams {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B39 — watermark LATE-DROP as a declared, oracled query (the
+    // controlled-feed mechanics live in StreamsSpec; this is the
+    // operator at corpus scale): a 10%-md5-drawn slice of events from
+    // the FIRST time slice (and ≥20 min older than that slice's end)
+    // is held back and delivered as the LAST file, after three
+    // in-order slice files. Held rows are therefore behind the
+    // watermark no matter which in-order batch the engine computed it
+    // from — measured: under AvailableNow admission the watermark
+    // visible to batch k can trail the one-batch-lag model, so the
+    // construction must not depend on the final batch seeing the
+    // freshest watermark, only on it seeing at least the FIRST
+    // slice's. Dropped-before-aggregate is the operator under test;
+    // the oracle replays exactly that rule (same md5 draw excluded)
+    // and emits only windows closed below the final watermark
+    // (append mode; the trailing no-data batches bring the watermark
+    // to global max − 10 min regardless of admission order). Slice
+    // boundaries are exact integer thirds of [min, max] so the oracle
+    // states them in SQL; arrival order is pinned the session-feed
+    // way (explicit per-slice files + staged modtimes).
+    QueryDef(
+      "q_stream_late_drop",
+      (s, dir) => {
+        val path = graft.Staging.cached(
+          s"q_stream_late_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 2) { tgt =>
+          val src = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+          val b = src.agg(min(col("ts_us")), max(col("ts_us"))).head()
+          val (lo, mx) = (b.getLong(0), b.getLong(1))
+          val b1 = lo + (mx - lo) / 3
+          val b2 = lo + 2L * ((mx - lo) / 3)
+          val draw = conv(substring(
+            md5(concat(lit("late:"), col("event_id").cast("string"))), 1, 4),
+            16, 10).cast("long") % 10L === 0L
+          val held = draw && col("ts_us") < b1 - 1200000000L
+          val main = src.filter(!held)
+          def slice(name: String, df: org.apache.spark.sql.DataFrame,
+                    order: Int, base: Long): Unit = {
+            val tmp = s"$tgt/_build_$name"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val d = new java.io.File(tmp)
+            val part = d.listFiles().filter(_.getName.startsWith("part-")).head
+            val out = new java.io.File(tgt, s"slice-$order-$name.parquet")
+            require(part.renameTo(out), s"stage $name")
+            d.listFiles().foreach(_.delete()); d.delete()
+            out.setLastModified(base + order * 2000L)
+          }
+          val base = System.currentTimeMillis() - 3600L * 1000
+          slice("t1", main.filter(col("ts_us") < b1), 0, base)
+          slice("t2", main.filter(col("ts_us") >= b1 && col("ts_us") < b2), 1, base)
+          slice("t3", main.filter(col("ts_us") >= b2), 2, base)
+          slice("late", src.filter(held), 3, base)
+        }
+        val stream = s.readStream.schema(eventsJsonSchema)
+          .option("maxFilesPerTrigger", 1).parquet(path)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "10 minutes")
+        val agg = stream
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        withStatePartitions(s, 8)(
+          drainAppend(s, agg, "q_stream_late_drop_sink"))
+          .select(unix_micros(col("window.start")).as("bucket_us"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("bucket_us"), col("event_type"))
+      },
+      Some(
+        """WITH mx AS (
+          |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS m
+          |  FROM events),
+          |cls AS (
+          |  SELECT event_type, value, epoch_us(ts) AS us,
+          |         CAST(('0x' || substr(md5('late:' ||
+          |              CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+          |           AS h
+          |  FROM events),
+          |kept AS (
+          |  SELECT event_type, value, us, m FROM cls CROSS JOIN mx
+          |  WHERE NOT (h = 0 AND
+          |             us < lo + (m - lo) // 3 - 1200000000)),
+          |agg AS (
+          |  SELECT (us // 3600000000) * 3600000000 AS bucket_us,
+          |         event_type, count(*) AS n,
+          |         round(sum(value), 2) AS sum_value, m
+          |  FROM kept GROUP BY 1, 2, 5)
+          |SELECT bucket_us, event_type, n, sum_value
+          |FROM agg WHERE bucket_us + 3600000000 <= m - 600000000
+          |ORDER BY bucket_us, event_type""".stripMargin)
+    ),
+
     // B40 at the SCALE form — dropDuplicatesWithinWatermark: plain
     // dropDuplicates (q_stream_dedup) keys state by event_id FOREVER,
     // an OOM on an unbounded stream; the watermarked variant expires a
