@@ -281,6 +281,37 @@ object Aggregates {
           |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
           |       count(*) AS n
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // B17 — explicit GROUPING SETS (the general form rollup/cube are
+    // sugar for): three chosen grain combinations in ONE pass — Spark
+    // plans a single Expand (3× row multiplier) + one aggregate, not
+    // three scans unioned. Grain markers via coalesce sentinels (the
+    // grouping columns are non-null by construction) so both engines
+    // emit identical rows without engine-specific grouping_id layouts.
+    QueryDef(
+      "q_agg_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("gs_lineitem")
+        s.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+            |       coalesce(l_linestatus, 'ALL') AS ls,
+            |       count(*) AS n,
+            |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+            |FROM gs_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            |                        (l_returnflag), ())
+            |ORDER BY rf, ls""".stripMargin)
+      },
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       count(*) AS n,
+          |       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())
+          |ORDER BY rf, ls""".stripMargin)
     )
   )
 }

@@ -134,6 +134,36 @@ object Windows {
           |       w_range AS (PARTITION BY user_id ORDER BY value
           |                   RANGE BETWEEN 50.0 PRECEDING AND CURRENT ROW)
           |ORDER BY event_id""".stripMargin)
+    ),
+
+    // B21-23 — distribution window family: ntile (equi-depth bucket
+    // assignment — the shard-balancing primitive), percent_rank and
+    // cume_dist (the empirical-CDF pair behind percentile features).
+    // ANSI semantics are identical across engines as long as the
+    // partition ORDER is a total order — (ts, event_id) here, so ties
+    // cannot reshuffle bucket boundaries between engines. One exchange
+    // per user partition serves all three functions.
+    QueryDef(
+      "q_window_distribution",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id, user_id,
+          |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       round(cume_dist() OVER w, 6) AS cdist
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY event_id""".stripMargin)
     )
   )
 }
