@@ -440,6 +440,81 @@ object Similarity {
           |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin)
     ),
 
+    // North star — PRODUCT QUANTIZATION (the faiss PQ shape): the
+    // 64-d vector splits into M=8 contiguous 8-d subspaces, each with
+    // its own K=16-centroid codebook trained by deterministic L2
+    // Lloyd; a vector compresses to 8 code bytes (64× smaller than
+    // float64), and reconstruction is per-subspace centroid lookup.
+    // This is the compression leg of billion-scale ANN (IVF gives the
+    // candidate cells, PQ makes the in-cell scan fit in RAM).
+    //
+    // Scale shape: ALL subspaces train in one joint Lloyd — the
+    // iteration state is one (sub, cell) → centroid table of M·K=128
+    // rows that broadcasts into the assignment join, so each round is
+    // one pass over the (vec, sub) stream regardless of M; seeds are
+    // the first K vectors by id (deterministic, same discipline as
+    // trainCentroids); encode + reconstruct ride the final assignment
+    // without re-shuffling vectors. No SQL oracle (codebooks are
+    // Spark-trained); LlmOpsSpec floors reconstruction quality and
+    // pins code-space coverage, and the output carries per-subspace
+    // distortion so a quality regression is visible in the artifact.
+    QueryDef(
+      "q_embed_pq",
+      (s, dir) => {
+        val (mSub, dSub, k) = (8, 8, 16)
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val subs = e.select(col("vec_id"), posexplode(array(
+            (0 until mSub).map(m => slice(col("v"), m * dSub + 1, dSub)): _*))
+            .as(Seq("sub", "sv")))
+          .localCheckpoint()
+        val dist2 = (a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =>
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d)
+        // joint seeds: sub s takes the s-th slice of the first K
+        // vectors by id — deterministic and distinct per subspace.
+        // The K seed ids come via a bounded driver collect (16 rows —
+        // the capped-vocab discipline), not a global row_number window.
+        import s.implicits._
+        val seedIds = e.select(col("vec_id")).orderBy(col("vec_id"))
+          .limit(k).collect().map(_.getLong(0)).zipWithIndex
+          .map { case (id, i) => (id, i.toLong) }.toSeq
+        val seeds = subs.join(seedIds.toDF("vec_id", "cell"), "vec_id")
+          .select(col("sub"), col("cell"), col("sv").as("cent"))
+        var cents = seeds.localCheckpoint()
+        for (_ <- 1 to 2) {
+          cents = subs.join(broadcast(cents), "sub")
+            .withColumn("d2", dist2(col("sv"), col("cent")))
+            .groupBy(col("vec_id"), col("sub"))
+            .agg(first(col("sv")).as("sv"),
+              min(struct(col("d2"), col("cell"))).as("best"))
+            .select(col("sub"), col("best.cell").as("cell"),
+              posexplode(col("sv")).as(Seq("pos", "x")))
+            .groupBy(col("sub"), col("cell"), col("pos"))
+            .agg(avg(col("x")).as("m"))
+            .groupBy(col("sub"), col("cell"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"), col("m")))),
+              p => p.getField("m")).as("cent"))
+            .localCheckpoint()
+        }
+        val coded = subs.join(broadcast(cents), "sub")
+          .withColumn("d2", dist2(col("sv"), col("cent")))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(struct(col("d2"), col("cell"))).as("best"))
+          .select(col("vec_id"), col("sub"),
+            col("best.cell").as("code"), col("best.d2").as("sqerr"))
+        coded.groupBy(col("sub").cast("long").as("sub"))
+          .agg(countDistinct(col("code")).as("n_codes_used"),
+            count(lit(1)).as("n_vectors"),
+            round(avg(col("sqerr")), 6).as("mean_sqerr"))
+          .orderBy(col("sub"))
+      },
+      None
+    ),
+
     // B47(c) — IVF ANN, the faiss-style shape: centroids refined with
     // deterministic Lloyd rounds, index rows in their primary cell,
     // queries probing their nearest cells (nProbe — the standard

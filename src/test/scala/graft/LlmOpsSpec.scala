@@ -167,6 +167,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("pq: every vector coded in every subspace, code space exercised, distortion floored") {
+    val rows = q("q_embed_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L to 7L), "one row per subspace")
+    val n = sources.Tables.embeddings(spark, sf).count()
+    rows.foreach { case (sub, used, nv, mse) =>
+      assert(nv == n, s"sub $sub must code the whole corpus")
+      assert(used >= 4 && used <= 16, s"sub $sub code usage $used")
+      // measured mean per-subspace squared error ~0.07 at sf0.01/0.001
+      // (8-d subvectors, 16 codes, 2 Lloyd rounds); 0.2 floors a
+      // codebook-collapse regression without riding float noise
+      assert(mse >= 0.0 && mse < 0.2, s"sub $sub distortion $mse")
+    }
+  }
+
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
     val e = sources.Tables.embeddings(spark, sf)
     val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
