@@ -19,6 +19,52 @@ import graft.sources.Tables
   */
 object Maintenance {
 
+  /** VACUUM for the q_snapshot_txn table: physically deletes data
+    * files that are not in the LIVE set of any version ≥ `keepFrom`
+    * (version-based retention; production uses a timestamp horizon,
+    * same resolution logic). After vacuum, time travel to versions
+    * whose files were reclaimed stops working while every retained
+    * version still resolves — exactly the documented
+    * transaction-log trade. The log itself is never touched: history
+    * metadata outlives the reclaimed data files. Returns the deleted
+    * entry names. Pure JVM (the manifest fold is the same
+    * adds/removes fold the reader uses). */
+  def vacuumTxnLog(root: String, keepFrom: Long): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val log = Paths.get(root, "_log")
+    val arr = """"(adds|removes)":\[([^\]]*)\]""".r
+    val ver = """"version":(\d+)""".r
+    val manifests = Files.list(log).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      .map(Files.readString(_))
+      .map { body =>
+        val v = ver.findFirstMatchIn(body).get.group(1).toLong
+        val m = arr.findAllMatchIn(body)
+          .map(x => x.group(1) -> x.group(2).split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)).toMap
+        (v, m.getOrElse("adds", Nil), m.getOrElse("removes", Nil))
+      }.sortBy(_._1)
+    val liveAt = manifests.map(_._1).map { v =>
+      manifests.filter(_._1 <= v)
+        .foldLeft(Seq.empty[String]) { case (acc, (_, adds, rms)) =>
+          acc.filterNot(rms.contains) ++ adds
+        }.toSet
+    }
+    val retained = manifests.map(_._1).zip(liveAt)
+      .filter(_._1 >= keepFrom).flatMap(_._2).toSet
+    val everAdded = manifests.flatMap(_._2).toSet
+    val dead = (everAdded -- retained).toSeq.sorted
+    dead.foreach { name =>
+      val p = Paths.get(root, name)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    dead
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Small-file compaction: a deliberately fragmented landing zone

@@ -273,4 +273,38 @@ class LayoutSpec extends SparkSpec {
     val v1rows = rows(1)._3
     assert(v1rows < total && v1rows > rows(0)._3)
   }
+
+  test("vacuum reclaims only files no retained version needs; log survives") {
+    // run on a COPY of the staged table — the cached original serves
+    // the query test above and future JVMs
+    val src = java.nio.file.Paths.get(Staging.cached(
+      s"txnlog_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 2) {
+      _ => fail("txn log must already be staged")
+    })
+    val copy = java.nio.file.Files.createTempDirectory("vacuum_spec_")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = copy.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    val deleted = operators.Maintenance.vacuumTxnLog(copy.toString, keepFrom = 3L)
+    assert(deleted.toSet == Set("base", "a1", "b1"),
+      s"v3 retention reclaims exactly the compacted-away files: $deleted")
+    // retained version still reads in full; history metadata intact
+    val total = sources.Tables.orders(spark, sf).count()
+    assert(spark.read.parquet(s"$copy/compact0").count() == total)
+    assert(java.nio.file.Files.list(copy.resolve("_log")).count() == 4)
+    assert(!java.nio.file.Files.exists(copy.resolve("base")))
+    // keepFrom = 0 retains everything: vacuum on the fresh copy with
+    // full retention must delete nothing (idempotence guard)
+    val copy2 = java.nio.file.Files.createTempDirectory("vacuum_spec0_")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = copy2.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(operators.Maintenance.vacuumTxnLog(copy2.toString, 0L).isEmpty)
+  }
 }
