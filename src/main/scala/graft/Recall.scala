@@ -25,7 +25,8 @@ object Recall {
   val inputs: Set[String] = Set(
     "q_dedup_ngram", "q_dedup_embedding", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_embedding_lsh",
-    "q_similarity_ann", "q_similarity_ivf", "q_dedup_semantic")
+    "q_similarity_ann", "q_similarity_ivf", "q_dedup_semantic",
+    "q_similarity_pqadc", "q_similarity_topk")
 
   /** A recall input: the caller's parquet dump when one exists (same
     * deterministic query, already executed), else a fresh run. */
@@ -76,6 +77,15 @@ object Recall {
         pairSet(s, dir, "q_similarity_ann", "qid", "nid", dumps)), cosine.size),
       Entry("ivf", recallOf(cosine,
         pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)), cosine.size),
+      // PQ-ADC answers the fixed query set, so its reference is the
+      // EXACT top-10 for those queries (recall@10 — the retrieval
+      // metric), not the corpus-wide near-dup pairs ann/ivf emit
+      {
+        val exactTopk = pairSet(s, dir, "q_similarity_topk", "qid", "nid", dumps)
+        Entry("pq_adc", recallOf(exactTopk,
+          pairSet(s, dir, "q_similarity_pqadc", "qid", "nid", dumps)),
+          exactTopk.size)
+      },
       // semantic dedup is scored on DROPPED IDS, not pairs: the brute
       // rule drops exactly the vec_b side of the exact cosine pairs
       // (pairs are emitted vec_a < vec_b), and the clustered operator's

@@ -170,16 +170,25 @@ class LlmOpsSpec extends SparkSpec {
   test("pq: every vector coded in every subspace, code space exercised, distortion floored") {
     val rows = q("q_embed_pq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rows.map(_._1).toSeq == (0L to 7L), "one row per subspace")
+    assert(rows.map(_._1).toSeq == (0L until operators.Similarity.PqM).map(_.toLong),
+      "one row per subspace")
     val n = sources.Tables.embeddings(spark, sf).count()
     rows.foreach { case (sub, used, nv, mse) =>
       assert(nv == n, s"sub $sub must code the whole corpus")
-      assert(used >= 4 && used <= 16, s"sub $sub code usage $used")
-      // measured mean per-subspace squared error ~0.07 at sf0.01/0.001
-      // (8-d subvectors, 16 codes, 2 Lloyd rounds); 0.2 floors a
-      // codebook-collapse regression without riding float noise
-      assert(mse >= 0.0 && mse < 0.2, s"sub $sub distortion $mse")
+      assert(used >= 32 && used <= 256, s"sub $sub code usage $used")
+      // 4-d subvectors, 256 codes, 2 Lloyd rounds: distortion is tiny;
+      // 0.05 floors a codebook-collapse regression with wide margin
+      assert(mse >= 0.0 && mse < 0.05, s"sub $sub distortion $mse")
     }
+  }
+
+  test("pq-adc: recall@10 against the exact top-10 floored") {
+    val r = recalls("pq_adc")
+    assume(r.exactPairs > 0)
+    // measured 0.74 at sf0.1 (16×4d/K256 on near-random synthetic
+    // vectors — see Similarity.PqK notes); floor just under measured
+    assert(r.recall >= 0.6,
+      s"pq-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
   }
 
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
