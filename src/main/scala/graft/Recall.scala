@@ -26,7 +26,7 @@ object Recall {
     "q_dedup_ngram", "q_dedup_embedding", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_embedding_lsh",
     "q_similarity_ann", "q_similarity_ivf", "q_dedup_semantic",
-    "q_similarity_pqadc", "q_similarity_topk")
+    "q_similarity_pqadc", "q_similarity_ivfadc", "q_similarity_topk")
 
   /** A recall input: the caller's parquet dump when one exists (same
     * deterministic query, already executed), else a fresh run. */
@@ -84,6 +84,12 @@ object Recall {
         val exactTopk = pairSet(s, dir, "q_similarity_topk", "qid", "nid", dumps)
         Entry("pq_adc", recallOf(exactTopk,
           pairSet(s, dir, "q_similarity_pqadc", "qid", "nid", dumps)),
+          exactTopk.size)
+      },
+      {
+        val exactTopk = pairSet(s, dir, "q_similarity_topk", "qid", "nid", dumps)
+        Entry("ivf_adc", recallOf(exactTopk,
+          pairSet(s, dir, "q_similarity_ivfadc", "qid", "nid", dumps)),
           exactTopk.size)
       },
       // semantic dedup is scored on DROPPED IDS, not pairs: the brute

@@ -191,6 +191,28 @@ class LlmOpsSpec extends SparkSpec {
       s"pq-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
   }
 
+  test("ivf-adc: recall@10 floored; candidate restriction only loses, never invents") {
+    val r = recalls("ivf_adc")
+    assume(r.exactPairs > 0)
+    // measured 0.64 at sf0.1 — ≈ the product of the ivf candidate
+    // recall and pq_adc's quantization recall, as the two independent
+    // loss terms predict; floor just under measured
+    assert(r.recall >= 0.55,
+      s"ivf-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
+    // every ivf-adc hit must carry the same ADC score pqadc assigns —
+    // the candidate restriction changes WHICH pairs are scored, never
+    // the scoring function
+    val full = q("q_similarity_pqadc").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val sub = q("q_similarity_ivfadc").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(sub.nonEmpty)
+    sub.foreach { case (k, score) =>
+      full.get(k).foreach(f =>
+        assert(f == score, s"pair $k: ivf-adc $score != pq-adc $f"))
+    }
+  }
+
   test("ivf: assigns every vector to exactly one cell; recall sane on strong pairs") {
     val e = sources.Tables.embeddings(spark, sf)
     val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", 16)
