@@ -245,6 +245,47 @@ object Streams {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // B41 at the production state backend — the SAME tumbling-window
+    // aggregate run on the RocksDB state store provider: the JVM-heap
+    // provider caps streaming state at executor memory, RocksDB keeps
+    // it off-heap/on-disk with incremental checkpoints — the provider
+    // a 100 TB/day stream actually deploys. Results must be
+    // provider-invariant, which is exactly what the shared DuckDB
+    // oracle proves (same SQL as q_stream_window); Streams2Spec
+    // additionally proves the provider really engages (RocksDB
+    // state metrics in the operator progress). Conf is restored
+    // afterwards — the provider choice must not leak into the fleet.
+    QueryDef(
+      "q_stream_rocksdb",
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        try {
+          val src = Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("value"),
+              unix_micros(col("ts")).as("ts_us"))
+          val stream = stageAndStreamParquet(s, src, "q_stream_window",
+            eventsJsonSchema, dir)
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+          val agg = stream
+            .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value")), 2).as("sum_value"))
+          withStatePartitions(s, 8)(
+            drainComplete(s, agg, "q_stream_rocksdb_sink"))
+            .select(col("window.start").cast("long").as("bucket_s"),
+              col("event_type"), col("n"), col("sum_value"))
+            .orderBy(col("bucket_s"), col("event_type"))
+        } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      },
+      Some(
+        """SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS bucket_s,
+          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // B37 — SLIDING event-time windows (6 h window, 3 h slide): each
     // event lands in exactly two overlapping windows — distinct
     // semantics from the tumbling form (state carries window-count ×
