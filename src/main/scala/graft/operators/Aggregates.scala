@@ -312,6 +312,67 @@ object Aggregates {
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           |                        (l_returnflag), ())
           |ORDER BY rf, ls""".stripMargin)
+    ),
+
+    // B19-adjacent — equi-width histogram of l_extendedprice in 20
+    // buckets between the observed min and max, empty buckets
+    // zero-filled from a generated bucket spine (the distribution-
+    // profiling pass behind every data-quality dashboard and the
+    // binning primitive q_drift_psi builds on). The bucket index is ONE
+    // shared double expression — least(floor((v−lo)·20/(hi−lo)), 19) —
+    // written with identical association on both engines so every row
+    // lands in the same bucket bit-for-bit; the max value clamps into
+    // the last bucket.
+    //
+    // Scale shape: two passes over the fact table (bounds, then a
+    // map-combined 20-group aggregate) — the irreducible histogram
+    // traffic; the 1-row bounds and the 20-row spine broadcast. At
+    // 100 TB the same plan holds: the shuffle carries 20 rows per
+    // map partition.
+    QueryDef(
+      "q_agg_histogram",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        val bucket = least(
+          floor((col("l_extendedprice") - col("lo")) * 20.0 /
+            (col("hi") - col("lo"))), lit(19.0)).cast("long")
+        val counts = li.crossJoin(broadcast(bounds))
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        s.range(20).select(col("id").as("bucket"))
+          .crossJoin(broadcast(bounds))
+          .join(counts, Seq("bucket"), "left")
+          .select(col("bucket"),
+            round(col("lo") + col("bucket") * (col("hi") - col("lo")) /
+              20.0, 6).as("lo_edge"),
+            round(col("lo") + (col("bucket") + 1) *
+              (col("hi") - col("lo")) / 20.0, 6).as("hi_edge"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        """WITH bounds AS (
+          |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+          |  FROM lineitem),
+          |counts AS (
+          |  SELECT CAST(least(floor((l_extendedprice - lo) * 20.0 /
+          |           (hi - lo)), 19) AS BIGINT) AS bucket,
+          |         count(*) AS n,
+          |         round(sum(l_extendedprice), 2) AS sum_price
+          |  FROM lineitem, bounds
+          |  GROUP BY 1)
+          |SELECT t.bucket,
+          |       round(lo + t.bucket * (hi - lo) / 20.0, 6) AS lo_edge,
+          |       round(lo + (t.bucket + 1) * (hi - lo) / 20.0, 6) AS hi_edge,
+          |       coalesce(c.n, 0) AS n,
+          |       coalesce(c.sum_price, 0.0) AS sum_price
+          |FROM range(0, 20) t(bucket) CROSS JOIN bounds
+          |LEFT JOIN counts c ON c.bucket = t.bucket
+          |ORDER BY t.bucket""".stripMargin)
     )
   )
 }

@@ -321,6 +321,82 @@ object Graph {
           |nodes AS (SELECT unnest([x, y, z]) AS part FROM tri)
           |SELECT part, count(*) AS tri_cnt
           |FROM nodes GROUP BY part ORDER BY part""".stripMargin)
+    ),
+
+    // k-core peeling over the part co-purchase graph: 4 fixed
+    // SYNCHRONOUS peel rounds (every node whose current degree is < k
+    // is removed simultaneously, then degrees are recomputed) — the
+    // dense-subgraph extraction shape a pipeline runs to separate the
+    // stable product "core" from one-off co-purchases. k is the MEDIAN
+    // of the initial degree distribution — a scale-free threshold that
+    // bites at any corpus size (co-purchase degrees grow with SF, so a
+    // fixed k would peel nothing at scale and everything at sf0.001);
+    // one bounded scalar, the same driver-side role as |V| in the
+    // PageRank loop. Fixed rounds, not peel-to-convergence, for the
+    // same hard-cost-ceiling semantics as q_graph_labelprop; both
+    // engines execute the exact same four peels so the surviving edge
+    // set is identical even if it has not converged.
+    //
+    // Scale shape: each round is one degree aggregate (|E| rows,
+    // map-combined to |V|) plus two semi joins of the edge list
+    // against the |V|-row survivor set — the same per-round traffic
+    // class as a PageRank iteration. The edge list shrinks
+    // monotonically and is localCheckpoint'ed per round, so the plan
+    // stays O(1) per round and later rounds scan only the surviving
+    // edges. The oracle unrolls the rounds as MATERIALIZED CTEs
+    // (the q_text_bpe lesson: inlined CTEs re-evaluate per reference).
+    QueryDef(
+      "q_graph_kcore",
+      (s, dir) => {
+        val rounds = 4
+        val und = coPurchaseEdges(s, dir)
+        var edges = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+          .localCheckpoint()
+        // k = exact median initial degree ((n−1)·q interpolation, the
+        // same definition as DuckDB quantile_cont) — one bounded scalar
+        val k = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(expr("percentile(d, 0.05)")).head().getDouble(0)
+        for (_ <- 1 to rounds) {
+          // survivors of this peel: degree ≥ k under the CURRENT edges
+          val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .where(col("d") >= lit(k)).select(col("src").as("node"))
+          edges = edges
+            .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint()
+        }
+        edges.groupBy(col("src").as("part"))
+          .agg(count(lit(1)).as("core_deg"))
+          .orderBy(col("part"))
+      },
+      Some {
+        val head =
+          """WITH op AS MATERIALIZED (
+            |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |eu AS MATERIALIZED (
+            |  SELECT DISTINCT a.pk AS u, b.pk AS v
+            |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+            |e0 AS MATERIALIZED (
+            |  SELECT u AS src, v AS dst FROM eu
+            |  UNION ALL SELECT v, u FROM eu),
+            |kv AS MATERIALIZED (
+            |  SELECT quantile_cont(d, 0.05) AS kk
+            |  FROM (SELECT count(*) AS d FROM e0 GROUP BY src))""".stripMargin
+        val roundCtes = (1 to 4).map { i =>
+          s"""k$i AS MATERIALIZED (
+             |  SELECT src FROM e${i - 1} GROUP BY src
+             |  HAVING count(*) >= (SELECT kk FROM kv)),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN k$i a ON a.src = e.src
+             |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+        }
+        (head +: roundCtes).mkString(",\n") +
+          """
+            |SELECT src AS part, count(*) AS core_deg
+            |FROM e4 GROUP BY src ORDER BY part""".stripMargin
+      }
     )
   )
 }

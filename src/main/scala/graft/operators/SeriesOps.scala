@@ -527,6 +527,54 @@ object SeriesOps {
           |       coalesce(s.ns, 0) AS n_spikes
           |FROM prof p LEFT JOIN spikes s USING (event_type, hod)
           |ORDER BY p.event_type, p.hod""".stripMargin)
+    ),
+
+    // Rolling EXACT quantiles — the rolling().median()/quantile() half
+    // of the reference substrate's rolling surface (q_ts_ewma is the
+    // ewm() half): trailing-24h median and p90 of the hourly count per
+    // series. Both engines interpolate with the same definition
+    // (index h = (n−1)·q over the sorted frame, linear between ranks —
+    // Spark `percentile`, DuckDB `quantile_cont`), and the frame
+    // inputs are exact integers, so the interpolated doubles are
+    // bit-identical and the 6 dp hash compare is exact.
+    //
+    // Scale shape: grid-first (the q_ts_anomaly discipline) — events
+    // collapse to the (series × hour) grid under a map-combined count
+    // before any window runs; the quantile then sorts only the ≤24-row
+    // frame per grid cell, O(grid × frame log frame), independent of
+    // event volume. The frame is a bounded trailing ROWS frame — never
+    // an unbounded-FOLLOWING frame (the O(n²) class banned in
+    // CLAUDE.md).
+    QueryDef(
+      "q_ts_rolling_quantile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-23, 0)
+        hourly.select(
+          col("event_type"), col("hr"), col("c").as("n_events"),
+          count(col("c")).over(w).as("m"),
+          round(expr("percentile(c, 0.5)").over(w), 6).as("med_24h"),
+          round(expr("percentile(c, 0.9)").over(w), 6).as("p90_24h"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, hr, c AS n_events,
+          |       count(c) OVER w AS m,
+          |       round(quantile_cont(c, 0.5) OVER w, 6) AS med_24h,
+          |       round(quantile_cont(c, 0.9) OVER w, 6) AS p90_24h
+          |FROM hourly
+          |WINDOW w AS (PARTITION BY event_type ORDER BY hr
+          |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_type, hr""".stripMargin)
     )
   )
 }

@@ -876,6 +876,150 @@ object TextAnalysis {
           |         AS DOUBLE) / 1e6 / count(*), 6) AS lm_score
           |FROM bi b JOIN bc USING (w1, w2) JOIN ctx USING (w1), v
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
+    ),
+
+    // North star — PMI collocation mining: the top-50 bigrams by
+    // pointwise mutual information ln(p(xy) / (p(x)·p(y))) among
+    // bigrams seen ≥ 5 times. The collocation pass a pipeline runs to
+    // find multi-word expressions worth treating as single tokens
+    // (and the association-strength primitive behind phrase-aware
+    // tokenizers). All probabilities stay as exact integer counts until
+    // ONE double expression — written with identical association on
+    // both engines ((c12·Nu·Nu) / (Nb·c1·c2)) so the ln/round doubles
+    // are bit-identical — and the rank key is the ROUNDED score
+    // (rounded-before-rank discipline) under a total order.
+    //
+    // Scale shape: one explode feeds the bigram count shuffle
+    // (map-combined to the bigram-vocabulary size); the unigram attach
+    // is two vocabulary-sized key joins, never a corpus join; the
+    // min-count filter drops the long tail BEFORE the joins; the final
+    // top-50 is TakeOrderedAndProject, no global sort materialized.
+    QueryDef(
+      "q_text_pmi",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val uni = docs
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+          .localCheckpoint() // feeds both unigram attaches + the total
+        val bi = docs
+          .select(explode(graft.functions.WordNgrams(col("text"), 2))
+            .as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+          .where(col("c12") >= 5)
+        val nu = uni.agg(sum(col("cu")).cast("long").as("nu"))
+        val nb = docs
+          .select((size(TextFns.tokens(col("text"))) - 1).cast("long")
+            .as("k"))
+          .where(col("k") >= 1)
+          .agg(sum(col("k")).as("nb"))
+        val scored = bi
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+          .crossJoin(broadcast(nu))
+          .crossJoin(broadcast(nb))
+          .select(col("bigram"), col("c12").as("n"),
+            round(log(
+              (col("c12").cast("double") * col("nu") * col("nu")) /
+                (col("nb").cast("double") * col("c1") * col("c2"))), 6)
+              .as("pmi"))
+        scored.orderBy(col("pmi").desc, col("bigram")).limit(50)
+      },
+      Some(
+        """WITH uni AS (
+          |  SELECT w, count(*) AS cu
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          |        FROM documents)
+          |  GROUP BY w),
+          |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+          |nb AS (
+          |  SELECT CAST(sum(k) AS BIGINT) AS nb
+          |  FROM (SELECT len(string_split(lower(text), ' ')) - 1 AS k
+          |        FROM documents)
+          |  WHERE k >= 1),
+          |bi AS (
+          |  SELECT bigram, count(*) AS c12
+          |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+          |          i -> ts[i] || ' ' || ts[i+1])) AS bigram
+          |        FROM (SELECT string_split(lower(text), ' ') AS ts
+          |              FROM documents)
+          |        WHERE len(ts) >= 2)
+          |  GROUP BY bigram HAVING count(*) >= 5)
+          |SELECT bigram, c12 AS n,
+          |       round(ln(
+          |         (CAST(c12 AS DOUBLE) * nu * nu) /
+          |         (CAST(nb AS DOUBLE) * u1.cu * u2.cu)), 6) AS pmi
+          |FROM bi
+          |JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+          |JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2], tot, nb
+          |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin)
+    ),
+
+    // North star — per-source token-distribution entropy: Shannon
+    // entropy of the unigram distribution plus the normalized form
+    // H / ln(V) — the corpus-diversity signal a curation pipeline
+    // tracks per source (a source whose entropy collapses is emitting
+    // boilerplate). H = ln(N) − (Σ c·ln c)/N keeps everything in
+    // integer counts except the per-TYPE term c·ln c, which is rounded
+    // to fixed 1e-9 precision and summed as exact scaled BIGINTs
+    // (order-independent on both engines — the micro-sum discipline);
+    // the oracle CASTs the micro-sum back to BIGINT (DuckDB sum
+    // widens to HUGEINT).
+    //
+    // Scale shape: one explode into a map-combined (source, token)
+    // count; the entropy reduce then runs over the vocabulary-sized
+    // table, not the corpus. Output is one row per source.
+    QueryDef(
+      "q_text_entropy",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("source"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(round(col("c").cast("double") *
+              log(col("c").cast("double")) * 1e9).cast("long"))
+              .as("micro"))
+          .select(col("source"), col("n_tokens"), col("vocab"),
+            round(log(col("n_tokens").cast("double")) -
+              (col("micro").cast("double") / 1e9) /
+                col("n_tokens").cast("double"), 6).as("entropy"),
+            round((log(col("n_tokens").cast("double")) -
+              (col("micro").cast("double") / 1e9) /
+                col("n_tokens").cast("double")) /
+              log(col("vocab").cast("double")), 6).as("norm_entropy"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH counts AS (
+          |  SELECT source, w, count(*) AS c
+          |  FROM (SELECT source,
+          |          unnest(string_split(lower(text), ' ')) AS w
+          |        FROM documents)
+          |  GROUP BY source, w),
+          |agg AS (
+          |  SELECT source,
+          |         CAST(sum(c) AS BIGINT) AS n_tokens,
+          |         count(*) AS vocab,
+          |         CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+          |             ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+          |           AS BIGINT) AS micro
+          |  FROM counts GROUP BY source)
+          |SELECT source, n_tokens, vocab,
+          |       round(ln(CAST(n_tokens AS DOUBLE)) -
+          |         (CAST(micro AS DOUBLE) / 1e9) /
+          |           CAST(n_tokens AS DOUBLE), 6) AS entropy,
+          |       round((ln(CAST(n_tokens AS DOUBLE)) -
+          |         (CAST(micro AS DOUBLE) / 1e9) /
+          |           CAST(n_tokens AS DOUBLE)) /
+          |         ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
+          |FROM agg ORDER BY source""".stripMargin)
     )
   )
 }

@@ -275,4 +275,74 @@ class GraphSeriesSpec extends SparkSpec {
     assert(rows.toSeq == expect,
       "4-round labels must equal the first-principles propagation")
   }
+
+  test("kcore: survivors equal the first-principles 4-round synchronous peel") {
+    val rows = q("q_graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "fixture graph must have a 3-core remnant")
+    // rebuild the co-purchase graph and peel it in plain Scala:
+    // each round removes ALL nodes with degree < 3 simultaneously
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = op.groupBy(_._1).valuesIterator.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    var adj: Map[Long, Set[Long]] =
+      (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    // k = exact median initial degree, (n−1)·q interpolation
+    val degs = adj.values.map(_.size.toDouble).toArray.sorted
+    val h = (degs.length - 1) * 0.05
+    val lo = math.floor(h).toInt
+    val k =
+      if (lo + 1 >= degs.length) degs(lo)
+      else degs(lo) + (h - lo) * (degs(lo + 1) - degs(lo))
+    for (_ <- 1 to 4) {
+      val keep = adj.collect { case (n, ns) if ns.size >= k => n }.toSet
+      adj = adj.collect {
+        case (n, ns) if keep(n) => n -> ns.filter(keep)
+      }
+    }
+    val expect = adj.toSeq
+      .collect { case (n, ns) if ns.nonEmpty => (n, ns.size.toLong) }
+      .sortBy(_._1)
+    assert(rows.toSeq == expect,
+      "peeled degrees must equal the first-principles peel")
+    // and the peel genuinely removed something (the query is not a
+    // trivial degree count)
+    val fullNodes = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).size
+    assert(rows.length < fullNodes,
+      "at least one node must have been peeled away")
+  }
+
+  test("rolling quantile: per-series frames replay exactly ((n-1)q interpolation)") {
+    val rows = q("q_ts_rolling_quantile").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2.getTime)
+      s.indices.foreach { i =>
+        val frame = s.slice(math.max(0, i - 23), i + 1)
+          .map(_._3.toDouble).sorted
+        assert(s(i)._4 == frame.length.toLong, "frame row count")
+        assert(math.abs(s(i)._5 - round6(qc(frame, 0.5))) < 1e-9,
+          s"median mismatch at ${s(i)._2}")
+        assert(math.abs(s(i)._6 - round6(qc(frame, 0.9))) < 1e-9,
+          s"p90 mismatch at ${s(i)._2}")
+        assert(s(i)._6 >= s(i)._5, "p90 >= median")
+      }
+    }
+  }
 }

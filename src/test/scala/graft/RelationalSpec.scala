@@ -156,4 +156,29 @@ class RelationalSpec extends SparkSpec {
     assert(passed * 4 <= total,
       s"bloom pruned nothing: $passed of $total rows passed")
   }
+
+  test("histogram: 20 buckets tile [lo,hi], counts replay from first principles") {
+    val rows = q("q_agg_histogram").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (0L until 20L), "dense bucket spine")
+    // adjacent edges tile without gaps (identical rounded formula)
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._3 == w(1)._2, "hi_edge(b) == lo_edge(b+1)")
+    }
+    val prices = sources.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0))
+    assert(rows.map(_._4).sum == prices.length.toLong,
+      "every row lands in exactly one bucket")
+    val lo = prices.min
+    val hi = prices.max
+    val expect = prices.groupBy { v =>
+      math.min(math.floor((v - lo) * 20.0 / (hi - lo)), 19.0).toLong
+    }.map { case (b, vs) => b -> vs.length.toLong }
+    rows.foreach { case (b, le, he, n, sum) =>
+      assert(expect.getOrElse(b, 0L) == n, s"bucket $b count")
+      assert(he > le, s"bucket $b edges ordered")
+      if (n == 0L) assert(sum == 0.0, s"empty bucket $b zero-filled")
+    }
+  }
 }

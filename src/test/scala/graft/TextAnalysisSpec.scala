@@ -148,4 +148,82 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.length == docs.count(_._2.split(" ")
       .exists(_.matches("^[a-z]{2,20}$"))))
   }
+
+  test("pmi: top-50 under total order, min count honored, scores replay") {
+    val rows = q("q_text_pmi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 50, "top-50 collocations")
+    assert(rows.forall(_._2 >= 5), "min bigram count 5")
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+        "descending rounded-pmi order with bigram tie-break")
+    }
+    // replay from first-principles counts (split keeps interior
+    // empties, like Spark's split-on-regex)
+    val texts = sources.Tables.documents(spark, sf)
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val uni = new scala.collection.mutable.HashMap[String, Long]()
+    val bi = new scala.collection.mutable.HashMap[String, Long]()
+    var nu = 0L
+    var nb = 0L
+    texts.foreach { t =>
+      val ts = t.split(" ", -1)
+      ts.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      nu += ts.length
+      if (ts.length >= 2) {
+        nb += ts.length - 1
+        ts.sliding(2).foreach { p =>
+          val k = p.mkString(" ")
+          bi(k) = bi.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (bg, n, pmi) =>
+      assert(bi(bg) == n, s"bigram count for '$bg'")
+      val Array(w1, w2) = bg.split(" ", 2)
+      val expect = round6(math.log(
+        (n.toDouble * nu * nu) / (nb.toDouble * uni(w1) * uni(w2))))
+      assert(math.abs(pmi - expect) < 1e-9, s"pmi for '$bg'")
+    }
+    // collocations carry positive association by construction of the
+    // top-50 on this fixture
+    assert(rows.head._3 > 0, "strongest collocation must be positive")
+  }
+
+  test("entropy: per-source H replays and the normalized form is in [0,1]") {
+    val rows = q("q_text_entropy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val srcs = sources.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    assert(rows.length == srcs.toInt, "one row per source")
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    sources.Tables.documents(spark, sf)
+      .select(col("source"), lower(col("text"))).collect()
+      .foreach { r =>
+        r.getString(1).split(" ", -1).foreach { w =>
+          val k = (r.getString(0), w)
+          counts(k) = counts.getOrElse(k, 0L) + 1
+        }
+      }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (src, n, v, h, hn) =>
+      val cs = counts.collect { case ((s, _), c) if s == src => c }.toSeq
+      assert(n == cs.sum, s"$src token total")
+      assert(v == cs.size.toLong, s"$src vocab size")
+      // the query's exact micro-sum pipeline, replayed
+      val micro = cs.map(c =>
+        math.round(c.toDouble * math.log(c.toDouble) * 1e9)).sum
+      val expect = round6(math.log(n.toDouble) - (micro.toDouble / 1e9) / n)
+      assert(math.abs(h - expect) < 1e-9, s"$src entropy")
+      assert(hn >= 0.0 && hn <= 1.0, s"$src normalized entropy in [0,1]")
+      assert(math.abs(hn - round6(
+        (math.log(n.toDouble) - (micro.toDouble / 1e9) / n) /
+          math.log(v.toDouble))) < 1e-6, s"$src normalized entropy value")
+    }
+  }
 }
