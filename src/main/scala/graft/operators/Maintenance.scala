@@ -65,6 +65,77 @@ object Maintenance {
     dead
   }
 
+  /** Stage the multi-writer transaction log ONCE per corpus (pure
+    * function of the source): a 4-commit history over orders with a
+    * real put-if-absent conflict + rebase and an OPTIMIZE rewrite.
+    * Shared by q_snapshot_txn (time travel) and q_snapshot_cdc (the
+    * change feed). Cutoffs: base < 1998-01-01 ≤ A < 2000-01-01 ≤ B. */
+  private def txnRoot(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String = {
+    val (c1, c2) = ("1998-01-01", "2000-01-01")
+    graft.Staging.cached(
+      s"txnlog_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 2) { tgt =>
+      import java.nio.file.{Files, FileAlreadyExistsException, Paths}
+      val log = Paths.get(tgt, "_log")
+      Files.createDirectories(log)
+      val orders = Tables.orders(s, dir)
+      val range = """"lo":"([^"]*)","hi":"([^"]*)"""".r
+      def tryCommit(v: Int, writer: String, attempt: Int,
+                    adds: Seq[String], lo: String, hi: String,
+                    removes: Seq[String] = Nil): Unit = {
+        val f = log.resolve(f"v$v%03d.json")
+        def arr(xs: Seq[String]) =
+          xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val body =
+          s"""{"version":$v,"writer":"$writer","attempt":$attempt,""" +
+            s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
+            s""""lo":"$lo","hi":"$hi"}"""
+        // CREATE_NEW (O_EXCL) is the put-if-absent commit: exactly
+        // one contending writer creates the version file — the
+        // filesystem analog of an object store's conditional PUT.
+        // (NOT rename: POSIX rename() silently replaces, which
+        // would let a losing writer clobber the winner.)
+        try Files.write(f, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch {
+          case _: FileAlreadyExistsException =>
+            // rebase: ranges of every manifest we lost to must be
+            // disjoint from ours, else the writer must abort (an
+            // append-only writer pair here — the check still runs)
+            val winner = Files.readString(f)
+            val ok = range.findFirstMatchIn(winner).exists { m =>
+              hi <= m.group(1) || m.group(2) <= lo
+            }
+            require(ok, s"$writer: range overlap with committed v$v")
+            tryCommit(v + 1, writer, attempt + 1, adds, lo, hi, removes)
+        }
+      }
+      def writeData(name: String,
+                    df: org.apache.spark.sql.DataFrame): Unit =
+        df.coalesce(1).write.mode("overwrite").parquet(s"$tgt/$name")
+      val od = col("o_orderdate")
+      writeData("base", orders.filter(od < lit(c1).cast("timestamp")))
+      tryCommit(0, "base", 1, Seq("base"), "0000-01-01", c1)
+      writeData("a1", orders.filter(od >= lit(c1).cast("timestamp") &&
+        od < lit(c2).cast("timestamp")))
+      writeData("b1", orders.filter(od >= lit(c2).cast("timestamp")))
+      // both writers hold snapshot v0; A wins v1, B conflicts on
+      // v1 and rebases to v2
+      tryCommit(1, "A", 1, Seq("a1"), c1, c2)
+      tryCommit(1, "B", 1, Seq("b1"), c2, "9999-12-31")
+      // OPTIMIZE as a transaction: compact the v2 live set into one
+      // file and commit the rewrite as removes+adds — readers at
+      // v2 still resolve the old files (time travel is why removed
+      // files are only ever unlinked by a later VACUUM, never by
+      // the commit), readers at v3 see one file and identical rows
+      writeData("compact0", s.read.parquet(
+        s"$tgt/base", s"$tgt/a1", s"$tgt/b1"))
+      tryCommit(3, "OPT", 1, Seq("compact0"),
+        "0000-01-01", "9999-12-31", removes = Seq("base", "a1", "b1"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Small-file compaction: a deliberately fragmented landing zone
@@ -583,68 +654,7 @@ object Maintenance {
     QueryDef(
       "q_snapshot_txn",
       (s, dir) => {
-        val (c1, c2) = ("1998-01-01", "2000-01-01")
-        val root = graft.Staging.cached(
-          s"txnlog_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
-          rev = 2) { tgt =>
-          import java.nio.file.{Files, FileAlreadyExistsException, Paths}
-          val log = Paths.get(tgt, "_log")
-          Files.createDirectories(log)
-          val orders = Tables.orders(s, dir)
-          val range = """"lo":"([^"]*)","hi":"([^"]*)"""".r
-          def tryCommit(v: Int, writer: String, attempt: Int,
-                        adds: Seq[String], lo: String, hi: String,
-                        removes: Seq[String] = Nil): Unit = {
-            val f = log.resolve(f"v$v%03d.json")
-            def arr(xs: Seq[String]) =
-              xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-            val body =
-              s"""{"version":$v,"writer":"$writer","attempt":$attempt,""" +
-                s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
-                s""""lo":"$lo","hi":"$hi"}"""
-            // CREATE_NEW (O_EXCL) is the put-if-absent commit: exactly
-            // one contending writer creates the version file — the
-            // filesystem analog of an object store's conditional PUT.
-            // (NOT rename: POSIX rename() silently replaces, which
-            // would let a losing writer clobber the winner.)
-            try Files.write(f, body.getBytes("UTF-8"),
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            catch {
-              case _: FileAlreadyExistsException =>
-                // rebase: ranges of every manifest we lost to must be
-                // disjoint from ours, else the writer must abort (an
-                // append-only writer pair here — the check still runs)
-                val winner = Files.readString(f)
-                val ok = range.findFirstMatchIn(winner).exists { m =>
-                  hi <= m.group(1) || m.group(2) <= lo
-                }
-                require(ok, s"$writer: range overlap with committed v$v")
-                tryCommit(v + 1, writer, attempt + 1, adds, lo, hi, removes)
-            }
-          }
-          def writeData(name: String,
-                        df: org.apache.spark.sql.DataFrame): Unit =
-            df.coalesce(1).write.mode("overwrite").parquet(s"$tgt/$name")
-          val od = col("o_orderdate")
-          writeData("base", orders.filter(od < lit(c1).cast("timestamp")))
-          tryCommit(0, "base", 1, Seq("base"), "0000-01-01", c1)
-          writeData("a1", orders.filter(od >= lit(c1).cast("timestamp") &&
-            od < lit(c2).cast("timestamp")))
-          writeData("b1", orders.filter(od >= lit(c2).cast("timestamp")))
-          // both writers hold snapshot v0; A wins v1, B conflicts on
-          // v1 and rebases to v2
-          tryCommit(1, "A", 1, Seq("a1"), c1, c2)
-          tryCommit(1, "B", 1, Seq("b1"), c2, "9999-12-31")
-          // OPTIMIZE as a transaction: compact the v2 live set into one
-          // file and commit the rewrite as removes+adds — readers at
-          // v2 still resolve the old files (time travel is why removed
-          // files are only ever unlinked by a later VACUUM, never by
-          // the commit), readers at v3 see one file and identical rows
-          writeData("compact0", s.read.parquet(
-            s"$tgt/base", s"$tgt/a1", s"$tgt/b1"))
-          tryCommit(3, "OPT", 1, Seq("compact0"),
-            "0000-01-01", "9999-12-31", removes = Seq("base", "a1", "b1"))
-        }
+        val root = txnRoot(s, dir)
         // every run: resolve the log (bounded: one row per commit) and
         // time-travel-read each version from exactly its live files
         // (fold adds/removes in version order — a removed file stays
@@ -691,6 +701,73 @@ object Maintenance {
           |  SELECT 3, 'OPT', count(*),
           |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
           |           AS BIGINT)
+          |  FROM orders)
+          |ORDER BY version""".stripMargin)
+    ),
+
+    // Change data feed over the same transaction log: for EVERY commit,
+    // what a downstream incremental consumer receives — inserted rows
+    // from the commit's added files, deleted rows from its removed
+    // files — computed by reading ONLY those files, never by diffing
+    // snapshots. This is the Delta/Iceberg CDF contract: v3's OPTIMIZE
+    // rewrite surfaces as equal insert and delete volumes with a zero
+    // net row/cents delta (a data-preserving commit), which is exactly
+    // the signal that lets consumers skip rewrite commits.
+    //
+    // Scale shape: per-commit cost is O(files changed by that commit),
+    // independent of table size — the whole point of a change feed (a
+    // snapshot diff would scan two full table versions per commit).
+    // The log fold itself is manifest-sized.
+    QueryDef(
+      "q_snapshot_cdc",
+      (s, dir) => {
+        val root = txnRoot(s, dir)
+        val ms = s.read.json(s"$root/_log")
+          .select(col("version").cast(LongType), col("writer"),
+            col("adds"), col("removes"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            r.getSeq[String](2), r.getSeq[String](3)))
+          .sortBy(_._1)
+        def stats(names: Seq[String], n: String, c: String) =
+          if (names.isEmpty)
+            s.range(1).select(lit(0L).as(n), lit(0L).as(c))
+          else
+            s.read.parquet(names.map(x => s"$root/$x"): _*)
+              .agg(count(lit(1)).as(n),
+                coalesce(sum(round(col("o_totalprice") * 100)
+                  .cast(LongType)), lit(0L)).as(c))
+        ms.map { case (v, w, adds, rms) =>
+          stats(adds, "n_inserted", "cents_in")
+            .crossJoin(stats(rms, "n_deleted", "cents_out"))
+            .select(lit(v).as("version"), lit(w).as("writer"),
+              col("n_inserted"), col("n_deleted"),
+              (col("n_inserted") - col("n_deleted")).as("net_rows"),
+              (col("cents_in") - col("cents_out")).as("net_cents"))
+        }.reduce(_.unionByName(_)).orderBy(col("version"))
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS version, 'base' AS writer,
+          |         count(*) AS n_inserted, CAST(0 AS BIGINT) AS n_deleted,
+          |         count(*) AS net_rows,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS net_cents
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 1, 'A', count(*), CAST(0 AS BIGINT), count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          |    AND o_orderdate < TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 2, 'B', count(*), CAST(0 AS BIGINT), count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 3, 'OPT', count(*), count(*), CAST(0 AS BIGINT),
+          |         CAST(0 AS BIGINT)
           |  FROM orders)
           |ORDER BY version""".stripMargin)
     )

@@ -101,6 +101,70 @@ object Multimodal {
     } finally iis.close()
   }
 
+  /** Deterministic per-document gradient-image parameters. Prime-ish
+    * moduli (61, 7) give up to 427 distinct images across the corpus,
+    * so perceptual dup groups are non-trivial at any SF: ids congruent
+    * mod lcm(61,7)=427 render pixel-identical files. */
+  def gradParams(docId: Long): (Int, Int) =
+    ((docId % 61).toInt, (docId % 7).toInt + 1)
+
+  /** Gray value of 8×8 block i of the gradient image — the staged
+    * ground truth the oracle recomputes in SQL. */
+  def blockGray(base: Int, step: Int, i: Int): Int =
+    (base * 16 + i * step) % 256
+
+  /** Encode the 16×16 gradient PNG: every pixel carries its 2×2
+    * block's gray, block index i = (y/2)·8 + x/2 (row-major blocks). */
+  def encodeGradientPng(docId: Long): Array[Byte] = {
+    val (base, step) = gradParams(docId)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val g = blockGray(base, step, (y / 2) * 8 + (x / 2))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL 64-bit average-hash (aHash): decode the image, sum each 2×2
+    * pixel block, set bit i iff 64·blocksum_i > Σ_j blocksum_j — the
+    * block-above-mean test kept as an EXACT integer cross-
+    * multiplication (no double is ever compared; 64·blocksum ≡
+    * blocksum/4 > total/256 over the rationals). Emitted as the 64-char
+    * bit string, bit 0 first. */
+  def averageHash(bytes: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img.getWidth == 16 && img.getHeight == 16, "expected 16x16")
+    val bs = new Array[Long](64)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        bs((y / 2) * 8 + (x / 2)) += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val tot = bs.sum
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      sb.append(if (bs(i) * 64 > tot) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Thumbnail geometry: longest edge scaled to `target` px, aspect
     * preserved, truncating integer division, floor of 1 px — the exact
     * arithmetic the SQL oracle recomputes. */
@@ -548,6 +612,84 @@ object Multimodal {
           |       800 + doc_id % 400 AS n_frames,
           |       round(CAST(1000 + (doc_id % 7) * 1000 AS DOUBLE), 6) AS rms
           |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    // B49(g) × B46 — PERCEPTUAL image dedup: a real 64-bit average-hash
+    // (decode → 8×8 block means → above-mean bit per block) over a
+    // staged gradient-PNG corpus (1-in-5 document slice; block grays
+    // are integer arithmetic on doc_id with prime-ish moduli, so up to
+    // 427 distinct images exist and perceptual dup groups are genuine).
+    // The hash's above-mean test is an exact integer cross-
+    // multiplication on both engines, so the 64-char bit string is
+    // deterministic; grouping by it is the image-level analog of
+    // q_dedup_content (same hash, same canonical-keeper rule).
+    //
+    // Scale shape: the decode+hash kernel is typed mapPartitions (JDK
+    // codecs have no Catalyst analog — the declared multimodal
+    // exception), emitting (id, 64-char hash); the dup grouping is one
+    // hash-key shuffle, identical traffic to exact dedup. At 100 TB the
+    // hash column is 64 bytes/image vs the image bytes — the entire
+    // point of hashing before grouping.
+    QueryDef(
+      "q_multimodal_phash",
+      (s, dir) => {
+        import s.implicits._
+        val pngDir = graft.Staging.cached(
+          s"grad_png_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(tgt))
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .filter(col("doc_id") % 5 === 0)
+            .foreachPartition { (it: Iterator[Long]) =>
+              it.foreach { id =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
+                  encodeGradientPng(id))
+              }
+            }
+        }
+        val hashed = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(pngDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) => (id, averageHash(bytes)) }
+          }
+          .toDF("doc_id", "phash")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("phash"))
+        hashed
+          .withColumn("n_same_hash", count(lit(1)).over(w))
+          .withColumn("canon_id", min(col("doc_id")).over(w))
+          .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH ids AS (
+          |  SELECT doc_id, doc_id % 61 AS base, doc_id % 7 + 1 AS stepk
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |blk AS (
+          |  SELECT doc_id, i, (base * 16 + i * stepk) % 256 AS b
+          |  FROM ids CROSS JOIN range(0, 64) t(i)),
+          |tot AS (
+          |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS tot
+          |  FROM blk GROUP BY doc_id),
+          |hashes AS (
+          |  SELECT blk.doc_id,
+          |         string_agg(CASE WHEN blk.b * 64 > tot.tot
+          |                         THEN '1' ELSE '0' END, ''
+          |                    ORDER BY blk.i) AS phash
+          |  FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id)
+          |SELECT doc_id, phash,
+          |       count(*) OVER (PARTITION BY phash) AS n_same_hash,
+          |       min(doc_id) OVER (PARTITION BY phash) AS canon_id,
+          |       doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+          |FROM hashes ORDER BY doc_id""".stripMargin)
     )
   )
 }

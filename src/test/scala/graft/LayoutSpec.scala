@@ -307,4 +307,28 @@ class LayoutSpec extends SparkSpec {
     }
     assert(operators.Maintenance.vacuumTxnLog(copy2.toString, 0L).isEmpty)
   }
+
+  test("q_snapshot_cdc: feed telescopes to the final snapshot; rewrites net to zero") {
+    val rows = q("q_snapshot_cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "one row per commit")
+    // the change feed telescopes: cumulative net rows after each commit
+    // must equal that version's snapshot row count (q_snapshot_txn)
+    val snaps = q("q_snapshot_txn").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    var cum = 0L
+    rows.foreach { case (v, _, _, _, net, _) =>
+      cum += net
+      assert(cum == snaps(v), s"cumulative net at v$v != snapshot count")
+    }
+    // the OPTIMIZE commit moved every row but changed nothing
+    val (_, w3, ins3, del3, net3, cents3) = rows.last
+    assert(w3 == "OPT" && ins3 == del3 && ins3 > 0 && net3 == 0L
+      && cents3 == 0L, "rewrite commit must be a zero-delta move")
+    // append commits delete nothing
+    rows.init.foreach { case (v, _, ins, del, _, _) =>
+      assert(del == 0L && ins > 0L, s"v$v is a pure append")
+    }
+  }
 }

@@ -485,4 +485,35 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - Multimodal.frameGray(id, i) / 255.0) < 5e-7)
     }
   }
+
+  test("phash: decoded hashes equal the generation formula; dup groups coherent") {
+    import operators.Multimodal
+    val rows = q("q_multimodal_phash").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val ids = sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % 5 == 0).sorted
+    assert(rows.map(_._1).toSeq == ids.toSeq, "one row per staged image")
+    // the REAL decode+hash must reproduce the generation arithmetic
+    rows.foreach { case (id, ph, _, _, _) =>
+      val (base, step) = Multimodal.gradParams(id)
+      val bs = (0 until 64).map(i => Multimodal.blockGray(base, step, i))
+      val tot = bs.map(_.toLong).sum
+      val expect = bs.map(b => if (b * 64 > tot) '1' else '0').mkString
+      assert(ph == expect, s"doc $id hash from pixels != formula")
+    }
+    // group stats are consistent: every member of a hash group reports
+    // the group size and the min id; exactly one non-dup per group
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val minId = g.map(_._1).min
+      g.foreach { case (id, _, n, canon, dup) =>
+        assert(n == g.length.toLong && canon == minId && dup == (id != minId))
+      }
+    }
+    // the corpus must actually contain perceptual dups (ids congruent
+    // mod 427 render identical files) and more than one distinct image
+    assert(rows.exists(_._5), "fixture has no dup to detect")
+    assert(rows.map(_._2).distinct.length > 1, "hashes are not all equal")
+  }
 }
