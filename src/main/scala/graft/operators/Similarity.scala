@@ -528,6 +528,149 @@ object Similarity {
           |FROM m WHERE mx > mn ORDER BY vec_id""".stripMargin)
     ),
 
+    // North star — distributed PCA (the dimensionality-reduction /
+    // whitening leg of an embedding pipeline): first principal
+    // component by 12 fixed power-iteration rounds on the 64×64
+    // covariance matrix, then the corpus projected onto it. Oracled
+    // CROSS-ENGINE TO 6 DP despite 12 rounds of amplifying float
+    // arithmetic, because every data-dependent sum is exact: the d²
+    // second-moment sums and d first-moment sums are scaled-BIGINT
+    // micro-sums (order-independent), so both engines derive the SAME
+    // covariance doubles; the iteration itself is a fixed sequence of
+    // ordered folds (matvec folds k-ascending, norms fold i-ascending
+    // — Spark/Scala left folds ≡ DuckDB list_reduce, the CLAUDE.md
+    // fold identity), so every subsequent double is bit-identical.
+    //
+    // Scale shape: the moment pass runs on a DETERMINISTIC QUARTER
+    // SAMPLE (vec_id ≡ 0 mod 4) — the train-on-sample lever every
+    // production PCA/codebook trainer uses (faiss trains on ~100k of
+    // billions; the estimate's error shrinks as 1/√sample, so the
+    // sample is a fixed budget, not a corpus fraction). The sample's
+    // n·d² product terms map-combine down to d² rows in one shuffle;
+    // the iteration is driver-side on the d×d matrix (bounded, like
+    // the PageRank |V| scalar); and the full-corpus projection is a
+    // pure per-row fold over the broadcast eigenvector —
+    // embarrassingly parallel at any scale.
+    QueryDef(
+      "q_embed_pca",
+      (s, dir) => {
+        val d = 64
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val train = e.filter(col("vec_id") % 4 === 0)
+        val el = train.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("p", "xf")))
+          .select(col("vec_id"),
+            (col("p") + 1).cast(LongType).as("i"),
+            col("xf").cast("double").as("xi"))
+          .localCheckpoint() // both sides of the moment join + means
+        // n·d² micro-summed second moments: a codegen'd self-join on
+        // the sample (the n·64-row side broadcasts) map-combined down
+        // to d² rows — ~3× the interpreted transform-closure HOF this
+        // replaced, and the exact shape the oracle runs
+        val mics = el
+          .join(broadcast(el.select(col("vec_id"),
+            col("i").as("j"), col("xi").as("xj"))), "vec_id")
+          .select(col("i"), col("j"),
+            round((col("xi") * col("xj")) * 1e9).cast(LongType).as("pp"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("pp")).as("sp"))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+          .toMap
+        val moments = el.groupBy(col("i"))
+          .agg(sum(round(col("xi") * 1e6).cast(LongType)).as("sm"),
+            count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .toMap
+        val n = moments(1L)._2
+        val mean = Array.tabulate(d)(i =>
+          (moments(i + 1L)._1.toDouble / 1e6) / n)
+        val c = Array.tabulate(d, d)((i, j) =>
+          (mics((i + 1L, j + 1L)).toDouble / 1e9) / n - mean(i) * mean(j))
+        // 12 power-iteration rounds; start at the exact unit vector
+        // 1/√64 = 0.125. Folds run in fixed ascending order to match
+        // the oracle's list_reduce exactly.
+        var v = Array.fill(d)(0.125)
+        var lam = 0.0
+        for (_ <- 1 to 12) {
+          val y = Array.tabulate(d) { i =>
+            var acc = 0.0; var k = 0
+            while (k < d) { acc += c(i)(k) * v(k); k += 1 }
+            acc
+          }
+          var sq = 0.0
+          y.foreach(x => sq += x * x)
+          lam = math.sqrt(sq)
+          v = y.map(_ / lam)
+        }
+        val vLit = typedLit(v.toSeq)
+        val mLit = typedLit(mean.toSeq)
+        e.select(col("vec_id"),
+            round(aggregate(
+              transform(sequence(lit(1), lit(d)),
+                k => (element_at(col("embedding"), k).cast("double") -
+                  element_at(mLit, k)) * element_at(vLit, k)),
+              lit(0.0), (acc, x) => acc + x), 6).as("pc1"),
+            lit(BigDecimal(lam).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble).as("pc1_var"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val head =
+          """WITH el AS MATERIALIZED (
+            |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+            |  FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i
+            |        FROM embeddings WHERE vec_id % 4 = 0)),
+            |mic AS MATERIALIZED (
+            |  SELECT a.i, b.i AS j,
+            |         CAST(sum(CAST(round((a.xi * b.xi) * 1e9) AS BIGINT))
+            |           AS BIGINT) AS sp
+            |  FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i),
+            |mom AS MATERIALIZED (
+            |  SELECT i, CAST(sum(CAST(round(xi * 1e6) AS BIGINT)) AS BIGINT)
+            |           AS sm,
+            |         count(*) AS n
+            |  FROM el GROUP BY i),
+            |mm AS MATERIALIZED (
+            |  SELECT list((CAST(sm AS DOUBLE) / 1e6) / n ORDER BY i) AS m
+            |  FROM mom),
+            |cm AS MATERIALIZED (
+            |  SELECT mic.i, mic.j,
+            |         (CAST(mic.sp AS DOUBLE) / 1e9) / mi.n
+            |           - ((CAST(mi.sm AS DOUBLE) / 1e6) / mi.n)
+            |             * ((CAST(mj.sm AS DOUBLE) / 1e6) / mj.n) AS c
+            |  FROM mic JOIN mom mi ON mi.i = mic.i
+            |  JOIN mom mj ON mj.i = mic.j),
+            |crow AS MATERIALIZED (
+            |  SELECT i, list(c ORDER BY j) AS cs FROM cm GROUP BY i),
+            |v0 AS MATERIALIZED (
+            |  SELECT list_transform(range(1, 65), x -> 0.125) AS v)""".stripMargin
+        val rounds = (1 to 12).map { r =>
+          s"""y$r AS MATERIALIZED (
+             |  SELECT c.i,
+             |         list_reduce(list_transform(range(1, 65),
+             |           k -> c.cs[k] * v.v[k]), (a, b) -> a + b) AS y
+             |  FROM crow c, v${r - 1} v),
+             |v$r AS MATERIALIZED (
+             |  SELECT list_transform(l, x -> x / sqrt(list_reduce(
+             |           list_transform(l, z -> z * z), (a, b) -> a + b)))
+             |           AS v,
+             |         sqrt(list_reduce(list_transform(l, z -> z * z),
+             |           (a, b) -> a + b)) AS lam
+             |  FROM (SELECT list(y ORDER BY i) AS l FROM y$r))""".stripMargin
+        }
+        (head +: rounds).mkString(",\n") +
+          """
+            |SELECT e.vec_id,
+            |       round(list_reduce(list_transform(range(1, 65),
+            |         k -> (CAST(e.embedding[k] AS DOUBLE) - mm.m[k])
+            |              * vv.v[k]), (a, b) -> a + b), 6) AS pc1,
+            |       round(vv.lam, 6) AS pc1_var
+            |FROM embeddings e, mm, v12 vv
+            |ORDER BY e.vec_id""".stripMargin
+      }
+    ),
+
     // (pqModel holds the shared train+encode; see its doc)
     //
     // North star — PRODUCT QUANTIZATION (the faiss PQ shape): the

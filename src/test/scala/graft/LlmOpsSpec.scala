@@ -516,4 +516,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(_._5), "fixture has no dup to detect")
     assert(rows.map(_._2).distinct.length > 1, "hashes are not all equal")
   }
+
+  test("pca: projection is centered, its variance attains the reported eigenvalue") {
+    val rows = q("q_embed_pca").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n.toInt, "one score per vector")
+    val lam = rows.head._3
+    assert(lam > 0 && rows.forall(_._3 == lam),
+      "eigenvalue is one positive constant")
+    // centering uses the TRAIN sample's mean (vec_id ≡ 0 mod 4), so
+    // the train subset's projection mean vanishes exactly (up to 6 dp
+    // emission rounding); the full corpus only to sampling error
+    val trainScores = rows.filter(_._1 % 4 == 0).map(_._2)
+    val tMean = trainScores.sum / trainScores.length
+    assert(math.abs(tMean) < 1e-4, s"train projection not centered: $tMean")
+    val allMean = rows.map(_._2).sum / rows.length
+    assert(math.abs(allMean) < 0.1, s"corpus projection far off-center")
+    // the train-score variance is the Rayleigh quotient of v₁₂ while
+    // the reported λ is ‖Cv₁₁‖ — distinct pre-convergence estimates
+    // that bracket λmax from below, so assert proximity (2%), not order
+    val varS = trainScores.map(x => (x - tMean) * (x - tMean)).sum /
+      trainScores.length
+    assert(math.abs(varS - lam) <= lam * 0.02,
+      s"variance $varS not within 2% of eigenvalue $lam")
+    val again = q("q_embed_pca").collect().map(_.getDouble(1))
+    assert(rows.map(_._2).toSeq == again.toSeq,
+      "fixed-round PCA must replay exactly")
+  }
 }
