@@ -1020,6 +1020,158 @@ object TextAnalysis {
           |           CAST(n_tokens AS DOUBLE)) /
           |         ln(CAST(vocab AS DOUBLE)), 6) AS norm_entropy
           |FROM agg ORDER BY source""".stripMargin)
+    ),
+
+    // North star — train a QUALITY/DOMAIN-FILTER CLASSIFIER inside the
+    // engine: a logistic regression (bias + doc length + lexical
+    // diversity + stopword ratio → does the doc mention the target
+    // domain term) fit by 12 fixed full-batch gradient-descent rounds
+    // on z-scored features (η=2),
+    // then the corpus scored with the trained weights — the
+    // fasttext-classifier shape of a pretraining quality pipeline
+    // (weak label from a keyword rule, generic features, learned
+    // scores ranking the corpus), rebuilt as iterative aggregates.
+    // On this fixture the learnable signal is real: target-term docs
+    // average 329 chars / 0.47 distinct-token ratio vs 184 / 0.63.
+    // Oracled CROSS-ENGINE TO 6 DP through 12 rounds of amplifying
+    // float arithmetic by the same discipline as q_embed_pca: every
+    // data-dependent sum (the 4 gradient components per round) is an
+    // order-independent scaled-BIGINT micro-sum, every scalar update
+    // is the same association on both engines, and σ/exp are shared
+    // libm — so the weights, and hence every score, are bit-identical.
+    //
+    // Scale shape: features are derived ONCE (one corpus pass,
+    // checkpointed — a bounded (doc × 5) table); each GD round is ONE
+    // map-combined aggregate producing 4 BIGINTs (the irreducible
+    // full-batch traffic; at 100 TB the lever is mini-batch sampling,
+    // the same train-on-sample story as PCA/PQ). Scoring is a pure
+    // projection over the broadcast weights.
+    QueryDef(
+      "q_quality_train",
+      (s, dir) => {
+        val eta = 2.0
+        val rounds = 12
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        val ts = TextFns.tokens(col("text"))
+        val wc = size(ts)
+        val sw = size(filter(ts, t => t.isin(stop: _*)))
+        val raw = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(array_contains(ts, "join"), 1.0).otherwise(0.0).as("y"),
+            (col("n_chars") / 1000.0).as("x1"),
+            (size(array_distinct(ts)).cast("double") / wc).as("x2"),
+            (sw.cast("double") / wc).as("x3"))
+          .localCheckpoint() // moment pass + the standardized build
+        // features are z-SCORED before GD (raw scales differ by 10×,
+        // which starves the descent) — the moments come from the same
+        // exact micro-sum machinery as the gradients, so both engines
+        // standardize with bit-identical μ/σ
+        val st = raw.agg(
+          count(lit(1)).as("n"),
+          (1 to 3).flatMap(k => Seq(
+            sum(round(col(s"x$k") * 1e9).cast(LongType)).as(s"m$k"),
+            sum(round((col(s"x$k") * col(s"x$k")) * 1e9).cast(LongType))
+              .as(s"q$k"))): _*).head()
+        val nAll = st.getLong(0)
+        val mu = Array.tabulate(3) { k =>
+          (st.getLong(1 + 2 * k).toDouble / 1e9) / nAll
+        }
+        val sd = Array.tabulate(3) { k =>
+          math.sqrt((st.getLong(2 + 2 * k).toDouble / 1e9) / nAll -
+            mu(k) * mu(k))
+        }
+        val feats = raw.select(col("doc_id"), col("y"),
+            lit(1.0).as("x0"),
+            ((col("x1") - mu(0)) / sd(0)).as("x1"),
+            ((col("x2") - mu(1)) / sd(1)).as("x2"),
+            ((col("x3") - mu(2)) / sd(2)).as("x3"))
+          .localCheckpoint() // 12 GD rounds + the final scoring pass
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        def sig(z: org.apache.spark.sql.Column) =
+          lit(1.0) / (lit(1.0) + exp(-z))
+        def z(wv: Array[Double]) =
+          lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
+            lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
+        for (_ <- 1 to rounds) {
+          val g = feats.select(sig(z(w)).as("sg"), col("y"),
+              col("x0"), col("x1"), col("x2"), col("x3"))
+            .agg(count(lit(1)).as("n"),
+              (0 to 3).map(k =>
+                sum(round(((col("sg") - col("y")) * col(s"x$k")) * 1e9)
+                  .cast(org.apache.spark.sql.types.LongType))
+                  .as(s"g$k")): _*)
+            .head()
+          val n = g.getLong(0)
+          w = Array.tabulate(4)(k =>
+            w(k) - eta * ((g.getLong(k + 1).toDouble / 1e9) / n))
+        }
+        feats.select(col("doc_id"), col("y").cast(LongType).as("y"),
+            round(sig(z(w)), 6).as("score"),
+            (sig(z(w)) > 0.5).as("pred_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sigOf = (w: String) =>
+          s"1/(1+exp(-((($w.w0*f.x0 + $w.w1*f.x1) + $w.w2*f.x2) + $w.w3*f.x3)))"
+        val head =
+          """WITH fr AS MATERIALIZED (
+            |  SELECT doc_id,
+            |         CASE WHEN list_contains(ts, 'join')
+            |              THEN 1.0 ELSE 0.0 END AS y,
+            |         n_chars / 1000.0 AS x1,
+            |         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS x2,
+            |         CAST(len(list_filter(ts, t -> t IN
+            |           ('the','a','of','and','to','in','is')))
+            |           AS DOUBLE) / len(ts) AS x3
+            |  FROM (SELECT doc_id, n_chars,
+            |          string_split(lower(text), ' ') AS ts
+            |        FROM documents)),
+            |st AS MATERIALIZED (
+            |  SELECT count(*) AS n,
+            |         (CAST(CAST(sum(CAST(round(x1 * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS mu1,
+            |         (CAST(CAST(sum(CAST(round((x1 * x1) * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS qq1,
+            |         (CAST(CAST(sum(CAST(round(x2 * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS mu2,
+            |         (CAST(CAST(sum(CAST(round((x2 * x2) * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS qq2,
+            |         (CAST(CAST(sum(CAST(round(x3 * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS mu3,
+            |         (CAST(CAST(sum(CAST(round((x3 * x3) * 1e9) AS BIGINT)) AS BIGINT)
+            |            AS DOUBLE) / 1e9) / count(*) AS qq3
+            |  FROM fr),
+            |f AS MATERIALIZED (
+            |  SELECT doc_id, y, 1.0 AS x0,
+            |         (x1 - mu1) / sqrt(qq1 - mu1 * mu1) AS x1,
+            |         (x2 - mu2) / sqrt(qq2 - mu2 * mu2) AS x2,
+            |         (x3 - mu3) / sqrt(qq3 - mu3 * mu3) AS x3
+            |  FROM fr, st),
+            |w0 AS MATERIALIZED (
+            |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+        val roundCtes = (1 to 12).map { r =>
+          val gk = (0 to 3).map(k =>
+            s"""CAST(sum(CAST(round(((sg - y) * x$k) * 1e9) AS BIGINT))
+               |             AS BIGINT) AS s$k""".stripMargin).mkString(",\n           ")
+          s"""w$r AS MATERIALIZED (
+             |  SELECT w.w0 - 2.0 * ((CAST(g.s0 AS DOUBLE) / 1e9) / g.n) AS w0,
+             |         w.w1 - 2.0 * ((CAST(g.s1 AS DOUBLE) / 1e9) / g.n) AS w1,
+             |         w.w2 - 2.0 * ((CAST(g.s2 AS DOUBLE) / 1e9) / g.n) AS w2,
+             |         w.w3 - 2.0 * ((CAST(g.s3 AS DOUBLE) / 1e9) / g.n) AS w3
+             |  FROM w${r - 1} w, (
+             |    SELECT count(*) AS n,
+             |           $gk
+             |    FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+             |                 ${sigOf("w")} AS sg
+             |          FROM f, w${r - 1} w)) g)""".stripMargin
+        }
+        (head +: roundCtes).mkString(",\n") +
+          s"""
+             |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+             |       round(${sigOf("w")}, 6) AS score,
+             |       ${sigOf("w")} > 0.5 AS pred_hit
+             |FROM f, w12 w ORDER BY f.doc_id""".stripMargin
+      }
     )
   )
 }

@@ -226,4 +226,34 @@ class TextAnalysisSpec extends SparkSpec {
           math.log(v.toDouble))) < 1e-6, s"$src normalized entropy value")
     }
   }
+
+  test("quality train: classifier genuinely learns — separation, signal, replay") {
+    val rows = q("q_quality_train").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs.toInt, "one score per document")
+    assert(rows.forall(r => r._3 > 0.0 && r._3 < 1.0), "scores in (0,1)")
+    assert(rows.forall(r => r._2 == 0L || r._2 == 1L), "binary label")
+    assert(rows.forall(r => r._4 == (r._3 > 0.5)), "pred consistent with score")
+    // the trained scores must actually separate the classes — a
+    // degenerate fit (all scores at the base rate) fails here
+    val pos = rows.filter(_._2 == 1L).map(_._3)
+    val neg = rows.filter(_._2 == 0L).map(_._3)
+    assert(pos.nonEmpty && neg.nonEmpty, "both classes present")
+    val sep = pos.sum / pos.length - neg.sum / neg.length
+    assert(sep > 0.1, s"class separation $sep too small — GD learned nothing")
+    // the dominant signal is document length (w1 > 0): long docs must
+    // score higher than short ones
+    val byLen = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = rows.sortBy(r => byLen(r._1))
+    val q1 = sorted.take(rows.length / 4).map(_._3)
+    val q4 = sorted.takeRight(rows.length / 4).map(_._3)
+    assert(q4.sum / q4.length > q1.sum / q1.length + 0.05,
+      "longest-quartile docs must outscore the shortest quartile")
+    // fixed-round full-batch GD is deterministic
+    val again = q("q_quality_train").collect().map(_.getDouble(2))
+    assert(rows.map(_._3).toSeq == again.toSeq, "training must replay exactly")
+  }
 }
