@@ -373,6 +373,41 @@ object Aggregates {
           |FROM range(0, 20) t(bucket) CROSS JOIN bounds
           |LEFT JOIN counts c ON c.bucket = t.bucket
           |ORDER BY t.bucket""".stripMargin)
+    ),
+
+    // B19-adjacent — statistical MODE with a DETERMINISTIC tie-break
+    // (highest count, then lexicographically smallest value). Engines
+    // disagree on native mode() tie semantics (DuckDB's is
+    // unspecified), so the portable form is the count + per-group
+    // rank — one map-combined count shuffle sized by the value
+    // domain, then a window over the tiny (group × value) table,
+    // never over the fact table.
+    QueryDef(
+      "q_agg_mode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("n").desc, col("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY o_orderstatus
+          |    ORDER BY n DESC, o_orderpriority) AS rn
+          |  FROM c)
+          |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+          |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)
     )
   )
 }

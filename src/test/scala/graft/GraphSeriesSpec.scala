@@ -318,6 +318,61 @@ class GraphSeriesSpec extends SparkSpec {
       "at least one node must have been peeled away")
   }
 
+  test("bfs: distances equal the first-principles 4-round frontier expansion") {
+    val rows = q("q_graph_bfs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = op.groupBy(_._1).valuesIterator.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    // seed = max degree, min id tie-break (degree counts both directions)
+    val seed = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 4) {
+      val next = dist.toSeq.flatMap { case (n, d) =>
+        adj(n).map(_ -> (d + 1))
+      }
+      dist = (dist.toSeq ++ next).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(rows.toSeq == dist.toSeq.sortBy(_._1),
+      "BFS distances must equal the first-principles expansion")
+    assert(rows.map(_._2).max >= 1L, "frontier must actually expand")
+  }
+
+  test("jaccard: top-20 replays from first-principles neighbor sets") {
+    val rows = q("q_graph_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = op.groupBy(_._1).valuesIterator.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // edge-restricted by design: only co-purchased pairs are scored
+    val expect = (for {
+      (u, v) <- und.toSeq
+      c = (adj(u) & adj(v)).size if c >= 3
+    } yield (u, v, c.toLong,
+      round6(c.toDouble / (adj(u).size + adj(v).size - c))))
+      .sortBy { case (u, v, _, j) => (-j, u, v) }.take(20)
+    assert(rows.toSeq == expect,
+      "top-20 must equal the brute-force neighbor-set Jaccard")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0), "J in (0,1]")
+  }
+
   test("rolling quantile: per-series frames replay exactly ((n-1)q interpolation)") {
     val rows = q("q_ts_rolling_quantile").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),

@@ -157,6 +157,20 @@ class RelationalSpec extends SparkSpec {
       s"bloom pruned nothing: $passed of $total rows passed")
   }
 
+  test("mode: per-group argmax replays with the declared tie-break") {
+    val rows = q("q_agg_mode").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).map { case (st, g) =>
+      val best = g.sortBy { case (_, p, n) => (-n, p) }.head
+      (st, best._2, best._3)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, "mode must replay with (count desc, value asc)")
+    assert(rows.length == counts.map(_._1).distinct.length, "one mode per group")
+  }
+
   test("histogram: 20 buckets tile [lo,hi], counts replay from first principles") {
     val rows = q("q_agg_histogram").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
