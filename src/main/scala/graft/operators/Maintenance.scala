@@ -770,6 +770,56 @@ object Maintenance {
           |         CAST(0 AS BIGINT)
           |  FROM orders)
           |ORDER BY version""".stripMargin)
+    ),
+
+    // PARTITION-SPEC evolution (the Iceberg partition-evolution
+    // contract): the lake's early batches are partitioned by day; a
+    // later spec change ADDS event_type to the partitioning (finer
+    // pruning for the hot filter) WITHOUT rewriting old data — the
+    // only sane behavior at 100 TB, exactly like column evolution
+    // (q_schema_evolve). One query spans the boundary: against the new
+    // layout the event_type predicate prunes whole DIRECTORIES, while
+    // the old layout falls back to row-group filtering on the same
+    // predicate — both reads also day-prune. The day key is an int
+    // yyyymmdd so partition-value type inference is deterministic.
+    QueryDef(
+      "q_partition_evolve",
+      (s, dir) => {
+        val landing = graft.Staging.cached(
+          s"pevolve_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          val ev = Tables.events(s, dir)
+            .withColumn("day",
+              date_format(col("ts"), "yyyyMMdd").cast("int"))
+          val cut = lit("2024-01-16").cast("timestamp")
+          ev.filter(col("ts") < cut)
+            .write.partitionBy("day").parquet(s"$tgt/v1")
+          ev.filter(col("ts") >= cut)
+            .withColumn("etype", col("event_type"))
+            .write.partitionBy("day", "etype").parquet(s"$tgt/v2")
+        }
+        val (lo, hi) = (20240110, 20240120)
+        val a = s.read.parquet(s"$landing/v1")
+          .where(col("day") >= lo && col("day") <= hi &&
+            col("event_type") === "click")
+          .select(col("day"), col("value"))
+        val b = s.read.parquet(s"$landing/v2")
+          .where(col("day") >= lo && col("day") <= hi &&
+            col("etype") === "click")
+          .select(col("day"), col("value"))
+        a.unionAll(b).groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("day"))
+      },
+      Some(
+        """SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS day,
+          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events
+          |WHERE CAST(strftime(ts, '%Y%m%d') AS INTEGER)
+          |        BETWEEN 20240110 AND 20240120
+          |  AND event_type = 'click'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -575,6 +575,67 @@ object SeriesOps {
           |WINDOW w AS (PARTITION BY event_type ORDER BY hr
           |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
           |ORDER BY event_type, hr""".stripMargin)
+    ),
+
+    // Robust outlier detection via the modified z-score
+    // 0.6745·(x−median)/MAD (Iglewicz–Hoaglin, |rz| ≥ 3.5) — the
+    // MAD-based complement to q_ts_anomaly's rolling mean/σ: a level
+    // shift or heavy tail corrupts the mean-based z, while the median
+    // pair is 50%-breakdown robust. Both engines share the exact
+    // (n−1)·q interpolated median (integer counts → halves are exact
+    // doubles; |c−med| deviations are exact doubles → the second
+    // median is exact too), so the 6 dp hash compare holds.
+    //
+    // Scale shape: grid-first — two grid-sized aggregates (median,
+    // then MAD) and two grid-sized joins; nothing touches the fact
+    // table after the initial map-combined hourly count.
+    QueryDef(
+      "q_ts_outlier_mad",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // median + deviation paths share it
+        val med = hourly.groupBy(col("event_type"))
+          .agg(expr("percentile(c, 0.5)").as("med"))
+        val dev = hourly.join(med, "event_type")
+          .withColumn("dev", abs(col("c") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        val rz = round((lit(0.6745) * (col("c") - col("med"))) /
+          col("mad"), 6)
+        dev.join(mad, "event_type")
+          .select(col("event_type"), col("hr"), col("c").as("n_events"),
+            when(col("mad") > 0.0, rz).as("rz"))
+          .withColumn("is_outlier",
+            coalesce(abs(col("rz")) >= 3.5, lit(false)))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |med AS (
+          |  SELECT event_type, quantile_cont(c, 0.5) AS med
+          |  FROM hourly GROUP BY 1),
+          |dev AS (
+          |  SELECT h.event_type, h.hr, h.c, m.med,
+          |         abs(h.c - m.med) AS dev
+          |  FROM hourly h JOIN med m USING (event_type)),
+          |mad AS (
+          |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          |  FROM dev GROUP BY 1)
+          |SELECT d.event_type, d.hr, d.c AS n_events,
+          |       CASE WHEN m.mad > 0.0
+          |            THEN round((0.6745 * (d.c - d.med)) / m.mad, 6)
+          |       END AS rz,
+          |       coalesce(abs(CASE WHEN m.mad > 0.0
+          |            THEN round((0.6745 * (d.c - d.med)) / m.mad, 6)
+          |       END) >= 3.5, false) AS is_outlier
+          |FROM dev d JOIN mad m USING (event_type)
+          |ORDER BY d.event_type, d.hr""".stripMargin)
     )
   )
 }

@@ -373,6 +373,33 @@ class GraphSeriesSpec extends SparkSpec {
     assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0), "J in (0,1]")
   }
 
+  test("mad outliers: median/MAD replay, robust to what breaks the mean") {
+    val rows = q("q_ts_outlier_mad").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def qc(sorted: Array[Double], p: Double): Double = {
+      val h = (sorted.length - 1) * p
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= sorted.length) sorted(lo)
+      else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    rows.groupBy(_._1).foreach { case (et, series) =>
+      val cs = series.map(_._3.toDouble).sorted
+      val med = qc(cs, 0.5)
+      val mad = qc(series.map(v => math.abs(v._3 - med)).sorted.toArray, 0.5)
+      series.foreach { case (_, hr, c, rz, flag) =>
+        if (mad > 0.0) {
+          val expect = round6((0.6745 * (c - med)) / mad)
+          assert(rz.contains(expect), s"$et@$hr rz ${rz} != $expect")
+          assert(flag == (math.abs(expect) >= 3.5), s"$et@$hr flag")
+        } else assert(rz.isEmpty && !flag, s"$et@$hr degenerate MAD")
+      }
+    }
+  }
+
   test("rolling quantile: per-series frames replay exactly ((n-1)q interpolation)") {
     val rows = q("q_ts_rolling_quantile").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),

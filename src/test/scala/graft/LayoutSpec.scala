@@ -308,6 +308,28 @@ class LayoutSpec extends SparkSpec {
     assert(operators.Maintenance.vacuumTxnLog(copy2.toString, 0L).isEmpty)
   }
 
+  test("q_partition_evolve: new layout dir-prunes the hot filter, old layout row-filters") {
+    val rows = q("q_partition_evolve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // the day range spans the spec change on the 16th: both layouts
+    // must contribute
+    assert(rows.exists(_._1 < 20240116) && rows.exists(_._1 >= 20240116),
+      "result must span the partition-spec boundary")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // every day in range present (clicks occur daily at this volume)
+    assert(rows.length == 11, s"expected 11 days, got ${rows.length}")
+    // plan audit: the v2 scan prunes etype as a PARTITION filter; v1
+    // can only push it as a data filter
+    val p = q("q_partition_evolve").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), "scans must partition-prune")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("etype")),
+      s"evolved layout must prune event type at directory level:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("event_type")),
+      s"pre-evolution layout must push the same predicate to row groups:\n$p")
+  }
+
   test("q_snapshot_cdc: feed telescopes to the final snapshot; rewrites net to zero") {
     val rows = q("q_snapshot_cdc").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

@@ -97,7 +97,12 @@ class PlanAuditSpec extends SparkSpec {
                             // (grid-sized, both sides post-aggregation)
       "q_ts_seasonal",      // keys x broadcast hour spine (zero-fill,
                             // bounded by the TIME RANGE like interpolate)
-      "q_drift_psi")        // sources x broadcast 6-row bin spine
+      "q_drift_psi",        // sources x broadcast 6-row bin spine
+      "q_agg_histogram",    // fact x broadcast 1-row bounds; 20-row
+                            // bucket spine x the same bounds
+      "q_text_pmi",         // 1-row broadcast (corpus totals attach)
+      "q_snapshot_cdc")     // 1x1 per-commit insert/delete stat join
+                            // (manifest-sized, 4 commits)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
@@ -369,5 +374,45 @@ class PlanAuditSpec extends SparkSpec {
       s"triangle counting must never plan a nested-loop join:\n$p")
     assert(p.contains("array_intersect"),
       s"witness sets must come from the in-projection intersection:\n$p")
+  }
+
+  test("q_graph_jaccard: common counts in-projection, top-20 bounded") {
+    // the edge-restricted form: common-neighbor counts exist only
+    // inside array_intersect (a wedge shuffle OOM'd the 10× probe and
+    // was rejected); the top-20 never global-sorts
+    val p = plan("q_graph_jaccard")
+    assert(p.contains("array_intersect"),
+      s"common counts must come from the in-projection intersection:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_text_pmi: top-50 bounded, no global sort") {
+    val p = plan("q_text_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_embed_pca: the sample moment join broadcasts (no shuffle of products)") {
+    // the plan under audit is the scoring projection; the moment join
+    // runs eagerly at build time — audit it directly
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        col("xf").cast("double").as("xi"))
+    val j = e.join(broadcast(e.select(col("vec_id"), col("i").as("j"),
+      col("xi").as("xj"))), "vec_id")
+      .groupBy(col("i"), col("j")).count()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d² moment pass must broadcast the sample side:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"moment aggregate must map-combine:\n$p")
+  }
+
+  test("q_agg_histogram: one map-combined aggregate over the fact scan") {
+    val p = plan("q_agg_histogram")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bucket counts must partial-aggregate map-side:\n$p")
   }
 }
