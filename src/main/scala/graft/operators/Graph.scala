@@ -83,6 +83,62 @@ object Graph {
     s.read.parquet(path)
   }
 
+  /** s<k>/p<k> display form for the even/odd long bipartite node ids
+    * (applied in final projections only; ids stay long in hot loops). */
+  private def disp(c: org.apache.spark.sql.Column) =
+    when(c % 2 === 0, concat(lit("s"), (c / 2).cast("long")))
+      .otherwise(concat(lit("p"), ((c - 1) / 2).cast("long")))
+
+  /** 4 synchronous min-label-propagation rounds over the bipartite
+    * graph → (node, lbl) long pairs. Shared by q_graph_labelprop (the
+    * report) and q_graph_modularity (community quality). See
+    * q_graph_labelprop's Scaladoc for the per-round scale shape. */
+  private def labelPropLabels(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val rounds = 4
+    val edges = edgeList(s, dir).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val fromNbrs = edges
+        .join(labels.select(col("node").as("dst"),
+          col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nlbl")).as("minn"))
+      labels = labels.join(fromNbrs, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl")))
+            .as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The shared DuckDB CTE chain for the label propagation: `edges`
+    * (directed-both-ways long ids) through `l4` (node, lbl). Appended
+    * to by both labelprop oracles. */
+  private val LabelPropOracleCtes: String = {
+    val head =
+      """WITH pairs AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey * 2 AS sk, l_partkey * 2 + 1 AS pk
+        |  FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT sk AS src, pk AS dst FROM pairs
+        |  UNION ALL SELECT pk, sk FROM pairs),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val roundCtes = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |         least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
+         |  FROM l${i - 1} p
+         |  LEFT JOIN edges e ON e.src = p.node
+         |  LEFT JOIN l${i - 1} n ON n.node = e.dst
+         |  GROUP BY p.node, p.lbl)""".stripMargin
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // PageRank, 5 fixed iterations, damping 0.85. Emitted as
     // round(rank × |V|, 6) — the mean-normalized form (average 1.0)
@@ -188,58 +244,102 @@ object Graph {
     QueryDef(
       "q_graph_labelprop",
       (s, dir) => {
-        val rounds = 4
-        val edges = edgeList(s, dir).localCheckpoint()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("lbl", col("node")).localCheckpoint()
-        for (_ <- 1 to rounds) {
-          val fromNbrs = edges
-            .join(labels.select(col("node").as("dst"),
-              col("lbl").as("nlbl")), "dst")
-            .groupBy(col("src").as("node"))
-            .agg(min(col("nlbl")).as("minn"))
-          labels = labels.join(fromNbrs, Seq("node"), "left_outer")
-            .select(col("node"),
-              least(col("lbl"), coalesce(col("minn"), col("lbl")))
-                .as("lbl"))
-            .localCheckpoint()
-        }
-        // display form only in the final projection (ids stay long in
-        // the loop): s<k> for suppliers (even), p<k> for parts (odd)
-        def disp(c: org.apache.spark.sql.Column) =
-          when(c % 2 === 0, concat(lit("s"), (c / 2).cast("long")))
-            .otherwise(concat(lit("p"), ((c - 1) / 2).cast("long")))
+        val labels = labelPropLabels(s, dir)
         labels
           .select(disp(col("node")).as("node"), disp(col("lbl")).as("label"))
           .orderBy(col("node"))
       },
-      Some {
-        val head =
-          """WITH pairs AS MATERIALIZED (
-            |  SELECT DISTINCT l_suppkey * 2 AS sk, l_partkey * 2 + 1 AS pk
-            |  FROM lineitem),
-            |edges AS MATERIALIZED (
-            |  SELECT sk AS src, pk AS dst FROM pairs
-            |  UNION ALL SELECT pk, sk FROM pairs),
-            |l0 AS MATERIALIZED (
-            |  SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
-        val roundCtes = (1 to 4).map { i =>
-          s"""l$i AS MATERIALIZED (
-             |  SELECT p.node,
-             |         least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
-             |  FROM l${i - 1} p
-             |  LEFT JOIN edges e ON e.src = p.node
-             |  LEFT JOIN l${i - 1} n ON n.node = e.dst
-             |  GROUP BY p.node, p.lbl)""".stripMargin
-        }
-        (head +: roundCtes).mkString(",\n") +
-          """
-            |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
-            |            ELSE 'p' || ((node - 1) // 2) END AS node,
-            |       CASE WHEN lbl % 2 = 0 THEN 's' || (lbl // 2)
-            |            ELSE 'p' || ((lbl - 1) // 2) END AS label
-            |FROM l4 ORDER BY node""".stripMargin
-      }
+      Some(LabelPropOracleCtes +
+        """
+          |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)
+          |            ELSE 'p' || ((node - 1) // 2) END AS node,
+          |       CASE WHEN lbl % 2 = 0 THEN 's' || (lbl // 2)
+          |            ELSE 'p' || ((lbl - 1) // 2) END AS label
+          |FROM l4 ORDER BY node""".stripMargin)
+    ),
+
+    // Community QUALITY — per-community Newman modularity contribution
+    // I_c/m₂ − (D_c/m₂)² of the BRAND partition of the co-purchase
+    // graph ("are same-brand parts co-purchased more than chance?",
+    // the assortativity question behind recommendation cold-starts).
+    // Directed-edge form: m₂ = 2m directed rows, I_c counts each
+    // intra-community undirected edge twice — algebraically identical
+    // to L_c/m − (D_c/2m)². Every input (intra count, degree sum, m₂)
+    // is an exact integer and the contribution is ONE shared double
+    // expression, so the 6 dp compare is exact per community — no
+    // cross-community float sum is ever taken (per-community rows,
+    // bounded by the brand count). An attribute partition, not the
+    // labelprop one: min-label flood-fills this dense connected graph
+    // to a single community within 4 rounds, which scores trivially.
+    //
+    // Scale shape: the |V|-row label table joins the edge list twice
+    // (src, dst) — one |E| shuffle each, the same traffic class as a
+    // propagation round; degree/count aggregates map-combine.
+    QueryDef(
+      "q_graph_modularity",
+      (s, dir) => {
+        val und = coPurchaseEdges(s, dir)
+        val edges = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+          .localCheckpoint()
+        val labels = Tables.part(s, dir)
+          .select(col("p_partkey").cast("long").as("node"),
+            col("p_brand").as("lbl"))
+        val m2 = edges.count()
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d"))
+        val dc = labels.join(deg, "node")
+          .groupBy(col("lbl"))
+          .agg(sum(col("d")).as("dsum"), count(lit(1)).as("n_nodes"))
+        val ic = edges
+          .join(labels.select(col("node").as("src"),
+            col("lbl").as("la")), "src")
+          .join(labels.select(col("node").as("dst"),
+            col("lbl").as("lb")), "dst")
+          .where(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl"))
+          .agg(count(lit(1)).as("intra"))
+        dc.join(ic, Seq("lbl"), "left_outer")
+          .select(col("lbl").as("community"), col("n_nodes"),
+            coalesce(col("intra"), lit(0L)).as("intra_edges"),
+            col("dsum").as("total_degree"),
+            round((coalesce(col("intra"), lit(0L)).cast("double") / m2) -
+              ((col("dsum").cast("double") / m2) *
+                (col("dsum").cast("double") / m2)), 6).as("q_contrib"))
+          .orderBy(col("community"))
+      },
+      Some(
+        """WITH op AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |eu AS MATERIALIZED (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |e0 AS MATERIALIZED (
+          |  SELECT u AS src, v AS dst FROM eu
+          |  UNION ALL SELECT v, u FROM eu),
+          |lab AS MATERIALIZED (
+          |  SELECT p_partkey AS node, p_brand AS lbl FROM part),
+          |m2 AS (SELECT count(*) AS m2 FROM e0),
+          |deg AS (SELECT src AS node, count(*) AS d FROM e0 GROUP BY 1),
+          |dc AS (
+          |  SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS dsum,
+          |         count(*) AS n_nodes
+          |  FROM lab l JOIN deg d USING (node) GROUP BY l.lbl),
+          |ic AS (
+          |  SELECT la.lbl, count(*) AS intra
+          |  FROM e0 e
+          |  JOIN lab la ON la.node = e.src
+          |  JOIN lab lb ON lb.node = e.dst AND lb.lbl = la.lbl
+          |  GROUP BY la.lbl)
+          |SELECT dc.lbl AS community,
+          |       dc.n_nodes,
+          |       coalesce(ic.intra, 0) AS intra_edges,
+          |       dc.dsum AS total_degree,
+          |       round((CAST(coalesce(ic.intra, 0) AS DOUBLE) / m2.m2) -
+          |         ((CAST(dc.dsum AS DOUBLE) / m2.m2) *
+          |          (CAST(dc.dsum AS DOUBLE) / m2.m2)), 6) AS q_contrib
+          |FROM dc LEFT JOIN ic USING (lbl), m2
+          |ORDER BY community""".stripMargin)
     ),
 
     // Triangle counting over the part co-purchase graph (edge = two
@@ -509,6 +609,9 @@ object Graph {
       "q_graph_jaccard",
       (s, dir) => {
         val und = coPurchaseEdges(s, dir)
+        // adjacency built in-session (measured: reading it back as a
+        // staged array-column parquet costs MORE than the rebuild —
+        // array decode dominates; the staged form loses ~1 s/run)
         val adj = und.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
           .groupBy(col("src"))

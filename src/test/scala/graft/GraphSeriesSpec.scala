@@ -373,6 +373,42 @@ class GraphSeriesSpec extends SparkSpec {
     assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0), "J in (0,1]")
   }
 
+  test("modularity: per-brand contributions replay from first principles") {
+    val rows = q("q_graph_modularity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length > 1, "brand partition must have several communities")
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = op.groupBy(_._1).valuesIterator.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val dirEdges = und.toSeq ++ und.toSeq.map(e => (e._2, e._1))
+    val brand = sources.Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = dirEdges.length.toLong
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = dirEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = brand.values.toSeq.distinct.sorted.map { b =>
+      val nodes = brand.collect { case (n, bb) if bb == b && deg.contains(n) => n }.toSet
+      val dsum = nodes.toSeq.map(deg).sum
+      val intra = dirEdges.count(e => brand.get(e._1).contains(b) &&
+        brand.get(e._2).contains(b)).toLong
+      (b, nodes.size.toLong, intra, dsum,
+        round6((intra.toDouble / m2) -
+          ((dsum.toDouble / m2) * (dsum.toDouble / m2))))
+    }
+    assert(rows.toSeq == expect, "modularity table must replay exactly")
+    // total modularity is a proper score in [-1, 1]
+    val totalQ = rows.map(_._5).sum
+    assert(totalQ >= -1.0 && totalQ <= 1.0,
+      s"total modularity $totalQ out of range")
+  }
+
   test("mad outliers: median/MAD replay, robust to what breaks the mean") {
     val rows = q("q_ts_outlier_mad").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
