@@ -543,19 +543,30 @@ object Graph {
         val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
           .orderBy(col("d").desc, col("src")).limit(1)
           .head().getLong(0)
-        var dist = s.range(1)
+        // FRONTIER-only expansion: each round joins the edges against
+        // the newly-reached layer, not the whole distance table — on a
+        // dense graph the reached set saturates by round 2 and the
+        // naive reached×edges join re-shuffles everything every round
+        // (measured 3.6 s → 3.1 s at sf0.1; the win grows with the
+        // graph since saturated rounds ship an EMPTY frontier).
+        // Unweighted BFS layers ≡ the min-merge, so the oracle's
+        // min-merge unroll is unchanged.
+        var reached = s.range(1)
           .select(lit(seed).as("node"), lit(0L).as("dist"))
           .localCheckpoint()
-        for (_ <- 1 to rounds) {
-          val next = edges
-            .join(dist.select(col("node").as("src"),
-              col("dist").as("pd")), "src")
-            .select(col("dst").as("node"), (col("pd") + 1).as("dist"))
-          dist = dist.unionAll(next)
-            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        var frontier = reached
+        for (r <- 1 to rounds) {
+          val cand = edges
+            .join(frontier.select(col("node").as("src")), "src")
+            .select(col("dst").as("node")).distinct()
+          val newf = cand
+            .join(reached.select(col("node")), Seq("node"), "left_anti")
+            .withColumn("dist", lit(r.toLong))
             .localCheckpoint()
+          reached = reached.unionAll(newf).localCheckpoint()
+          frontier = newf
         }
-        dist.select(col("node").as("part"), col("dist"))
+        reached.select(col("node").as("part"), col("dist"))
           .orderBy(col("part"))
       },
       Some {
