@@ -878,6 +878,93 @@ object TextAnalysis {
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
     ),
 
+    // North star — log-likelihood-ratio collocations (Dunning's G²):
+    // the statistically-sound complement to q_text_pmi (PMI over-ranks
+    // rare pairs; G² weights evidence by volume, the standard fix).
+    // Per bigram (w1 w2) the 2×2 contingency table k11..k22 comes from
+    // exact integer prefix/suffix counts, and G² = 2·Σ k·ln(k·N/(r·c))
+    // is four CASE-guarded terms summed in one fixed-order expression
+    // shared by both engines — rounded-before-rank top-50.
+    //
+    // Scale shape: identical to PMI — one explode into the
+    // map-combined bigram count, prefix/suffix counts are
+    // vocabulary-sized aggregates OF that table (no second corpus
+    // pass), min-count filter before the joins, TakeOrderedAndProject.
+    QueryDef(
+      "q_text_llr",
+      (s, dir) => {
+        val bc = Tables.documents(s, dir)
+          .select(explode(graft.functions.WordNgrams(col("text"), 2))
+            .as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+          .localCheckpoint() // feeds prefix, suffix, total and the scan
+        val pre = bc
+          .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+          .agg(sum(col("c12")).as("r1"))
+        val suf = bc
+          .groupBy(split(col("bigram"), " ").getItem(1).as("w2"))
+          .agg(sum(col("c12")).as("c1"))
+        val nb = bc.agg(sum(col("c12")).as("nb"))
+        def term(k: org.apache.spark.sql.Column,
+                 r: org.apache.spark.sql.Column,
+                 c: org.apache.spark.sql.Column) =
+          when(k > 0, k.cast("double") *
+            log((k.cast("double") * col("nb")) /
+              (r.cast("double") * c))).otherwise(lit(0.0))
+        bc.where(col("c12") >= 5)
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("w2", split(col("bigram"), " ").getItem(1))
+          .join(pre, "w1").join(suf, "w2")
+          .crossJoin(broadcast(nb))
+          .select(col("bigram"), col("c12").as("n"),
+            round(lit(2.0) * (
+              term(col("c12"), col("r1"), col("c1")) +
+                term(col("r1") - col("c12"), col("r1"),
+                  col("nb") - col("c1")) +
+                term(col("c1") - col("c12"), col("nb") - col("r1"),
+                  col("c1")) +
+                term(col("nb") - col("r1") - col("c1") + col("c12"),
+                  col("nb") - col("r1"), col("nb") - col("c1"))), 6)
+              .as("g2"))
+          .orderBy(col("g2").desc, col("bigram")).limit(50)
+      },
+      Some {
+        def term(k: String, r: String, c: String) =
+          s"""CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) *
+             |  ln((CAST($k AS DOUBLE) * nb) / (CAST($r AS DOUBLE) * ($c)))
+             |  ELSE 0.0 END""".stripMargin
+        s"""WITH bc AS MATERIALIZED (
+           |  SELECT bigram, count(*) AS c12
+           |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+           |          i -> ts[i] || ' ' || ts[i+1])) AS bigram
+           |        FROM (SELECT string_split(lower(text), ' ') AS ts
+           |              FROM documents)
+           |        WHERE len(ts) >= 2)
+           |  GROUP BY bigram),
+           |pre AS (
+           |  SELECT string_split(bigram, ' ')[1] AS w1,
+           |         CAST(sum(c12) AS BIGINT) AS r1
+           |  FROM bc GROUP BY 1),
+           |suf AS (
+           |  SELECT string_split(bigram, ' ')[2] AS w2,
+           |         CAST(sum(c12) AS BIGINT) AS c1
+           |  FROM bc GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bc)
+           |SELECT bigram, c12 AS n,
+           |       round(2.0 * (
+           |         ${term("c12", "r1", "c1")} +
+           |         ${term("(r1 - c12)", "r1", "nb - c1")} +
+           |         ${term("(c1 - c12)", "(nb - r1)", "c1")} +
+           |         ${term("(nb - r1 - c1 + c12)", "(nb - r1)",
+          "nb - c1")}), 6) AS g2
+           |FROM bc
+           |JOIN pre ON pre.w1 = string_split(bigram, ' ')[1]
+           |JOIN suf ON suf.w2 = string_split(bigram, ' ')[2], tot
+           |WHERE c12 >= 5
+           |ORDER BY g2 DESC, bigram LIMIT 50""".stripMargin
+      }
+    ),
+
     // North star — PMI collocation mining: the top-50 bigrams by
     // pointwise mutual information ln(p(xy) / (p(x)·p(y))) among
     // bigrams seen ≥ 5 times. The collocation pass a pipeline runs to

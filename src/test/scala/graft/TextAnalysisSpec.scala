@@ -193,6 +193,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head._3 > 0, "strongest collocation must be positive")
   }
 
+  test("llr: top-50 G² replays from contingency counts; evidence-weighted vs PMI") {
+    val rows = q("q_text_llr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 50)
+    assert(rows.forall(_._2 >= 5), "min bigram count 5")
+    assert(rows.forall(_._3 >= 0.0), "G² is non-negative")
+    // replay from first-principles bigram prefix/suffix counts
+    val texts = sources.Tables.documents(spark, sf)
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val bi = new scala.collection.mutable.HashMap[(String, String), Long]()
+    texts.foreach { t =>
+      val ts = t.split(" ", -1)
+      if (ts.length >= 2) ts.sliding(2).foreach { p =>
+        bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val pre = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val suf = bi.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nb = bi.values.sum
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(k: Long, r: Long, c: Long): Double =
+      if (k > 0) k.toDouble * math.log((k.toDouble * nb) / (r.toDouble * c))
+      else 0.0
+    rows.foreach { case (bg, n, g2) =>
+      val Array(w1, w2) = bg.split(" ", 2)
+      assert(bi((w1, w2)) == n, s"count for '$bg'")
+      val (r1, c1) = (pre(w1), suf(w2))
+      val expect = round6(2.0 * (term(n, r1, c1) +
+        term(r1 - n, r1, nb - c1) + term(c1 - n, nb - r1, c1) +
+        term(nb - r1 - c1 + n, nb - r1, nb - c1)))
+      assert(math.abs(g2 - expect) < 1e-6, s"G² for '$bg': $g2 != $expect")
+    }
+    rows.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+        "descending rounded-G² order with bigram tie-break")
+    }
+  }
+
   test("entropy: per-source H replays and the normalized form is in [0,1]") {
     val rows = q("q_text_entropy").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
