@@ -101,6 +101,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_agg_histogram",    // fact x broadcast 1-row bounds; 20-row
                             // bucket spine x the same bounds
       "q_text_pmi",         // 1-row broadcast (corpus totals attach)
+      "q_text_llr",         // 1-row broadcast (bigram total attach)
       "q_snapshot_cdc")     // 1x1 per-commit insert/delete stat join
                             // (manifest-sized, 4 commits)
     Registry.all.foreach { qd =>
