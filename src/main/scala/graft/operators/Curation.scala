@@ -705,6 +705,70 @@ object Curation {
           |       round(sum(term9) / 1000000000.0, 6) AS psi,
           |       round(sum(term9) / 1000000000.0, 6) >= 0.1 AS drifted
           |FROM terms GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Budget-constrained selection: each source contributes its
+    // HIGHEST-QUALITY documents up to a fixed per-source token budget
+    // (800, sized to genuinely prune at every SF) — the "best data under a compute budget" curation pass
+    // (quality-pruned corpora beat full corpora at equal token count).
+    // Rank = the ROUNDED quality score (rounded-before-rank) with
+    // doc_id tie-break, selection = running token cumsum ≤ budget.
+    //
+    // Scale shape: one corpus pass derives tokens + score; one window
+    // per SOURCE partition (never a global window) computes the
+    // running cumsum in rank order; the filter is per-row. At 100 TB
+    // sources are many and independent — the partition count IS the
+    // parallelism.
+    QueryDef(
+      "q_select_budget",
+      (s, dir) => {
+        val budget = 800L
+        val ts = TextFns.tokens(col("text"))
+        val stop = size(filter(ts,
+          t => t.isin("the", "and", "of", "to", "in", "is")))
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(ts).cast(LongType).as("n_tokens"),
+            round(
+              lit(0.4) * (stop.cast(DoubleType) / size(ts)) +
+                lit(0.3) * (size(array_distinct(ts)).cast(DoubleType) /
+                  size(ts)) +
+                lit(0.3) * least(lit(1.0),
+                  col("n_chars").cast(DoubleType) / 500.0), 6)
+              .as("q"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .where(col("cum_tokens") <= budget)
+          .select(col("source"), col("doc_id"), col("q"),
+            col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some(
+        """WITH scored AS (
+          |  SELECT doc_id, source, len(ts) AS n_tokens,
+          |         round(0.4 * (CAST(len(list_filter(ts, t -> t IN
+          |                 ('the','and','of','to','in','is')))
+          |               AS DOUBLE) / len(ts))
+          |             + 0.3 * (CAST(len(list_distinct(ts)) AS DOUBLE)
+          |                 / len(ts))
+          |             + 0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0),
+          |           6) AS q
+          |  FROM (SELECT doc_id, source, n_chars,
+          |          string_split(lower(text), ' ') AS ts
+          |        FROM documents)),
+          |ranked AS (
+          |  SELECT source, doc_id, q, n_tokens,
+          |         CAST(sum(n_tokens) OVER (
+          |           PARTITION BY source ORDER BY q DESC, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS BIGINT) AS cum_tokens
+          |  FROM scored)
+          |SELECT source, doc_id, q, n_tokens, cum_tokens
+          |FROM ranked WHERE cum_tokens <= 800
+          |ORDER BY source, cum_tokens""".stripMargin)
     )
   )
 }

@@ -219,4 +219,35 @@ class CurationSpec extends SparkSpec {
         s"$tpe sampled $sampled, want ~$target")
     }
   }
+
+  test("budget selection: greedy-by-quality prefix per source, budget binds") {
+    val rows = q("q_select_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(rows.length < nDocs, "the budget must actually prune")
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sel = g.sortBy(_._5)
+      // cumsum consistent and within budget
+      var cum = 0L
+      sel.foreach { case (_, _, _, nt, ct) =>
+        cum += nt
+        assert(ct == cum, s"$src cumsum mismatch")
+        assert(ct <= 800L, s"$src over budget")
+      }
+      // the selected rows form one contiguous rank-prefix: their token
+      // counts sum exactly to the last cumsum (no gaps in the window)
+      assert(sel.map(_._4).sum == sel.last._5, "prefix property")
+    }
+    // quality ordering within each source: q non-increasing along the
+    // selection order
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val qs = g.sortBy(_._5).map(_._3)
+      qs.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0) >= w(1), s"$src selection not in quality order")
+      }
+    }
+  }
 }

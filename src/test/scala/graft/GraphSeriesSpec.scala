@@ -346,6 +346,51 @@ class GraphSeriesSpec extends SparkSpec {
     assert(rows.map(_._2).max >= 1L, "frontier must actually expand")
   }
 
+  test("sssp: weighted distances equal first-principles 4-round Bellman-Ford") {
+    val rows = q("q_graph_sssp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shared = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    op.groupBy(_._1).valuesIterator.foreach { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b)
+        shared((a, b)) = shared.getOrElse((a, b), 0L) + 1
+    }
+    val edges = shared.toSeq.flatMap { case ((u, v), c) =>
+      val w = 11L - math.min(c, 10L)
+      Seq((u, v, w), (v, u, w))
+    }
+    val adj = edges.groupBy(_._1)
+    val seed = adj.map { case (n, es) => (n, es.size) }.toSeq
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = dist.toSeq.flatMap { case (n, d) =>
+        adj.getOrElse(n, Nil).map(e => e._2 -> (d + e._3))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(rows.toSeq == dist.toSeq.sortBy(_._1),
+      "SSSP must equal the first-principles relaxation")
+    // weights genuinely matter: some node's weighted distance must
+    // exceed its hop count (cost > 1 on its cheapest path)
+    val hops = {
+      var h = Map(seed -> 0L)
+      for (_ <- 1 to 4) {
+        val nx = h.toSeq.flatMap { case (n, d) =>
+          adj.getOrElse(n, Nil).map(e => e._2 -> (d + 1)) }
+        h = (h.toSeq ++ nx).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      h
+    }
+    assert(dist.exists { case (n, d) => d > hops(n) },
+      "weighted distances collapsed to hop counts — weights inert")
+  }
+
   test("jaccard: top-20 replays from first-principles neighbor sets") {
     val rows = q("q_graph_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
