@@ -614,6 +614,47 @@ object Multimodal {
           |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin)
     ),
 
+    // B49(h) — binary PROTOCOL PARSING with pure Catalyst expressions:
+    // the PNG signature + IHDR chunk (width, height, bit depth, color
+    // type) decoded from the real staged image bytes with substring/
+    // hex/conv — no UDF, no codec, fully codegen'd. This is the
+    // metadata-sniff pass a media lake runs on EVERY object before
+    // deciding whether to decode it at all (decode costs 100× the
+    // header read); at 100 TB it must stay a projection, which is
+    // exactly what expression-level parsing gives. Oracled against the
+    // corpus generation arithmetic (the staged ground truth).
+    QueryDef(
+      "q_multimodal_header",
+      (s, dir) => {
+        val pngDir = pngCorpus(s, dir)
+        def be(off: Int, len: Int) =
+          conv(hex(substring(col("content"), off, len)), 16, 10)
+            .cast(LongType)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(pngDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .select(col("doc_id"),
+            (substring(col("content"), 2, 3).cast("string") === "PNG")
+              .as("sig_ok"),
+            be(17, 4).as("width"),
+            be(21, 4).as("height"),
+            be(25, 1).as("bit_depth"),
+            be(26, 1).as("color_type"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, true AS sig_ok,
+          |       16 + doc_id % 48 AS width,
+          |       16 + doc_id % 37 AS height,
+          |       CAST(8 AS BIGINT) AS bit_depth,
+          |       CAST(2 AS BIGINT) AS color_type
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // B49(g) × B46 — PERCEPTUAL image dedup: a real 64-bit average-hash
     // (decode → 8×8 block means → above-mean bit per block) over a
     // staged gradient-PNG corpus (1-in-5 document slice; block grays

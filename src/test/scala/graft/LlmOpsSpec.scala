@@ -517,6 +517,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length > 1, "hashes are not all equal")
   }
 
+  test("header parse: pure-expression plan (no object kernels), fields match generation") {
+    import operators.Multimodal
+    val df = q("q_multimodal_header")
+    // the whole point: header sniffing stays a codegen'd projection —
+    // no typed mapPartitions / object serialization in the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"header parse must be expression-only:\n$p")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ok, w, h, bd, ct) =>
+      val (ew, eh, _) = Multimodal.imageParams(id)
+      assert(ok, s"doc $id signature")
+      assert(w == ew && h == eh, s"doc $id geometry from IHDR")
+      assert(bd == 8L && ct == 2L, s"doc $id depth/color")
+    }
+  }
+
   test("pca: projection is centered, its variance attains the reported eigenvalue") {
     val rows = q("q_embed_pca").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
