@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -575,6 +575,96 @@ object SeriesOps {
           |WINDOW w AS (PARTITION BY event_type ORDER BY hr
           |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
           |ORDER BY event_type, hr""".stripMargin)
+    ),
+
+    // Lag autocorrelation (the ACF diagnostic behind every seasonality
+    // decision — q_ts_seasonal ASSUMES a 24 h cycle; this measures it):
+    // lag-ℓ Pearson autocorrelation of the zero-filled hourly count
+    // series for ℓ ∈ {1,2,3,6,12,24}, estimated as the correlation of
+    // the series with its ℓ-shifted self over the overlapping window.
+    // The q_ts_corr_matrix discipline verbatim: all five sums stay
+    // exact integers and ONE shared cross-product formula
+    // (n·Sxy−SxSy)/√((n·Sxx−Sx²)(n·Syy−Sy²)) produces the double, so
+    // the 6 dp compare is exact. The lag join aligns on an integer
+    // hour INDEX (epoch-hour offset — exact double division under
+    // 2⁵³, cast back to BIGINT on both engines), so a silently
+    // missing grid hour cannot misalign a lag.
+    //
+    // Scale shape: grid-first; the 6-row lag spec explodes against the
+    // grid (≤ 6×grid rows) and self-joins on (series, idx) — work is
+    // grid-sized, never event-sized.
+    QueryDef(
+      "q_ts_autocorr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val lo = hourly.agg(min(col("hr"))).head().getTimestamp(0)
+        val loMicros = lo.getTime * 1000L
+        val grid = hourly.select(col("event_type")).distinct()
+          .crossJoin(hourly.select(col("hr")).distinct())
+        val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"),
+            ((unix_micros(col("hr")) - lit(loMicros)) / lit(3600000000L))
+              .cast(LongType).as("idx"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .localCheckpoint() // both sides of every lag join
+        val lags = Seq(1, 2, 3, 6, 12, 24)
+        val a = dense.withColumn("lag", explode(typedLit(lags)))
+          .withColumn("lag", col("lag").cast(LongType))
+        val b = dense.select(col("event_type"),
+          col("idx").as("idx_b"), col("c").as("cb"))
+        val agg = a.join(b,
+            a("event_type") === b("event_type") &&
+              col("idx_b") === col("idx") + col("lag"))
+          .groupBy(a("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c")).as("sx"), sum(col("cb")).as("sy"),
+            sum(col("c") * col("cb")).as("sxy"),
+            sum(col("c") * col("c")).as("sxx"),
+            sum(col("cb") * col("cb")).as("syy"))
+        agg.select(a("event_type"), col("lag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType) *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast(DoubleType)), 6).as("acf"))
+          .orderBy(a("event_type"), col("lag"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |b0 AS (SELECT min(hr) AS lo FROM hourly),
+          |grid AS (
+          |  SELECT t.event_type, h.hr
+          |  FROM (SELECT DISTINCT event_type FROM hourly) t
+          |  CROSS JOIN (SELECT DISTINCT hr FROM hourly) h),
+          |dense AS (
+          |  SELECT g.event_type,
+          |         CAST((epoch_us(g.hr) - epoch_us(b0.lo)) / 3600000000
+          |           AS BIGINT) AS idx,
+          |         coalesce(c, 0) AS c
+          |  FROM grid g LEFT JOIN hourly USING (event_type, hr), b0),
+          |lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+          |agg AS (
+          |  SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+          |         count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+          |         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx,
+          |         sum(b.c * b.c) AS syy
+          |  FROM dense a CROSS JOIN lags l
+          |  JOIN dense b ON b.event_type = a.event_type
+          |    AND b.idx = a.idx + l.lag
+          |  GROUP BY 1, 2)
+          |SELECT event_type, lag, n,
+          |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+          |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+          |FROM agg ORDER BY event_type, lag""".stripMargin)
     ),
 
     // Robust outlier detection via the modified z-score

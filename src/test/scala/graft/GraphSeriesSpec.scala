@@ -454,6 +454,44 @@ class GraphSeriesSpec extends SparkSpec {
       s"total modularity $totalQ out of range")
   }
 
+  test("autocorr: per-lag ACF replays from the zero-filled grid") {
+    val rows = q("q_ts_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lags = Seq(1L, 2L, 3L, 6L, 12L, 24L)
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * lags.length, "types × lags rows")
+    assert(rows.forall(r => math.abs(r._4) <= 1.0), "ACF in [-1,1]")
+    // zero-filled grid over the OBSERVED hour set, aligned by the
+    // true epoch-hour index (a missing grid hour yields no pair —
+    // exactly what the query's integer-index join guarantees)
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val lo = ev.map(_._2).min
+    val idxOf = (h: Long) => (h - lo) / 3600000L
+    val observed = ev.map(e => idxOf(e._2)).distinct.sorted
+    def series(t: String): Map[Long, Long] = {
+      val byIdx = ev.filter(_._1 == t).groupBy(e => idxOf(e._2))
+        .view.mapValues(_.length.toLong).toMap
+      observed.map(i => i -> byIdx.getOrElse(i, 0L)).toMap
+    }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (t, lag, n, acf) =>
+      val xs = series(t)
+      val pairs = observed.filter(i => xs.contains(i + lag))
+        .map(i => (xs(i), xs(i + lag)))
+      assert(n == pairs.length.toLong, s"$t lag $lag pair count")
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val expect = round6((n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+      assert(math.abs(acf - expect) < 1e-9, s"$t lag $lag: $acf != $expect")
+    }
+  }
+
   test("mad outliers: median/MAD replay, robust to what breaks the mean") {
     val rows = q("q_ts_outlier_mad").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
