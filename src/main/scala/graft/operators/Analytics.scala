@@ -579,6 +579,90 @@ object Analytics {
           |       CAST(sum(ov) AS BIGINT) AS total_overlap_us,
           |       max(ov) AS max_overlap_us
           |FROM hits GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // TPC-H Q1 (pricing summary report) — the canonical warehouse
+    // query, included verbatim-semantics so a reference user's
+    // standard analytics run unchanged. The money columns use the
+    // EXACT-CENTS discipline (per-line amounts rounded to cents, then
+    // summed as BIGINTs): order-independent, so the hash compare
+    // doesn't ride on float-summation luck at any scale — the same
+    // fix the snapshot/CDC family uses. One map-combined aggregate
+    // over the filtered scan (predicate pushed to parquet).
+    QueryDef(
+      "q_tpch_q1",
+      (s, dir) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          sum(round(c * 100).cast(org.apache.spark.sql.types.LongType))
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val charge = (col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax"))
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            cents(col("l_quantity")).as("sum_qty_c"),
+            cents(col("l_extendedprice")).as("sum_base_c"),
+            cents(disc).as("sum_disc_c"),
+            cents(charge).as("sum_charge_c"),
+            count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty_c"), col("sum_base_c"), col("sum_disc_c"),
+            col("sum_charge_c"),
+            round((col("sum_qty_c").cast("double") / 100) /
+              col("count_order"), 6).as("avg_qty"),
+            round((col("sum_base_c").cast("double") / 100) /
+              col("count_order"), 6).as("avg_price"),
+            col("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_qty_c,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_base_c,
+          |  CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100)
+          |    AS BIGINT)) AS BIGINT) AS sum_disc_c,
+          |  CAST(sum(CAST(round(((l_extendedprice * (1.0 - l_discount))
+          |    * (1.0 + l_tax)) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+          |  round((CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+          |    AS BIGINT) AS DOUBLE) / 100) / count(*), 6) AS avg_qty,
+          |  round((CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |    AS BIGINT) AS DOUBLE) / 100) / count(*), 6) AS avg_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // TPC-H Q6 (forecasting revenue change) — the canonical
+    // scan-filter-aggregate: one pushed-down filtered scan, one
+    // map-combined global sum; revenue in exact cents like Q1.
+    QueryDef(
+      "q_tpch_q6",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            sum(round((col("l_extendedprice") * col("l_discount")) * 100)
+              .cast(org.apache.spark.sql.types.LongType))
+              .as("revenue_c"),
+            count(lit(1)).as("n"))
+      },
+      Some(
+        """SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100)
+          |         AS BIGINT)) AS BIGINT) AS revenue_c,
+          |       count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin)
     )
   )
 }

@@ -157,6 +157,36 @@ class RelationalSpec extends SparkSpec {
       s"bloom pruned nothing: $passed of $total rows passed")
   }
 
+  test("tpch q1/q6: groups partition the filtered scan; cents replay exactly") {
+    val q1 = q("q_tpch_q1").collect()
+    assert(q1.nonEmpty)
+    val li = sources.Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    assert(q1.map(_.getLong(8)).sum == li.count(),
+      "Q1 groups must partition the filtered lineitem")
+    // exact-cents columns recompute from a driver-side fold
+    val rows = li.select(col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax")).collect()
+    val byG = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    q1.foreach { r =>
+      val g = byG((r.getString(0), r.getString(1)))
+      def cents(f: org.apache.spark.sql.Row => Double) =
+        g.map(x => BigDecimal(f(x) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      assert(r.getLong(2) == cents(_.getDouble(2)), "sum_qty_c")
+      assert(r.getLong(3) == cents(_.getDouble(3)), "sum_base_c")
+      assert(r.getLong(4) == cents(x =>
+        x.getDouble(3) * (1.0 - x.getDouble(4))), "sum_disc_c")
+      assert(r.getLong(5) == cents(x =>
+        (x.getDouble(3) * (1.0 - x.getDouble(4))) *
+          (1.0 + x.getDouble(5))), "sum_charge_c")
+    }
+    val q6 = q("q_tpch_q6").collect().head
+    assert(q6.getLong(1) > 0, "Q6 predicate must select rows")
+    assert(q6.getLong(0) > 0, "Q6 revenue positive")
+  }
+
   test("mode: per-group argmax replays with the declared tie-break") {
     val rows = q("q_agg_mode").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
