@@ -581,6 +581,55 @@ object Analytics {
           |FROM hits GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Event TRANSITION MATRIX (the Markov/Sankey view of user flows —
+    // q_funnel checks ONE fixed sequence; this measures every
+    // adjacent-pair flow): per-user event streams ordered by the total
+    // order (ts, event_id), each adjacent pair counted into a
+    // (from, to) matrix with the row-conditional transition
+    // probability. Counts are exact integers; the probability is one
+    // shared division, rounded 6 dp.
+    //
+    // Scale shape: ONE user_id exchange feeds the lag window (per-user
+    // partitions, never global); the matrix aggregate is map-combined
+    // to |types|² rows; the row totals attach by a window over that
+    // tiny matrix, not the fact table.
+    QueryDef(
+      "q_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("to_type"))
+          .withColumn("from_type", lag(col("to_type"), 1).over(w))
+          .where(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wr = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("row_total", sum(col("n")).over(wr))
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("row_total"), 6)
+              .as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some(
+        """WITH seq AS (
+          |  SELECT event_type AS to_type,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS from_type
+          |  FROM events),
+          |m AS (
+          |  SELECT from_type, to_type, count(*) AS n
+          |  FROM seq WHERE from_type IS NOT NULL
+          |  GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       round(CAST(n AS DOUBLE) /
+          |         sum(n) OVER (PARTITION BY from_type), 6) AS p
+          |FROM m ORDER BY from_type, to_type""".stripMargin)
+    ),
+
     // TPC-H Q1 (pricing summary report) — the canonical warehouse
     // query, included verbatim-semantics so a reference user's
     // standard analytics run unchanged. The money columns use the

@@ -707,6 +707,40 @@ object Curation {
           |FROM terms GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Deterministic source INTERLEAVE — the trainer-feed ordering op:
+    // round-robin the sources so no contiguous run of training rows
+    // comes from one source (the data-order pathology that spikes
+    // gradient noise). Position = (rank_within_source − 1)·n_sources +
+    // source_index — a pure function of (source, doc_id), so the order
+    // is reproducible on any cluster and any partitioning; no global
+    // window exists (rank is per-source, the source index is parsed
+    // from the name, and n_sources is one bounded scalar).
+    QueryDef(
+      "q_interleave",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nSrc = docs.select(col("source")).distinct().count()
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("r", row_number().over(w).cast(LongType))
+          .withColumn("si",
+            regexp_extract(col("source"), "(\\d+)", 1).cast(LongType))
+          .select(col("doc_id"), col("source"), col("r"),
+            ((col("r") - 1) * lit(nSrc) + col("si")).as("pos"))
+          .orderBy(col("pos"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |         row_number() OVER (PARTITION BY source
+          |           ORDER BY doc_id) AS r,
+          |         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS si
+          |  FROM documents),
+          |n AS (SELECT count(DISTINCT source) AS ns FROM documents)
+          |SELECT doc_id, source, r, (r - 1) * ns + si AS pos
+          |FROM t, n ORDER BY pos""".stripMargin)
+    ),
+
     // Budget-constrained selection: each source contributes its
     // HIGHEST-QUALITY documents up to a fixed per-source token budget
     // (800, sized to genuinely prune at every SF) — the "best data under a compute budget" curation pass

@@ -220,6 +220,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("interleave: reproducible round-robin, no contiguous same-source run") {
+    val rows = q("q_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = sources.Tables.documents(spark, sf).count()
+    assert(rows.length == n.toInt, "every doc ordered")
+    // pos values are distinct (a strict total order over the feed)
+    assert(rows.map(_._4).distinct.length == rows.length, "pos unique")
+    // emitted in pos order and no two ADJACENT rows share a source
+    // (sources are balanced in this fixture, so perfect round-robin)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0)._2 != w(1)._2,
+          s"adjacent rows both from ${w(0)._2} at pos ${w(1)._4}")
+    }
+    // position replays from (rank within source, source index)
+    val nSrc = rows.map(_._2).distinct.length
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val si = "\\d+".r.findFirstIn(src).get.toLong
+      g.sortBy(_._1).zipWithIndex.foreach { case ((_, _, r, pos), i) =>
+        assert(r == i + 1, s"$src rank")
+        assert(pos == i.toLong * nSrc + si, s"$src pos formula")
+      }
+    }
+  }
+
   test("budget selection: greedy-by-quality prefix per source, budget binds") {
     val rows = q("q_select_budget").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),

@@ -157,6 +157,34 @@ class RelationalSpec extends SparkSpec {
       s"bloom pruned nothing: $passed of $total rows passed")
   }
 
+  test("transitions: rows are conditional distributions; counts replay") {
+    val rows = q("q_event_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each from_type row is a probability distribution (sums to 1
+    // up to the 6 dp emission rounding)
+    rows.groupBy(_._1).foreach { case (f, g) =>
+      val tot = g.map(_._4).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$f row sums to $tot")
+    }
+    // counts replay from a first-principles per-user walk
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val expect = new scala.collection.mutable.HashMap[(String, String), Long]()
+    ev.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+      s.sliding(2).foreach { p =>
+        if (p.length == 2)
+          expect((p(0), p(1))) = expect.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expect.toMap,
+      "transition counts must replay from the per-user walks")
+  }
+
   test("tpch q1/q6: groups partition the filtered scan; cents replay exactly") {
     val q1 = q("q_tpch_q1").collect()
     assert(q1.nonEmpty)
