@@ -878,6 +878,93 @@ object TextAnalysis {
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
     ),
 
+    // North star — Zipf-law fit: the log-log rank-frequency slope of
+    // the top-1000 terms (natural corpora slope ≈ −1; a synthetic or
+    // template-heavy corpus flattens — the corpus-naturalness
+    // diagnostic next to q_text_entropy). Ranks come from a JOIN-rank
+    // over the CAPPED term table (the CLAUDE.md rule: never a global
+    // row_number window — the 1000×1000 strict-greater join is
+    // bounded by the cap, not the corpus); the least-squares sums are
+    // scaled-BIGINT micro-sums of (ln rank, ln freq) terms, so both
+    // engines fit identical doubles.
+    QueryDef(
+      "q_text_zipf",
+      (s, dir) => {
+        val top = Tables.documents(s, dir)
+          .select(explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(1000)
+          .localCheckpoint() // both sides of the JOIN-rank
+        val b2 = top.select(col("term").as("t2"), col("cnt").as("c2"))
+        val pts = top.join(b2,
+            col("c2") > col("cnt") ||
+              (col("c2") === col("cnt") && col("t2") < col("term")),
+            "left_outer")
+          .groupBy(col("term"), col("cnt"))
+          .agg((count(col("t2")) + 1).as("rank"))
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("cnt").cast("double")).as("y"))
+        def ms(c: org.apache.spark.sql.Column) =
+          sum(round(c * 1e9).cast(LongType))
+        val g = pts.agg(count(lit(1)).as("n"),
+          ms(col("x")).as("sx"), ms(col("y")).as("sy"),
+          ms(col("x") * col("y")).as("sxy"),
+          ms(col("x") * col("x")).as("sxx")).head()
+        val n = g.getLong(0)
+        val (sx, sy, sxy, sxx) = (g.getLong(1).toDouble / 1e9,
+          g.getLong(2).toDouble / 1e9, g.getLong(3).toDouble / 1e9,
+          g.getLong(4).toDouble / 1e9)
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val icept = (sy - slope * sx) / n
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        s.range(1).select(lit(n).as("n_terms"),
+          lit(r6(slope)).as("slope"), lit(r6(icept)).as("intercept"))
+      },
+      Some(
+        """WITH top AS MATERIALIZED (
+          |  SELECT term, count(*) AS cnt
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+          |        FROM documents)
+          |  GROUP BY term ORDER BY cnt DESC, term LIMIT 1000),
+          |ranked AS MATERIALIZED (
+          |  SELECT a.term, a.cnt, count(b.term) + 1 AS rank
+          |  FROM top a LEFT JOIN top b
+          |    ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term < a.term)
+          |  GROUP BY a.term, a.cnt),
+          |pts AS (
+          |  SELECT ln(CAST(rank AS DOUBLE)) AS x,
+          |         ln(CAST(cnt AS DOUBLE)) AS y
+          |  FROM ranked),
+          |g AS (
+          |  SELECT count(*) AS n,
+          |         CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS BIGINT) AS sx,
+          |         CAST(sum(CAST(round(y * 1e9) AS BIGINT)) AS BIGINT) AS sy,
+          |         CAST(sum(CAST(round((x * y) * 1e9) AS BIGINT)) AS BIGINT)
+          |           AS sxy,
+          |         CAST(sum(CAST(round((x * x) * 1e9) AS BIGINT)) AS BIGINT)
+          |           AS sxx
+          |  FROM pts)
+          |SELECT n AS n_terms,
+          |       round((n * (CAST(sxy AS DOUBLE) / 1e9)
+          |              - (CAST(sx AS DOUBLE) / 1e9)
+          |                * (CAST(sy AS DOUBLE) / 1e9))
+          |             / (n * (CAST(sxx AS DOUBLE) / 1e9)
+          |              - (CAST(sx AS DOUBLE) / 1e9)
+          |                * (CAST(sx AS DOUBLE) / 1e9)), 6) AS slope,
+          |       round(((CAST(sy AS DOUBLE) / 1e9)
+          |              - ((n * (CAST(sxy AS DOUBLE) / 1e9)
+          |                  - (CAST(sx AS DOUBLE) / 1e9)
+          |                    * (CAST(sy AS DOUBLE) / 1e9))
+          |                 / (n * (CAST(sxx AS DOUBLE) / 1e9)
+          |                  - (CAST(sx AS DOUBLE) / 1e9)
+          |                    * (CAST(sx AS DOUBLE) / 1e9)))
+          |                * (CAST(sx AS DOUBLE) / 1e9)) / n, 6)
+          |         AS intercept
+          |FROM g""".stripMargin)
+    ),
+
     // North star — log-likelihood-ratio collocations (Dunning's G²):
     // the statistically-sound complement to q_text_pmi (PMI over-ranks
     // rare pairs; G² weights evidence by volume, the standard fix).

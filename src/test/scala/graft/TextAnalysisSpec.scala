@@ -193,6 +193,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.head._3 > 0, "strongest collocation must be positive")
   }
 
+  test("zipf: slope/intercept replay from a first-principles rank-frequency fit") {
+    val r = q("q_text_zipf").collect().head
+    val (n, slope, icept) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(slope < 0.0, "rank-frequency slope must be negative")
+    // replay: term counts → (freq desc, term) rank → least squares
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    sources.Tables.documents(spark, sf)
+      .select(lower(col("text"))).collect().foreach { row =>
+        row.getString(0).split(" ", -1).foreach { w =>
+          counts(w) = counts.getOrElse(w, 0L) + 1
+        }
+      }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000)
+    assert(n == top.length.toLong, "top-N term count")
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    def m9(x: Double) = math.round(x * 1e9)
+    val (sx, sy) = (pts.map(p => m9(p._1)).sum / 1e9,
+      pts.map(p => m9(p._2)).sum / 1e9)
+    val sxy = pts.map(p => m9(p._1 * p._2)).sum / 1e9
+    val sxx = pts.map(p => m9(p._1 * p._1)).sum / 1e9
+    val eSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val eIcept = (sy - eSlope * sx) / n
+    assert(math.abs(slope - eSlope) < 1e-5, s"slope $slope != $eSlope")
+    assert(math.abs(icept - eIcept) < 1e-5, s"intercept $icept != $eIcept")
+  }
+
   test("llr: top-50 G² replays from contingency counts; evidence-weighted vs PMI") {
     val rows = q("q_text_llr").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
