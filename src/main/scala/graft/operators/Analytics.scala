@@ -581,6 +581,72 @@ object Analytics {
           |FROM hits GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // Revenue CONCENTRATION per nation — the Gini coefficient of
+    // customer revenue: G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over the
+    // ascending-sorted per-customer cent totals (exact BIGINT money
+    // via the cents discipline; rank·cents products are exact
+    // integers too, so BOTH least-squares-style sums are
+    // order-independent and the one shared double expression makes
+    // the 6 dp compare exact). The inequality/concentration metric a
+    // marketplace tracks per region ("is demand a few whales?") and a
+    // curation pipeline tracks per source.
+    //
+    // Scale shape: per-customer cents is a map-combined aggregate;
+    // the rank window partitions by NATION (never global); the final
+    // aggregate is nation-sized.
+    QueryDef(
+      "q_agg_gini",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100)
+            .cast(org.apache.spark.sql.types.LongType)).as("rev_c"))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val nat = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("rev_c"), col("o_custkey"))
+        rev
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("i", row_number().over(w)
+            .cast(org.apache.spark.sql.types.LongType))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("rev_c")).as("sx"),
+            sum(col("i") * col("rev_c")).as("si"))
+          .select(col("n_name"), col("n_cust"), col("sx").as("revenue_c"),
+            round((lit(2.0) * col("si").cast("double")) /
+              (col("n_cust").cast("double") * col("sx").cast("double")) -
+              ((col("n_cust") + 1).cast("double") /
+                col("n_cust").cast("double")), 6).as("gini"))
+          .orderBy(col("n_name"))
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY o_custkey),
+          |j AS (
+          |  SELECT n.n_name, r.o_custkey, r.rev_c,
+          |         CAST(row_number() OVER (PARTITION BY n.n_name
+          |           ORDER BY r.rev_c, r.o_custkey) AS BIGINT) AS i
+          |  FROM rev r
+          |  JOIN customer c ON c.c_custkey = r.o_custkey
+          |  JOIN nation n ON n.n_nationkey = c.c_nationkey)
+          |SELECT n_name, count(*) AS n_cust,
+          |       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+          |       round((2.0 * CAST(CAST(sum(i * rev_c) AS BIGINT) AS DOUBLE))
+          |             / (CAST(count(*) AS DOUBLE)
+          |                * CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE))
+          |             - (CAST(count(*) + 1 AS DOUBLE)
+          |                / CAST(count(*) AS DOUBLE)), 6) AS gini
+          |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+
     // Event TRANSITION MATRIX (the Markov/Sankey view of user flows —
     // q_funnel checks ONE fixed sequence; this measures every
     // adjacent-pair flow): per-user event streams ordered by the total

@@ -157,6 +157,38 @@ class RelationalSpec extends SparkSpec {
       s"bloom pruned nothing: $passed of $total rows passed")
   }
 
+  test("gini: per-nation concentration replays; bounds hold") {
+    val rows = q("q_agg_gini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nn, n, _, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$nn gini $g out of [0,1)")
+      assert(n > 0)
+    }
+    // replay one nation from first principles
+    val (nn, nC, revC, gini) = rows.head
+    val cust = sources.Tables.customer(spark, sf)
+      .join(sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nn).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val revs = sources.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .filter(r => cust(r.getLong(0)))
+      .groupBy(_.getLong(0)).map { case (k, g) =>
+        (k, g.map(r => BigDecimal(r.getDouble(1) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum)
+      }.toSeq
+    assert(nC == revs.length.toLong, s"$nn customer count")
+    assert(revC == revs.map(_._2).sum, s"$nn revenue cents")
+    val sorted = revs.sortBy(r => (r._2, r._1)).map(_._2)
+    val si = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val expect = BigDecimal((2.0 * si.toDouble) /
+      (nC.toDouble * revC.toDouble) - ((nC + 1).toDouble / nC.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(gini - expect) < 1e-9, s"$nn gini $gini != $expect")
+  }
+
   test("transitions: rows are conditional distributions; counts replay") {
     val rows = q("q_event_transitions").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
