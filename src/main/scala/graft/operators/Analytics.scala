@@ -752,6 +752,42 @@ object Analytics {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     ),
 
+    // TPC-H Q4 shape (order priority checking) — orders in one quarter
+    // that had at least one LATE shipment (shipdate > orderdate +
+    // 90 days; the fixture's slim lineitem lacks commit/receipt dates,
+    // so lateness is defined against the order date), counted by
+    // priority. The EXISTS is a LEFT SEMI join — the decorrelated
+    // plan Spark's planner and a warehouse both choose; the date
+    // filter pushes to the orders scan.
+    QueryDef(
+      "q_tpch_q4",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val late = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(late,
+            o("o_orderkey") === late("l_orderkey") &&
+              late("l_shipdate") > o("o_orderdate") +
+                expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // TPC-H Q6 (forecasting revenue change) — the canonical
     // scan-filter-aggregate: one pushed-down filtered scan, one
     // map-combined global sum; revenue in exact cents like Q1.

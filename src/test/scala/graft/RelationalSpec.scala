@@ -157,6 +157,32 @@ class RelationalSpec extends SparkSpec {
       s"bloom pruned nothing: $passed of $total rows passed")
   }
 
+  test("tpch q4: semi-join counts replay; plan is a semi join") {
+    val rows = q("q_tpch_q4").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val p = q("q_tpch_q4").queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    // replay: late orders in the quarter from first principles
+    val orders = sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getString(2)))
+    val ship = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getTimestamp(1).getTime).max).toMap
+    val ninetyDays = 90L * 24 * 3600 * 1000
+    val expect = orders
+      .filter { case (ok, od, _) =>
+        ship.get(ok).exists(_ > od + ninetyDays) }
+      .groupBy(_._3).map { case (pr, g) => (pr, g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, "late-order counts must replay")
+  }
+
   test("gini: per-nation concentration replays; bounds hold") {
     val rows = q("q_agg_gini").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
