@@ -165,15 +165,18 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
     // replay: late orders in the quarter from first principles
     val orders = sources.Tables.orders(spark, sf)
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
-        r.getString(2)))
+      .select(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("om"),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val ship = sources.Tables.lineitem(spark, sf)
-      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .select(col("l_orderkey"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("sm"))
+      .collect()
       .groupBy(_.getLong(0)).view
-      .mapValues(_.map(_.getTimestamp(1).getTime).max).toMap
+      .mapValues(_.map(_.getLong(1)).max).toMap
     val ninetyDays = 90L * 24 * 3600 * 1000
     val expect = orders
       .filter { case (ok, od, _) =>
