@@ -788,6 +788,36 @@ object Analytics {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    // TPC-H Q13 (customer distribution) — how many customers placed
+    // 0, 1, 2… orders: LEFT OUTER from the customer dim so silent
+    // customers count, then the double aggregation (orders per
+    // customer → customers per order-count). All counts exact; the
+    // canonical two-level aggregate a warehouse runs for engagement
+    // histograms.
+    QueryDef(
+      "q_tpch_q13",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist
+          |FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c LEFT JOIN orders o
+          |    ON o.o_custkey = c.c_custkey
+          |  GROUP BY c.c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    ),
+
     // TPC-H Q6 (forecasting revenue change) — the canonical
     // scan-filter-aggregate: one pushed-down filtered scan, one
     // map-combined global sum; revenue in exact cents like Q1.

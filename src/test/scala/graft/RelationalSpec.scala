@@ -186,6 +186,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows.toSeq == expect, "late-order counts must replay")
   }
 
+  test("tpch q13: distribution partitions customers; silent customers counted") {
+    val rows = q("q_tpch_q13").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_._2).sum == nCust,
+      "every customer lands in exactly one order-count bucket")
+    // replay from first principles
+    val perCust = sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val expect = custs.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .toSeq.sortBy { case (k, v) => (-v, -k) }
+    assert(rows.toSeq == expect, "distribution must replay")
+  }
+
   test("gini: per-nation concentration replays; bounds hold") {
     val rows = q("q_agg_gini").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
