@@ -338,10 +338,14 @@ object Aggregates {
         val bucket = least(
           floor((col("l_extendedprice") - col("lo")) * 20.0 /
             (col("hi") - col("lo"))), lit(19.0)).cast("long")
+        // Exact-cents bucket sums (order-independent BIGINT), never a
+        // rounded double sum — at ~1e10 bucket magnitude the 2dp
+        // rounding of a float sum is summation-order luck (ADVICE r8).
         val counts = li.crossJoin(broadcast(bounds))
           .groupBy(bucket.as("bucket"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sum_price_cents"))
         s.range(20).select(col("id").as("bucket"))
           .crossJoin(broadcast(bounds))
           .join(counts, Seq("bucket"), "left")
@@ -351,7 +355,8 @@ object Aggregates {
             round(col("lo") + (col("bucket") + 1) *
               (col("hi") - col("lo")) / 20.0, 6).as("hi_edge"),
             coalesce(col("n"), lit(0L)).as("n"),
-            coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+            coalesce(col("sum_price_cents"), lit(0L))
+              .as("sum_price_cents"))
           .orderBy(col("bucket"))
       },
       Some(
@@ -362,14 +367,15 @@ object Aggregates {
           |  SELECT CAST(least(floor((l_extendedprice - lo) * 20.0 /
           |           (hi - lo)), 19) AS BIGINT) AS bucket,
           |         count(*) AS n,
-          |         round(sum(l_extendedprice), 2) AS sum_price
+          |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |              AS BIGINT) AS sum_price_cents
           |  FROM lineitem, bounds
           |  GROUP BY 1)
           |SELECT t.bucket,
           |       round(lo + t.bucket * (hi - lo) / 20.0, 6) AS lo_edge,
           |       round(lo + (t.bucket + 1) * (hi - lo) / 20.0, 6) AS hi_edge,
           |       coalesce(c.n, 0) AS n,
-          |       coalesce(c.sum_price, 0.0) AS sum_price
+          |       coalesce(c.sum_price_cents, 0) AS sum_price_cents
           |FROM range(0, 20) t(bucket) CROSS JOIN bounds
           |LEFT JOIN counts c ON c.bucket = t.bucket
           |ORDER BY t.bucket""".stripMargin)

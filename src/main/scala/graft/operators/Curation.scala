@@ -713,30 +713,44 @@ object Curation {
     // gradient noise). Position = (rank_within_source − 1)·n_sources +
     // source_index — a pure function of (source, doc_id), so the order
     // is reproducible on any cluster and any partitioning; no global
-    // window exists (rank is per-source, the source index is parsed
-    // from the name, and n_sources is one bounded scalar).
+    // window exists (rank is per-source, the source index is a
+    // JOIN-rank over the tiny distinct-source table — deterministic,
+    // collision-free, name-format-agnostic — and n_sources is one
+    // bounded scalar). si ∈ [1, n_sources] by construction, so
+    // (r−1)·n_sources + si is provably unique — no reliance on
+    // digits embedded in the source name (ADVICE r8).
     QueryDef(
       "q_interleave",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val nSrc = docs.select(col("source")).distinct().count()
+        val srcs = docs.select(col("source")).distinct()
+        val nSrc = srcs.count()
+        // JOIN-rank the tiny source table (never a global window).
+        val srcIdx = srcs.as("a")
+          .join(broadcast(srcs.select(col("source").as("s2")).as("b")),
+            col("s2") <= col("a.source"))
+          .groupBy(col("a.source").as("source"))
+          .agg(count(lit(1)).as("si"))
         val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
         docs.select(col("doc_id"), col("source"))
+          .join(broadcast(srcIdx), Seq("source"))
           .withColumn("r", row_number().over(w).cast(LongType))
-          .withColumn("si",
-            regexp_extract(col("source"), "(\\d+)", 1).cast(LongType))
           .select(col("doc_id"), col("source"), col("r"),
             ((col("r") - 1) * lit(nSrc) + col("si")).as("pos"))
           .orderBy(col("pos"))
       },
       Some(
-        """WITH t AS (
-          |  SELECT doc_id, source,
-          |         row_number() OVER (PARTITION BY source
+        """WITH s AS (
+          |  SELECT source,
+          |         dense_rank() OVER (ORDER BY source) AS si
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |t AS (
+          |  SELECT doc_id, d.source,
+          |         row_number() OVER (PARTITION BY d.source
           |           ORDER BY doc_id) AS r,
-          |         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS si
-          |  FROM documents),
-          |n AS (SELECT count(DISTINCT source) AS ns FROM documents)
+          |         si
+          |  FROM documents d JOIN s USING (source)),
+          |n AS (SELECT count(*) AS ns FROM s)
           |SELECT doc_id, source, r, (r - 1) * ns + si AS pos
           |FROM t, n ORDER BY pos""".stripMargin)
     ),

@@ -427,8 +427,9 @@ object Graph {
     // SYNCHRONOUS peel rounds (every node whose current degree is < k
     // is removed simultaneously, then degrees are recomputed) — the
     // dense-subgraph extraction shape a pipeline runs to separate the
-    // stable product "core" from one-off co-purchases. k is the MEDIAN
-    // of the initial degree distribution — a scale-free threshold that
+    // stable product "core" from one-off co-purchases. k is the 5th
+    // PERCENTILE of the initial degree distribution — a scale-free
+    // threshold that
     // bites at any corpus size (co-purchase degrees grow with SF, so a
     // fixed k would peel nothing at scale and everything at sf0.001);
     // one bounded scalar, the same driver-side role as |V| in the

@@ -807,14 +807,20 @@ object Maintenance {
           .where(col("day") >= lo && col("day") <= hi &&
             col("etype") === "click")
           .select(col("day"), col("value"))
+        // Scaled-BIGINT micro-sum (order-independent), not a rounded
+        // double sum — float-sum rounding is summation-order luck at
+        // larger SFs (ADVICE r8).
         a.unionAll(b).groupBy(col("day"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value")), 2).as("sum_value"))
+            sum(round(col("value") * 1e6).cast("long"))
+              .as("sum_value_micros"))
           .orderBy(col("day"))
       },
       Some(
         """SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS day,
-          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+          |         AS sum_value_micros
           |FROM events
           |WHERE CAST(strftime(ts, '%Y%m%d') AS INTEGER)
           |        BETWEEN 20240110 AND 20240120

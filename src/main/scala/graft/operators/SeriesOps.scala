@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -585,7 +585,13 @@ object SeriesOps {
     // The q_ts_corr_matrix discipline verbatim: all five sums stay
     // exact integers and ONE shared cross-product formula
     // (n·Sxy−SxSy)/√((n·Sxx−Sx²)(n·Syy−Sy²)) produces the double, so
-    // the 6 dp compare is exact. The lag join aligns on an integer
+    // the 6 dp compare is exact. The moment sums are carried as
+    // DECIMAL(38,0) on the Spark side to mirror DuckDB's silent
+    // HUGEINT widening — at high event volume (hourly counts ~1e6
+    // over long ranges) LONG products would hit Spark 4's ANSI
+    // overflow error while DuckDB degrades gracefully; decimal keeps
+    // both engines exact to 1e38 and the final double conversion of
+    // an exact integer is bit-identical from either representation. The lag join aligns on an integer
     // hour INDEX (epoch-hour offset — exact double division under
     // 2⁵³, cast back to BIGINT on both engines), so a silently
     // missing grid hour cannot misalign a lag.
@@ -616,15 +622,17 @@ object SeriesOps {
           .withColumn("lag", col("lag").cast(LongType))
         val b = dense.select(col("event_type"),
           col("idx").as("idx_b"), col("c").as("cb"))
+        val cD = col("c").cast(DecimalType(19, 0))
+        val cbD = col("cb").cast(DecimalType(19, 0))
         val agg = a.join(b,
             a("event_type") === b("event_type") &&
               col("idx_b") === col("idx") + col("lag"))
           .groupBy(a("event_type"), col("lag"))
           .agg(count(lit(1)).as("n"),
-            sum(col("c")).as("sx"), sum(col("cb")).as("sy"),
-            sum(col("c") * col("cb")).as("sxy"),
-            sum(col("c") * col("c")).as("sxx"),
-            sum(col("cb") * col("cb")).as("syy"))
+            sum(cD).as("sx"), sum(cbD).as("sy"),
+            sum(cD * cbD).as("sxy"),
+            sum(cD * cD).as("sxx"),
+            sum(cbD * cbD).as("syy"))
         agg.select(a("event_type"), col("lag"), col("n"),
             round((col("n") * col("sxy") - col("sx") * col("sy"))
               .cast(DoubleType) /

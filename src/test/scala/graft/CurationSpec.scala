@@ -237,8 +237,11 @@ class CurationSpec extends SparkSpec {
     }
     // position replays from (rank within source, source index)
     val nSrc = rows.map(_._2).distinct.length
+    // source index = 1-based rank of the source name (JOIN-rank)
+    val srcRank = rows.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
     rows.groupBy(_._2).foreach { case (src, g) =>
-      val si = "\\d+".r.findFirstIn(src).get.toLong
+      val si = srcRank(src)
       g.sortBy(_._1).zipWithIndex.foreach { case ((_, _, r, pos), i) =>
         assert(r == i + 1, s"$src rank")
         assert(pos == i.toLong * nSrc + si, s"$src pos formula")

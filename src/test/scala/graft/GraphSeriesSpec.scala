@@ -292,7 +292,7 @@ class GraphSeriesSpec extends SparkSpec {
     var adj: Map[Long, Set[Long]] =
       (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
         .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
-    // k = exact median initial degree, (n−1)·q interpolation
+    // k = exact 5th-percentile initial degree, (n−1)·q interpolation
     val degs = adj.values.map(_.size.toDouble).toArray.sorted
     val h = (degs.length - 1) * 0.05
     val lo = math.floor(h).toInt

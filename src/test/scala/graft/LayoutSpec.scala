@@ -310,7 +310,7 @@ class LayoutSpec extends SparkSpec {
 
   test("q_partition_evolve: new layout dir-prunes the hot filter, old layout row-filters") {
     val rows = q("q_partition_evolve").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     // the day range spans the spec change on the 16th: both layouts
     // must contribute
     assert(rows.exists(_._1 < 20240116) && rows.exists(_._1 >= 20240116),

@@ -311,7 +311,7 @@ class RelationalSpec extends SparkSpec {
   test("histogram: 20 buckets tile [lo,hi], counts replay from first principles") {
     val rows = q("q_agg_histogram").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
-        r.getLong(3), r.getDouble(4)))
+        r.getLong(3), r.getLong(4)))
     assert(rows.map(_._1).toSeq == (0L until 20L), "dense bucket spine")
     // adjacent edges tile without gaps (identical rounded formula)
     rows.sliding(2).foreach { w =>
@@ -329,7 +329,7 @@ class RelationalSpec extends SparkSpec {
     rows.foreach { case (b, le, he, n, sum) =>
       assert(expect.getOrElse(b, 0L) == n, s"bucket $b count")
       assert(he > le, s"bucket $b edges ordered")
-      if (n == 0L) assert(sum == 0.0, s"empty bucket $b zero-filled")
+      if (n == 0L) assert(sum == 0L, s"empty bucket $b zero-filled")
     }
   }
 }
