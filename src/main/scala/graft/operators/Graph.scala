@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -756,6 +757,94 @@ object Graph {
           |FROM common
           |JOIN deg du ON du.src = u
           |JOIN deg dv ON dv.src = v
+          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)
+    ),
+
+    // Hub-capped edge Jaccard — the POWER-LAW-SCALE form of
+    // q_graph_jaccard. Exact common-neighbor counting is inherently
+    // Σ deg² work (each edge ships both endpoint neighbor arrays), and
+    // on a power-law graph the hub terms dominate: the uncapped query
+    // measured 5.6× at the 10× probe, the worst ratio in the repo.
+    // The lever: drop HUB nodes — degree above the 99th percentile of
+    // the degree distribution (a scale-free threshold, the q_graph_kcore
+    // discipline) — from the graph entirely, then run the exact Jaccard
+    // on the induced subgraph. Semantics are exact-on-the-subgraph and
+    // oracle-able (both engines apply the identical cap); analytically
+    // the right trade, because a hub's own Jaccard is ~0 by construction
+    // (union term ≈ its degree) and hub WITNESSES contribute equally to
+    // most pairs — co-purchase "everyone buys this" parts carry no
+    // affinity signal (the stopword of graphs).
+    //
+    // Scale shape: every surviving array has ≤ cap entries, so the
+    // per-edge intersect work is ≤ 2·cap·|E| — LINEAR in edges with a
+    // bounded constant, vs Σ deg² unbounded. The cap is one bounded
+    // scalar (broadcast 1-row attach, PlanAuditSpec-allowlisted); the
+    // subgraph restriction is two semi-joins on the edge list.
+    QueryDef(
+      "q_graph_jaccard_capped",
+      (s, dir) => {
+        val und = coPurchaseEdges(s, dir)
+        val adjAll = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        val deg = adjAll.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val cap = deg.agg(
+          floor(expr("percentile(d, 0.99)")).cast(LongType).as("cap"))
+        val keep = deg.crossJoin(broadcast(cap))
+          .where(col("d") <= col("cap")).select(col("src").as("node"))
+        val ek = und
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        val adjK = ek.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(ek.select(col("v").as("src"), col("u").as("dst")))
+          .groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        ek
+          .join(adjK.select(col("src").as("u"), col("nbrs").as("nu")), "u")
+          .join(adjK.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+          .select(col("u"), col("v"),
+            size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("c"),
+            size(col("nu")).cast(LongType).as("du"),
+            size(col("nv")).cast(LongType).as("dv"))
+          .where(col("c") >= 3)
+          .select(col("u"), col("v"), col("c"),
+            round(col("c").cast("double") /
+              (col("du") + col("dv") - col("c")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      Some(
+        """WITH op AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |eu AS (
+          |  SELECT DISTINCT a.pk AS u, b.pk AS v
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |adj AS (
+          |  SELECT u AS src, v AS dst FROM eu
+          |  UNION ALL SELECT v, u FROM eu),
+          |deg AS (SELECT src, count(*) AS d FROM adj GROUP BY src),
+          |cap AS (
+          |  SELECT CAST(floor(quantile_cont(d, 0.99)) AS BIGINT) AS cap
+          |  FROM deg),
+          |keep AS (SELECT src AS node FROM deg, cap WHERE d <= cap),
+          |ek AS (
+          |  SELECT u, v FROM eu
+          |  WHERE u IN (SELECT node FROM keep)
+          |    AND v IN (SELECT node FROM keep)),
+          |adjk AS (
+          |  SELECT u AS src, v AS dst FROM ek
+          |  UNION ALL SELECT v, u FROM ek),
+          |degk AS (SELECT src, count(*) AS d FROM adjk GROUP BY src),
+          |common AS (
+          |  SELECT e.u, e.v, count(*) AS c
+          |  FROM ek e
+          |  JOIN adjk a ON a.src = e.u
+          |  JOIN adjk b ON b.src = e.v AND b.dst = a.dst
+          |  GROUP BY e.u, e.v HAVING count(*) >= 3)
+          |SELECT u, v, c,
+          |       round(CAST(c AS DOUBLE) / (du.d + dv.d - c), 6) AS jaccard
+          |FROM common
+          |JOIN degk du ON du.src = u
+          |JOIN degk dv ON dv.src = v
           |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)
     )
   )

@@ -583,6 +583,10 @@ object Maintenance {
     // with approx_count_distinct (B16) and the Expand disappears.
     // min/max are actual data values (no float summation), so the
     // doubles compare exactly cross-engine without rounding.
+    // CONSUMED BY THE CBO: PlanAuditSpec ("table stats feed the CBO")
+    // runs this pass's catalog form (ANALYZE ... FOR ALL COLUMNS) and
+    // pins that spark.sql.cbo.enabled + the stats flip a 3-way join
+    // order — the stats exist to be planned with, not just reported.
     QueryDef(
       "q_table_stats",
       (s, dir) => {

@@ -245,26 +245,39 @@ object Similarity {
     * operator — the exchange carries ≤ nProbe rows per vector per input
     * partition, never the n × nCells cross product.
     *
-    * `hierarchical = true` opts in to the two-level coarse quantizer
-    * below (requires nCells > 64). It is OFF by default on measured
-    * grounds, not caution: with cells scaling √n ([[ivfCellsFor]]),
-    * flat assignment (n·nCells dots) and probed search
-    * (n·nProbe·n/nCells dots) are BOTH n^1.5 with search ~12× larger
-    * at the tuned 6-probe shape, so assignment is a bounded ~8% slice
-    * of the query — cutting it to n^1.25 moved the 10× probe 10.6 →
-    * 10.7 s (noise) while the super-cell pruning cost measurable
-    * recall (0.546 → 0.505 at nProbeSuper=5, 0.487 at 4; SCALEPROBE
-    * .md). The hierarchy earns its keep only when assignment itself
-    * dominates — huge nCells regimes (cells ≫ √n, e.g. memory-bounded
-    * cell sizes) — so it stays an explicit knob rather than a
-    * default. */
+    * The coarse quantizer is CORPUS-SIZE-DRIVEN: below
+    * [[HierarchicalAutoN]] vectors the assignment ranks every centroid
+    * exactly (flat, n·nCells dots); at or above it, it auto-switches
+    * to the two-level hierarchical form below (n·√nCells·(1+nProbeSuper)
+    * dots — n^1.25 once cells grow √n). The threshold is the measured
+    * crossover, not a guess: in raw dots two-level beats flat once
+    * nCells > (1+nProbeSuper)² = 81 (n ≈ 13k at [[ivfCellsFor]]
+    * sizing), but the constant overheads (super k-means, a second
+    * bounded top-k stage) eat that margin — a round-8 A/B at the 10×
+    * probe (20k vectors, 101 cells) measured the two-level form 15%
+    * SLOWER end-to-end (ivf 9.4→11.5 s, ivfadc 6.7→7.9 s, semantic
+    * 24.0→26.2 s). The dot ratio nCells/(9·√nCells) reaches ~2× only
+    * around nCells ≈ 320, i.e. n ≈ 10⁵ — where the assignment term
+    * also starts to dominate task time. At a 100× corpus the flat
+    * term grows ~1000× while the auto form grows ~180×.
+    * [[HierarchicalNProbeSuper]] = 8 is the retuned probe count
+    * (round-6's 5 cost 8% relative recall; 8 of ~√nCells supers keeps
+    * the pruning gentle). `hierarchical = true` still forces the
+    * two-level path explicitly (requires nCells > 64 either way).
+    * Measured: SCALEPROBE.md round 8 (10× A/B + 100× switch-on row
+    * with recall). */
+  val HierarchicalAutoN = 100000L
+  val HierarchicalNProbeSuper = 8
+
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, trainIters: Int, nProbe: Int,
                      corpusN: Long = -1L, hierarchical: Boolean = false,
-                     nProbeSuper: Int = 5): DataFrame = {
+                     nProbeSuper: Int = HierarchicalNProbeSuper): DataFrame = {
+    val useHier = hierarchical ||
+      (corpusN >= HierarchicalAutoN && nCells > 64)
     val cents = centroids(vectors, idCol, vecCol, nCells, trainIters, corpusN)
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
-    if (!hierarchical || nCells <= 64) {
+    if (!useHier || nCells <= 64) {
       // flat ranking: exact nProbe-nearest cells
       vectors.crossJoin(broadcast(cents))
         .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))

@@ -418,6 +418,53 @@ class GraphSeriesSpec extends SparkSpec {
     assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0), "J in (0,1]")
   }
 
+  test("jaccard capped: exact on the hub-pruned subgraph, cap bites, no hub survives") {
+    val rows = q("q_graph_jaccard_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und: Set[(Long, Long)] = op.groupBy(_._1).valuesIterator.flatMap { g =>
+      val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    // cap = floor of the exact 99th-percentile degree, (n−1)·q interp
+    val degs = adj.values.map(_.size.toDouble).toArray.sorted
+    val h = (degs.length - 1) * 0.99
+    val lo = math.floor(h).toInt
+    val p99 =
+      if (lo + 1 >= degs.length) degs(lo)
+      else degs(lo) + (h - lo) * (degs(lo + 1) - degs(lo))
+    val cap = math.floor(p99).toLong
+    // the cap must actually bite at spec scale, or the query proves
+    // nothing about hub pruning
+    assert(adj.values.exists(_.size > cap),
+      s"fixture has no hub above cap=$cap — percentile cap never bites")
+    // exact Jaccard on the INDUCED subgraph of non-hub nodes
+    val keep = adj.filter(_._2.size <= cap).keySet
+    val ek = und.filter { case (u, v) => keep(u) && keep(v) }
+    val adjK = (ek.toSeq ++ ek.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      (u, v) <- ek.toSeq
+      c = (adjK(u) & adjK(v)).size if c >= 3
+    } yield (u, v, c.toLong,
+      round6(c.toDouble / (adjK(u).size + adjK(v).size - c))))
+      .sortBy { case (u, v, _, j) => (-j, u, v) }.take(20)
+    assert(rows.toSeq == expect,
+      "capped top-20 must equal brute-force Jaccard on the pruned subgraph")
+    // every surviving endpoint obeys the cap (the per-edge intersect
+    // work bound 2·cap·|E| rests on exactly this)
+    rows.foreach { case (u, v, _, _) =>
+      assert(adjK(u).size <= cap && adjK(v).size <= cap, s"hub in output: ($u,$v)")
+    }
+  }
+
   test("modularity: per-brand contributions replay from first principles") {
     val rows = q("q_graph_modularity").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

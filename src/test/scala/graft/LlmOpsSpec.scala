@@ -247,9 +247,11 @@ class LlmOpsSpec extends SparkSpec {
     // agreement with the exact flat ranking: the hierarchy prunes
     // supers, so per-vector probed cells are a subset of a superset
     // relationship ONLY via recall — measure primary-cell agreement
-    // (deterministic corpus: measured 0.962 at sf0.001 with the default
-    // nProbeSuper=5 over 9 supers; 0.922 at 4, 0.886 at 3 — floor just
-    // under the default's measurement so a pruning regression fails)
+    // (deterministic corpus: measured 0.962 at sf0.001 with
+    // nProbeSuper=5 over 9 supers; 0.922 at 4, 0.886 at 3; the retuned
+    // default of 8 probes nearly every super, so agreement can only
+    // sit at or above the 5-probe measurement — floor just under it
+    // so a pruning regression fails)
     val flatPrimary = Similarity.ivfAssign(e, "vec_id", "embedding",
       nCells, trainIters = 2)
       .select(col("vec_id"), col("cell_id")).collect()
@@ -258,6 +260,42 @@ class LlmOpsSpec extends SparkSpec {
       .count(r => flatPrimary(r.getLong(0)) == r.getLong(1))
     assert(agree.toDouble / n >= 0.95,
       s"hierarchical primary cell agrees with flat on only $agree/$n")
+  }
+
+  test("ivf auto-switch: corpusN >= threshold selects the two-level path, below stays flat") {
+    import operators.Similarity
+    val e = sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val nCells = 80 // > 64 so the threshold alone decides the path
+    def assign(claimedN: Long) = Similarity.ivfProbeAssign(
+      e, "vec_id", "embedding", nCells, trainIters = 2, nProbe = 6,
+      corpusN = claimedN)
+      .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // corpusN also drives the training-sample cap, so the explicit
+    // reference must claim the SAME corpus size as the auto call
+    val explicitHier = Similarity.ivfProbeAssign(
+      e, "vec_id", "embedding", nCells, trainIters = 2, nProbe = 6,
+      corpusN = Similarity.HierarchicalAutoN, hierarchical = true)
+      .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicitFlat = Similarity.ivfProbeAssign(
+      e, "vec_id", "embedding", nCells, trainIters = 2, nProbe = 6,
+      corpusN = n)
+      .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a claimed corpus size at the threshold routes to the SAME rows
+    // the explicit hierarchical call produces (the auto switch IS the
+    // two-level quantizer, not a third code path)...
+    assert(assign(Similarity.HierarchicalAutoN) == explicitHier,
+      "auto path at threshold must equal the explicit hierarchical path")
+    // ...and the spec corpus (below threshold) stays on the exact flat
+    // ranking, so every sf0.1 recall stamp and floor is untouched
+    assert(n < Similarity.HierarchicalAutoN)
+    assert(explicitFlat != explicitHier,
+      "fixture must distinguish the paths for this test to mean anything")
+    assert(assign(n) == explicitFlat,
+      "below threshold the assignment must stay the exact flat ranking")
   }
 
   test("ivf sampled training: cap binds, deterministic, spec corpus unaffected by default") {

@@ -100,6 +100,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_drift_psi",        // sources x broadcast 6-row bin spine
       "q_agg_histogram",    // fact x broadcast 1-row bounds; 20-row
                             // bucket spine x the same bounds
+      "q_interleave",       // JOIN-rank over the DISTINCT-SOURCE table
+                            // (≤ |sources|² rows, a handful — the
+                            // bounded tiny-table rank idiom; the fact
+                            // table only ever equi-joins)
+      "q_graph_jaccard_capped", // 1-row broadcast (degree-cap scalar
+                            // attach; everything downstream is
+                            // semi-join + hash-join sized by |E|)
       "q_text_pmi",         // 1-row broadcast (corpus totals attach)
       "q_text_llr",         // 1-row broadcast (bigram total attach)
       "q_snapshot_cdc")     // 1x1 per-commit insert/delete stat join
@@ -415,5 +422,56 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_agg_histogram")
     assert(p.contains("partial_count") || p.contains("partial"),
       s"bucket counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("table stats feed the CBO: ANALYZE flips a 3-way join order") {
+    // Closes the q_table_stats loop (Maintenance.scala): the ANALYZE
+    // pass that query exemplifies is consumed here by Spark's
+    // cost-based optimizer. Without catalog statistics,
+    // CostBasedJoinReorder is inapplicable (it requires a rowCount on
+    // every join item) and the optimized plan keeps the USER's join
+    // order — the selective supplier dim joined LAST. With the stats
+    // in the catalog, the cardinality model (|L|·|R| / max ndv) puts
+    // the selective join first, shrinking the intermediate ~5× before
+    // the wide dim attaches. At 100 TB this reorder is the difference
+    // between shuffling the raw fact table twice and once.
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = keys.map(k => k -> spark.conf.get(k))
+    val li = sources.Tables.lineitem(spark, sf)
+    try {
+      keys.foreach(spark.conf.set(_, "true"))
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .write.mode("overwrite").saveAsTable("cbo_fact")
+      li.select(col("l_partkey").as("pk")).distinct()
+        .write.mode("overwrite").saveAsTable("cbo_dim_part")
+      // the SELECTIVE dim: 2 of the ~10 suppliers survive
+      li.select(col("l_suppkey").as("sk")).distinct()
+        .filter(col("sk") <= 2)
+        .write.mode("overwrite").saveAsTable("cbo_dim_supp")
+      val sql =
+        """SELECT count(*) AS n
+          |FROM cbo_fact f
+          |JOIN cbo_dim_part p ON f.l_partkey = p.pk
+          |JOIN cbo_dim_supp s ON f.l_suppkey = s.sk""".stripMargin
+      def joinOrder(): (Int, Int) = {
+        val opt = spark.sql(sql).queryExecution.optimizedPlan.toString
+        (opt.indexOf("cbo_dim_part"), opt.indexOf("cbo_dim_supp"))
+      }
+      val (pNo, sNo) = joinOrder()
+      assert(pNo >= 0 && sNo >= 0)
+      assert(pNo < sNo,
+        "without stats the optimizer must keep the user's join order " +
+          s"(part dim first): part@$pNo supp@$sNo")
+      for (t <- Seq("cbo_fact", "cbo_dim_part", "cbo_dim_supp"))
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val (pYes, sYes) = joinOrder()
+      assert(sYes < pYes,
+        "with ANALYZE statistics the CBO must join the selective " +
+          s"supplier dim first: part@$pYes supp@$sYes")
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      for (t <- Seq("cbo_fact", "cbo_dim_part", "cbo_dim_supp"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
   }
 }
