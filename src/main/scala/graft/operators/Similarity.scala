@@ -266,7 +266,9 @@ object Similarity {
     * two-level path explicitly (requires nCells > 64 either way).
     * Measured: SCALEPROBE.md round 8 (10× A/B + 100× switch-on row
     * with recall). */
-  val HierarchicalAutoN = 100000L
+  val HierarchicalAutoN: Long = sys.env.get("SPARK_GRAFT_IVF_HIER_N")
+    .map(_.toLong).getOrElse(100000L) // env override is dev-loop A/B
+                                      // tooling (SCALEPROBE protocol)
   val HierarchicalNProbeSuper = 8
 
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -27,6 +27,12 @@ import graft.sources.Tables
 object Streams {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Table root of the most recent q_stream_txn_sink run — the commit
+    * log is a per-run side effect in a unique temp dir, so the spec
+    * that audits the conflict story (LayoutSpec) needs the address.
+    * Test observability only; the query never reads it. */
+  val lastTxnRoot = new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Stage `df` as JSON files and open them as a file-source stream —
     * the test-data stand-in for the reference's S3 landing bucket. The
@@ -956,6 +962,161 @@ object Streams {
           |       round(sum(value), 2) AS sum_value
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // North star — STREAMING writer through the optimistic-concurrency
+    // transaction log (q_snapshot_txn composed with B41): each
+    // micro-batch lands its rows as immutable parquet and commits them
+    // by an ATOMIC put-if-absent version-file create — the same
+    // protocol the batch writers use (Maintenance.scala txnRoot), so
+    // stream and batch writers coexist on one table. The run stages the
+    // full conflict story deterministically:
+    //   v0 = stream batch 0 (attempt 1);
+    //   v1 = a CONCURRENT BATCH writer (side load, disjoint key range)
+    //        that wins the race while the stream is between batches;
+    //   v2 = stream batch 1 — its v1 attempt hits already-exists,
+    //        verifies range-disjointness against the winner, REBASES
+    //        and commits at v2 (attempt 2: the conflict is real;
+    //        LayoutSpec audits the log);
+    //   v3 = stream batch 2 (attempt 1).
+    // Exactly-once: foreachBatch is at-least-once, so the committer is
+    // IDEMPOTENT — a commit body records its (writer, batch) and a
+    // replayed batch that finds itself already in the log is a no-op
+    // (the Delta txnAppId/txnVersion recipe). The final read resolves
+    // the LIVE file set from the log — an ORPHANED data file (written
+    // by a "crashed" writer whose commit never landed) sits in the
+    // directory and must NOT be read; the oracle catches a
+    // directory-listing reader immediately.
+    //
+    // Scale shape: commit cost is O(log), independent of table and
+    // batch size; data files stream once; the conflict check reads
+    // only manifests past the writer's snapshot (bounded by writer
+    // concurrency, never by data). This is the reference's "writing
+    // to S3" production sink (dask_processing.py:26-27) with table
+    // semantics.
+    QueryDef(
+      "q_stream_txn_sink",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+        import scala.jdk.CollectionConverters._
+        val uniq = sinkSeq.incrementAndGet()
+        val root = graft.Staging.dir(s"stream_txn_$uniq")
+        val log = Paths.get(root, "_log")
+        Files.createDirectories(log)
+        lastTxnRoot.set(root)
+        val vre = """"lo":(-?\d+),"hi":(-?\d+)""".r
+        def manifests(): Seq[String] = {
+          val l = Files.list(log)
+          try l.iterator().asScala.toSeq
+            .sortBy(_.getFileName.toString).map(Files.readString)
+          finally l.close()
+        }
+        def tryCommit(v: Int, writer: String, batch: Long, attempt: Int,
+                      adds: Seq[String], lo: Long, hi: Long): Unit = {
+          val body =
+            s"""{"version":$v,"writer":"$writer","batch":$batch,""" +
+              s""""attempt":$attempt,"adds":[${adds.map("\"" + _ + "\"")
+                .mkString(",")}],"lo":$lo,"hi":$hi}"""
+          // CREATE_NEW (O_EXCL) = put-if-absent; NOT rename (POSIX
+          // rename silently replaces — a loser would clobber the winner)
+          try Files.write(log.resolve(f"v$v%03d.json"),
+            body.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          catch {
+            case _: FileAlreadyExistsException =>
+              val winner = Files.readString(log.resolve(f"v$v%03d.json"))
+              val ok = vre.findFirstMatchIn(winner).exists { m =>
+                hi <= m.group(1).toLong || m.group(2).toLong <= lo
+              }
+              require(ok, s"$writer: range overlap with committed v$v")
+              tryCommit(v + 1, writer, batch, attempt + 1, adds, lo, hi)
+          }
+        }
+        def nextVersion(): Int = {
+          val l = Files.list(log)
+          try l.iterator().asScala.count(_ => true) finally l.close()
+        }
+        // exactly 3 time-ranged landing files → exactly 3 micro-batches
+        // under maxFilesPerTrigger=1 (the deterministic batch spine the
+        // staged conflict story needs)
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+          .repartitionByRange(3, col("ts_us"))
+        val stream = stageAndStreamParquet(s, src, "q_stream_txn",
+          eventsJsonSchema, dir,
+          options = Map("maxFilesPerTrigger" -> "1"))
+        withStatePartitions(s, 4) {
+          val q = stream.writeStream
+            .option("checkpointLocation",
+              graft.Staging.dir(s"stream_txn_ck_$uniq"))
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                // idempotent replay guard (txnAppId pattern): committed
+                // stream batches are visible in the log
+                val done = manifests().exists(m =>
+                  m.contains("\"writer\":\"stream\"") &&
+                    m.contains(s""""batch":$batchId,"""))
+                if (!done) {
+                  if (batchId == 1L) {
+                    // deterministic CONCURRENT batch writer: wins the
+                    // next version while the stream holds its snapshot
+                    val side = s.range(1, 6)
+                      .select((col("id") + 1000000L).as("event_id"),
+                        lit("side_load").as("event_type"),
+                        (col("id") * 10.0).as("value"),
+                        (lit(Long.MaxValue - 10) + col("id")).as("ts_us"))
+                    side.coalesce(1).write.mode("overwrite")
+                      .parquet(s"$root/side")
+                    tryCommit(nextVersion(), "batch_side", -1L, 1,
+                      Seq("side"), Long.MaxValue - 9, Long.MaxValue)
+                    // a CRASHED writer's orphan: data landed, its
+                    // commit never did — invisible to readers
+                    side.withColumn("event_type", lit("orphan"))
+                      .coalesce(1).write.mode("overwrite")
+                      .parquet(s"$root/orphan")
+                  }
+                  // the stream writer commits AT ITS SNAPSHOT version:
+                  // for batch 1 that version was just taken by the
+                  // side writer, forcing the real conflict + rebase
+                  val snapshotV =
+                    nextVersion() - (if (batchId == 1L) 1 else 0)
+                  val bounds = batch.agg(
+                    min(col("ts_us")), max(col("ts_us"))).head()
+                  val (lo, hi) =
+                    if (bounds.isNullAt(0)) (0L, 0L)
+                    else (bounds.getLong(0), bounds.getLong(1) + 1)
+                  batch.write.mode("overwrite").parquet(s"$root/b$batchId")
+                  tryCommit(snapshotV, "stream", batchId, 1,
+                    Seq(s"b$batchId"), lo, hi)
+                }
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // snapshot read at head: live files resolved from the LOG only
+        val adds = manifests().flatMap(m =>
+          """"adds":\[([^\]]*)\]""".r.findFirstMatchIn(m).toSeq
+            .flatMap(_.group(1).split(",").toSeq)
+            .map(_.replaceAll("\"", "")).filter(_.nonEmpty))
+        s.read.parquet(adds.map(a => s"$root/$a"): _*)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast(LongType)).as("cents"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |         AS cents
+          |FROM (
+          |  SELECT event_type, value FROM events
+          |  UNION ALL
+          |  SELECT 'side_load' AS event_type, (i + 1) * 10.0 AS value
+          |  FROM range(0, 5) t(i))
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -353,4 +353,47 @@ class LayoutSpec extends SparkSpec {
       assert(del == 0L && ins > 0L, s"v$v is a pure append")
     }
   }
+
+  test("q_stream_txn_sink: the batch writer really raced, the stream rebased, orphans stay dead") {
+    val out = q("q_stream_txn_sink").collect()
+    assert(out.map(_.getString(0)).contains("side_load"),
+      "the concurrent batch writer's rows must be live at head")
+    assert(!out.map(_.getString(0)).contains("orphan"),
+      "an uncommitted data file must be invisible to the log-resolved read")
+    // inspect the run's log: the conflict story must have happened
+    val root = streaming.Streams.lastTxnRoot.get()
+    assert(root != null, "query must record its table root for the audit")
+    val log = java.nio.file.Paths.get(root, "_log")
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(log)
+    val files =
+      try l.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      finally l.close()
+    val bodies = files.map(p => java.nio.file.Files.readString(p))
+    assert(bodies.length == 4, s"expected v0..v3, got ${files.length}")
+    def field(b: String, k: String): String =
+      ("\"" + k + "\":(\"[^\"]*\"|-?\\d+)").r
+        .findFirstMatchIn(b).get.group(1).replaceAll("\"", "")
+    // v0: stream batch 0, first attempt
+    assert(field(bodies(0), "writer") == "stream" &&
+      field(bodies(0), "batch") == "0" &&
+      field(bodies(0), "attempt") == "1")
+    // v1: the concurrent batch writer won the race
+    assert(field(bodies(1), "writer") == "batch_side")
+    // v2: stream batch 1 lost v1, verified disjointness, REBASED
+    assert(field(bodies(2), "writer") == "stream" &&
+      field(bodies(2), "batch") == "1" &&
+      field(bodies(2), "attempt") == "2",
+      s"stream batch 1 must carry the rebase attempt=2: ${bodies(2)}")
+    // v3: stream batch 2, clean first attempt
+    assert(field(bodies(3), "writer") == "stream" &&
+      field(bodies(3), "batch") == "2" &&
+      field(bodies(3), "attempt") == "1")
+    // the orphan data file exists on disk but no manifest references it
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "orphan")),
+      "fixture must stage the crashed-writer orphan")
+    assert(!bodies.exists(_.contains("orphan")),
+      "no manifest may reference the orphan")
+  }
 }
