@@ -331,17 +331,17 @@ object Similarity {
     }
   }
 
-  /** IVF-style index: assign every vector to its single nearest centroid.
-    * Search probes only the query's cell, so the pair work drops from n²
-    * to ~Σ cell². */
-  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                nCells: Int, trainIters: Int = 0): DataFrame = {
-    val cents = centroids(vectors, idCol, vecCol, nCells, trainIters)
-    // argmax via max(struct(sim, -cell_id)): lexicographic struct max ==
-    // best sim with ties to the lowest cell id. Unlike a row_number
-    // window (which would shuffle all n·nCells joined rows, vectors
-    // included), the aggregate partial-combines map-side — the exchange
-    // carries one row per vector regardless of nCells.
+  /** Primary-cell assignment against a GIVEN centroid table — the faiss
+    * `add` half of the train/add split, and the kernel the incremental
+    * index-maintenance path reuses (new arrivals are assigned to the
+    * STANDING centroids, never retrained against). argmax via
+    * max(struct(sim, -cell_id)): lexicographic struct max == best sim
+    * with ties to the lowest cell id. Unlike a row_number window (which
+    * would shuffle all n·nCells joined rows, vectors included), the
+    * aggregate partial-combines map-side — the exchange carries one row
+    * per vector regardless of nCells. */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(cents))
       .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
       .groupBy(col(idCol))
@@ -349,7 +349,14 @@ object Similarity {
         first(col(vecCol)).as(vecCol),
         max(struct(col("sim"), (-col("cell_id")).as("neg_cell"))).as("best"))
       .select(col(idCol), col(vecCol), (-col("best.neg_cell")).as("cell_id"))
-  }
+
+  /** IVF-style index: assign every vector to its single nearest centroid.
+    * Search probes only the query's cell, so the pair work drops from n²
+    * to ~Σ cell². */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, trainIters: Int = 0): DataFrame =
+    assignToCentroids(vectors, idCol, vecCol,
+      centroids(vectors, idCol, vecCol, nCells, trainIters))
 
   /** Candidate id-pairs sharing ≥1 LSH bucket — ids only, so the bucket
     * self-join never carries vectors. Shared by the ANN search and the
@@ -896,6 +903,79 @@ object Similarity {
         scored.withColumn("rnk", row_number().over(w).cast(LongType))
           .filter(col("rnk") <= 10)
           .select(col("qid"), col("rnk"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      None
+    ),
+
+    // North star — INCREMENTAL ANN index maintenance (the faiss
+    // train/add split; verdict r7 #3): the standing corpus
+    // (vec_id % 5 ≠ 0) owns a STAGED index — centroids trained on it
+    // once, members assigned to their primary cells with vectors
+    // attached — and the "new day" batch (vec_id % 5 == 0, the
+    // q_dedup_incremental arrival convention) is ASSIGNED to those
+    // standing centroids, never retrained against: per-arrival work is
+    // |batch| · nCells assignment dots plus the probed-cell candidate
+    // join, tracking the BATCH, never the corpus. Each batch vector
+    // probes its 6 nearest standing cells (the q_similarity_ivf knob)
+    // and ranks the exact cosine against the members of those cells;
+    // index members sit in their primary cell only, so a (query,
+    // neighbor) pair meets at most once. This is the reference's
+    // per-arrival production shape (app.py:174-175 — one invocation
+    // per arriving object, massaging only the new data) applied to
+    // retrieval: the daily pipeline appends to the index and searches,
+    // and only a periodic offline job retrains centroids (at which
+    // point the staging key rotates with the corpus stamp).
+    //
+    // Scale shape: the standing artifact is read, not recomputed (the
+    // staged scan is pinned by LlmOpsSpec); assignment is one
+    // broadcast of nCells centroids against the batch; the candidate
+    // join shuffles (batch·nProbe + matching members) rows keyed on
+    // cell_id; the top-3 is the bounded TopKPerKey lowering. No
+    // oracle (index-dependent); LlmOpsSpec floors recall vs the exact
+    // brute top-3 and pins the cost shape.
+    QueryDef(
+      "q_similarity_incremental",
+      (s, dir) => {
+        val isBatch = pmod(col("vec_id"), lit(5L)) === 0L
+        val e = Tables.embeddings(s, dir)
+        val standing = graft.Staging.cached(
+          s"ivfstand_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          val corpus = e.filter(!isBatch)
+            .select(col("vec_id"), col("embedding"))
+          val n = corpus.count()
+          val cents = trainCentroids(corpus, "vec_id", "embedding",
+            nCells = ivfCellsFor(n), iters = 3, corpusN = n)
+          cents.write.mode("overwrite").parquet(s"$tgt/cents")
+          // members carry their vectors so search never re-joins the
+          // corpus table
+          assignToCentroids(corpus, "vec_id", "embedding", cents)
+            .write.mode("overwrite").parquet(s"$tgt/assign")
+        }
+        val cents = s.read.parquet(s"$standing/cents")
+        val index = s.read.parquet(s"$standing/assign")
+        val batch = e.filter(isBatch)
+          .select(col("vec_id"), col("embedding"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cell_id"))
+        val probes = batch.crossJoin(broadcast(cents))
+          .withColumn("sim",
+            VectorFns.cosineFast(col("embedding"), col("cent")))
+          .withColumn("probe_rank", row_number().over(w).cast(LongType))
+          .filter(col("probe_rank") <= 6)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("cell_id"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        probes
+          .join(index.select(col("cell_id"), col("vec_id").as("nid"),
+            col("embedding").as("nvec")), Seq("cell_id"))
+          .withColumn("cos",
+            round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
+          .withColumn("rnk", row_number().over(wq).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("nid"), col("cos"))
           .orderBy(col("qid"), col("rnk"))
       },
       None

@@ -298,6 +298,59 @@ class LlmOpsSpec extends SparkSpec {
       "below threshold the assignment must stay the exact flat ranking")
   }
 
+  test("incremental ANN: batch searches the standing index, no retrain, recall floor") {
+    val rows = q("q_similarity_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every query is a batch arrival; every neighbor is a standing-
+    // corpus member (the cross-side contract, as q_dedup_incremental)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 5 == 0), "queries must be the batch")
+    assert(rows.forall(_._3 % 5 != 0), "neighbors must be standing corpus")
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length),
+        s"$qid ranks dense from 1")
+      assert(g.length <= 3)
+    }
+    // COST SHAPE: the standing index is READ from the staged artifact,
+    // never retrained at query time — the plan scans the graft cache
+    // parquet; and the only cross-join input is the filtered BATCH
+    // (assign work tracks |batch|·nCells, not corpus)
+    val p = q("q_similarity_incremental").queryExecution.executedPlan.toString
+    assert(p.contains("graft_cache"),
+      s"standing index must come from the staged artifact:\n$p")
+    val crossSections = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(crossSections.nonEmpty, "batch assignment is the broadcast rank")
+    // the batch filter sits under the cross join, the corpus side does
+    // not meet the centroids at all (its assignment is staged)
+    assert(p.contains("pmod"), "the cross-join input must be the batch filter")
+    // RECALL floor vs the exact brute top-3 over the standing corpus
+    val all = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val corpus = all.filter(_._1 % 5 != 0).toSeq
+    val exact = all.keys.filter(_ % 5 == 0).flatMap { qid =>
+      corpus.map { case (nid, v) => (qid, nid, cos(all(qid), v)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(3)
+        .map { case (q2, nid, _) => (q2, nid) }
+    }.toSet
+    val found = rows.map(r => (r._1, r._3)).toSet
+    val recall = exact.count(found).toDouble / exact.size
+    // measured 0.6733 at sf0.001 (6 of 32 standing cells probed on
+    // near-random embeddings — the same candidate-miss envelope as
+    // q_similarity_ivf's probe fraction); floor just under so a
+    // probe/assign regression fails
+    assert(recall >= 0.62, s"incremental ANN recall $recall")
+  }
+
   test("ivf sampled training: cap binds, deterministic, spec corpus unaffected by default") {
     val e = sources.Tables.embeddings(spark, sf)
     def train() = operators.Similarity.trainCentroids(

@@ -82,6 +82,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_similarity_ivf",   // corpus x broadcast 16 centroids
       "q_dedup_embedding",  // brute reference form (scale path = _lsh)
       "q_dedup_semantic",   // corpus x broadcast ~sqrt(n) centroids
+      "q_similarity_incremental", // BATCH x broadcast standing
+                            // centroids (the faiss add step; corpus
+                            // assignment is staged, never re-ranked)
       "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
       "q_text_bm25",        // 1-row broadcast (corpus stats attach)
       "q_text_vocab_encode", // join-rank over the vocab-sized term table
