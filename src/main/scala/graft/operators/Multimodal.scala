@@ -69,6 +69,53 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode a width×height constant-gray baseline JPEG via the JDK
+    * codec, then splice a hand-assembled EXIF APP1 segment directly
+    * after SOI (where camera firmware puts it; JPEG readers must skip
+    * unknown APPn segments, so the file stays fully decodable — the
+    * spec proves it round-trips through ImageIO). The EXIF is a
+    * big-endian TIFF with one IFD of two SHORT entries sorted by tag —
+    * ImageWidth (0x0100) and Orientation (0x0112, value
+    * 1 + doc_id % 8) — so the expression-level tag SEARCH in
+    * q_multimodal_jpeg is real, not a fixed-offset peek. */
+  def encodeJpegWithExif(docId: Long): Array[Byte] = {
+    val (w, h, g) = imageParams(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "jpg", ios) finally ios.close()
+    val raw = bos.toByteArray
+    val b = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { b.write((v >> 8) & 0xFF); b.write(v & 0xFF) }
+    def u32(v: Int): Unit = { u16((v >>> 16) & 0xFFFF); u16(v & 0xFFFF) }
+    def shortEntry(tag: Int, value: Int): Unit = {
+      u16(tag); u16(3); u32(1); u16(value); u16(0)
+    }
+    b.write("Exif".getBytes("US-ASCII")); b.write(0); b.write(0)
+    u16(0x4D4D); u16(42); u32(8) // 'MM' big-endian, magic 42, IFD0 @ 8
+    u16(2)
+    shortEntry(0x0100, w)
+    shortEntry(0x0112, 1 + (docId % 8).toInt)
+    u32(0) // no next IFD
+    val payload = b.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(raw, 0, 2) // SOI
+    out.write(0xFF); out.write(0xE1)
+    val len = payload.length + 2
+    out.write((len >> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(payload, 0, payload.length)
+    out.write(raw, 2, raw.length - 2)
+    out.toByteArray
+  }
+
   /** REAL image decode: sniff the container format, decode the pixels,
     * return (format, width, height, mean red-channel luminance in
     * [0,1]). PNG is lossless, so for the staged constant-gray images
@@ -652,6 +699,79 @@ object Multimodal {
           |       16 + doc_id % 37 AS height,
           |       CAST(8 AS BIGINT) AS bit_depth,
           |       CAST(2 AS BIGINT) AS color_type
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // B49(h') — JPEG + EXIF header parse, the second real container
+    // (r7 verdict #6): unlike PNG's fixed IHDR offset, JPEG is a
+    // SEGMENT CHAIN (FF marker, 2-byte length, payload), so the sniff
+    // is a bounded expression-level WALK — each hop reads the length
+    // field and advances, a coalesce chain captures the SOF0 offset
+    // when its marker appears (8 hops cover any sane pre-scan header;
+    // production sniffers bound their scan depth the same way). EXIF
+    // orientation comes from the APP1 TIFF: verify the Exif magic,
+    // then SEARCH the IFD entries for tag 0x0112 (entries walked, not
+    // peeked at a fixed slot — the corpus writes ImageWidth first so a
+    // wrong-tag read fails the oracle). All substring/conv/when
+    // expressions — no UDF, no codec, fully codegen'd; decode still
+    // costs 100× the sniff, which is why this pass exists.
+    QueryDef(
+      "q_multimodal_jpeg",
+      (s, dir) => {
+        val jpegDir = graft.Staging.cached(
+          s"jpeg_docs_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(tgt))
+          import s.implicits._
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .foreachPartition { (it: Iterator[Long]) =>
+              it.foreach { id =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.jpg"),
+                  encodeJpegWithExif(id))
+              }
+            }
+        }
+        def be(o: org.apache.spark.sql.Column, len: Int) =
+          conv(hex(col("content").substr(o, lit(len))), 16, 10)
+            .cast(LongType)
+        // bounded segment walk: offset of the first SOF0 marker
+        var off: org.apache.spark.sql.Column = lit(3L)
+        var sofOff: org.apache.spark.sql.Column = lit(null).cast(LongType)
+        for (_ <- 0 until 8) {
+          sofOff = coalesce(sofOff, when(be(off, 2) === 0xFFC0L, off))
+          off = off + 2 + be(off + 2, 2)
+        }
+        // bounded IFD entry search for the Orientation tag
+        val tiff = lit(13L) // SOI(2) FF E1 len(2) 'Exif\0\0'(6) → TIFF
+        var orient: org.apache.spark.sql.Column = lit(null).cast(LongType)
+        for (k <- 0 until 4) {
+          val e = tiff + 10 + 12 * k
+          orient = coalesce(orient,
+            when(be(e, 2) === 0x0112L, be(e + 8, 2)))
+        }
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.jpg")
+          .load(jpegDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.jpg", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .select(col("doc_id"),
+            (hex(substring(col("content"), 1, 2)) === "FFD8").as("sig_ok"),
+            (col("content").substr(lit(7L), lit(4)).cast("string") === "Exif")
+              .as("exif_ok"),
+            orient.as("orientation"),
+            be(sofOff + 5, 2).as("height"),
+            be(sofOff + 7, 2).as("width"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, true AS sig_ok, true AS exif_ok,
+          |       1 + doc_id % 8 AS orientation,
+          |       16 + doc_id % 37 AS height,
+          |       16 + doc_id % 48 AS width
           |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 

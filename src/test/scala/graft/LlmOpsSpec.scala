@@ -628,6 +628,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("jpeg/exif parse: pure-expression segment walk, files are real decodable JPEGs") {
+    import operators.Multimodal
+    val df = q("q_multimodal_jpeg")
+    // same contract as the PNG sniff: expression-only projection
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+      s"jpeg header parse must be expression-only:\n$p")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, sig, exif, o, h, w) =>
+      val (ew, eh, _) = Multimodal.imageParams(id)
+      assert(sig && exif, s"doc $id signatures")
+      assert(o == 1 + id % 8, s"doc $id orientation from the IFD search")
+      assert(w == ew && h == eh, s"doc $id geometry from the SOF0 walk")
+    }
+    // the spliced APP1 must not break the container: the JDK codec
+    // still decodes the file to its generated geometry
+    val sample = Multimodal.encodeJpegWithExif(rows.head._1)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sample))
+    val (ew, eh, _) = Multimodal.imageParams(rows.head._1)
+    assert(img != null && img.getWidth == ew && img.getHeight == eh,
+      "EXIF splice must leave a fully decodable JPEG")
+  }
+
   test("pca: projection is centered, its variance attains the reported eigenvalue") {
     val rows = q("q_embed_pca").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
