@@ -27,6 +27,7 @@ object Registry {
       operators.TierA.defs ++
       operators.Relational.defs ++
       operators.Analytics.defs ++
+      operators.TpchReports.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.SetOps.defs ++
