@@ -817,6 +817,111 @@ object Curation {
           |SELECT source, doc_id, q, n_tokens, cum_tokens
           |FROM ranked WHERE cum_tokens <= 800
           |ORDER BY source, cum_tokens""".stripMargin)
+    ),
+
+    // DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): pick pretraining docs whose hashed-n-gram
+    // feature distribution looks like a TARGET corpus (here: the 'en'
+    // slice), by importance weight w(doc) = Π_b p̂_target(b)^n_b /
+    // p̂_raw(b)^n_b and Gumbel-top-k resampling ∝ w. The published
+    // method verbatim, distilled to its engine shape:
+    //   1. features: words hashed into 64 buckets (md5, shared-engine);
+    //   2. two bucket histograms in ONE map-combined pass (target = a
+    //      conditional sum), 64 rows, broadcast back;
+    //   3. log-ratio per bucket frozen as MICRO-INTS (round(ln·1e6)) so
+    //      every per-doc score is pure integer arithmetic after 128
+    //      driver-visible logs — order-independent, ANSI-safe;
+    //   4. Gumbel key g = −ln(−ln(u)) from the md5 draw (u offset +0.5
+    //      so u∈(0,1) — u=1 would blow g to +inf on real corpora),
+    //      added in micro-space: key = (logw + g)·1e6 exactly;
+    //   5. global top-k by the exact integer key (TakeOrderedAndProject,
+    //      never a global sort).
+    // Scale: the only data-sized shuffles are the two word-level
+    // aggregates (map-combined); everything after is 64-row broadcast
+    // or per-doc projection. The add-one smoothing keeps unseen-bucket
+    // ratios finite at any corpus/target skew.
+    QueryDef(
+      "q_select_dsir",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bucketed = docs
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("word"))
+          .withColumn("b",
+            pmod(conv(substring(md5(col("word")), 1, 4), 16, 10)
+              .cast(LongType), lit(64L)))
+        val stats = bucketed.groupBy(col("b"))
+          .agg(count(lit(1)).as("rcnt"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tcnt"))
+          .localCheckpoint() // 64 rows; feeds totals AND the log table
+        // two bounded scalars (64-row aggregate), the lmscore |V| role
+        val tot = stats.agg(sum(col("rcnt")), sum(col("tcnt"))).head()
+        val (rTot, tTot) = (tot.getLong(0), tot.getLong(1))
+        val logdiff = stats.select(col("b"),
+          (round(log((col("tcnt") + lit(1.0)) / lit(tTot + 64.0)) * 1e6)
+            .cast(LongType) -
+            round(log((col("rcnt") + lit(1.0)) / lit(rTot + 64.0)) * 1e6)
+              .cast(LongType)).as("dl_micro"))
+        val scored = bucketed
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+          .join(broadcast(logdiff), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("dl_micro")).as("score_micro"))
+        val h = conv(substring(
+          md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast(LongType)
+        val u = (h.cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+        scored
+          .withColumn("key_micro", col("score_micro") +
+            round(-log(-log(u)) * 1e6).cast(LongType))
+          .join(docs.select(col("doc_id"), col("lang"), col("source")),
+            "doc_id")
+          .orderBy(col("key_micro").desc, col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("lang"), col("source"),
+            round(col("score_micro").cast(DoubleType) / 1e6, 6).as("logw"),
+            col("key_micro"))
+      },
+      Some(
+        """WITH words AS (
+          |  SELECT doc_id, lang,
+          |         unnest(string_split(lower(text), ' ')) AS word
+          |  FROM documents),
+          |bucketed AS (
+          |  SELECT doc_id, lang,
+          |         CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) % 64 AS b
+          |  FROM words),
+          |stats AS (
+          |  SELECT b, count(*) AS rcnt,
+          |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS tcnt
+          |  FROM bucketed GROUP BY b),
+          |tot AS (
+          |  SELECT CAST(sum(rcnt) AS BIGINT) AS rt,
+          |         CAST(sum(tcnt) AS BIGINT) AS tt FROM stats),
+          |logdiff AS (
+          |  SELECT b,
+          |         CAST(round(ln((tcnt + 1.0) / (tt + 64.0)) * 1e6) AS BIGINT)
+          |       - CAST(round(ln((rcnt + 1.0) / (rt + 64.0)) * 1e6) AS BIGINT)
+          |           AS dl_micro
+          |  FROM stats, tot),
+          |scored AS (
+          |  SELECT doc_id, CAST(sum(n * dl_micro) AS BIGINT) AS score_micro
+          |  FROM (SELECT doc_id, b, count(*) AS n
+          |        FROM bucketed GROUP BY 1, 2)
+          |  JOIN logdiff USING (b) GROUP BY doc_id),
+          |keyed AS (
+          |  SELECT s.doc_id, d.lang, d.source, s.score_micro,
+          |         s.score_micro + CAST(round(-ln(-ln(
+          |             (CAST(('0x' || substr(md5('dsir:' ||
+          |                CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |              + 0.5) / 4294967296.0)) * 1e6) AS BIGINT)
+          |           AS key_micro
+          |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+          |SELECT doc_id, lang, source,
+          |       round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS logw,
+          |       key_micro
+          |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin)
     )
   )
 }

@@ -279,4 +279,60 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("dsir: full top-100 replays from first principles; shifts toward target") {
+    val rows = q("q_select_dsir").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 100)
+    // keys descend under the emitted order
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      "selection must be emitted in key order")
+
+    // ---- first-principles replay: md5 buckets, two histograms,
+    // micro-int log-ratios, Gumbel keys, global top-100 ----
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val words = docs.flatMap { case (id, lang, text) =>
+      text.toLowerCase.split(" ", -1).map(w =>
+        (id, lang, java.lang.Long.parseLong(md5hex(w).take(4), 16) % 64))
+    }
+    val rcnt = words.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tcnt = words.filter(_._2 == "en")
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val (rTot, tTot) = (words.length.toLong,
+      words.count(_._2 == "en").toLong)
+    val dl = rcnt.keys.map { b =>
+      b -> (math.round(math.log(
+        (tcnt.getOrElse(b, 0L) + 1.0) / (tTot + 64.0)) * 1e6) -
+        math.round(math.log((rcnt(b) + 1.0) / (rTot + 64.0)) * 1e6))
+    }.toMap
+    val keyed = words.groupBy(_._1).map { case (id, ws) =>
+      val score = ws.groupBy(_._3).map { case (b, g) =>
+        g.length * dl(b) }.sum
+      val h = java.lang.Long.parseLong(md5hex(s"dsir:$id").take(8), 16)
+      val u = (h + 0.5) / 4294967296.0
+      val g = math.round(-math.log(-math.log(u)) * 1e6)
+      (id, score, score + g)
+    }.toSeq
+    val expect = keyed.sortBy { case (id, _, k) => (-k, id) }.take(100)
+    assert(rows.map(r => (r._1, r._4)).toSeq ==
+      expect.map { case (id, _, k) => (id, k) },
+      "DSIR top-100 (ids and keys) must replay exactly")
+    expect.zip(rows).foreach { case ((_, score, _), (_, _, logw, _)) =>
+      val want = BigDecimal(score.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(logw - want) < 1e-9, "logw must replay")
+    }
+
+    // ---- the method's point: selection shifts toward the target ----
+    val corpusEn = docs.count(_._2 == "en").toDouble / docs.length
+    val selectedEn = rows.count(_._2 == "en").toDouble / rows.length
+    assert(selectedEn > corpusEn,
+      s"DSIR must over-sample target-like docs " +
+        s"(selected en $selectedEn vs corpus $corpusEn)")
+  }
 }
