@@ -979,6 +979,115 @@ object Similarity {
           .orderBy(col("qid"), col("rnk"))
       },
       None
+    ),
+
+    // North star — retrieval EVALUATION: precision@10 / MRR@10 /
+    // NDCG@10 of the exact cosine ranking, graded against the corpus
+    // labels (label parity = relevance). This is the measurement leg
+    // every retrieval pipeline needs next to the index itself — the
+    // recall stamps grade the ANN approximations against brute force;
+    // this grades the EMBEDDING SPACE against ground truth, fully
+    // oracled because the exact ranking is deterministic.
+    //
+    // Float discipline: ranks come from the rounded-cosine total order
+    // (round 6dp, nid tie-break — the q_similarity_topk rule); every
+    // DCG term is the integer round(1e6/log2(i+1)) so DCG/IDCG are
+    // exact BIGINT sums (order-independent); the three emitted ratios
+    // are single divisions of exact integers, rounded 6dp both
+    // engines. IDCG's 1..min(10,R) prefix is an in-projection sequence
+    // fold, no extra join.
+    //
+    // Scale shape: the query set is bounded (25) and broadcast; the
+    // corpus side streams — cost is |Q|·n cosine rows into a bounded
+    // top-10 per query (RewriteRowNumberTopK lowers the row_number
+    // filter to the TopKPerKey operator, partial top-k map-side). The
+    // label-count dimension is |labels| rows, broadcast.
+    QueryDef(
+      "q_eval_retrieval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val nQ = 25
+        val queries = e.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val corpus = e.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"), col("label").as("nlabel"))
+        // relevant-set size per query label (self excluded below)
+        val labelCounts = e.groupBy(col("label").as("qlabel"))
+          .agg(count(lit(1)).as("lc"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        val top10 = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+          .withColumn("cos",
+            round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
+          .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+            col("cos"))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 10)
+        val rel = col("nlabel") === col("qlabel")
+        val dcgTerm = round(lit(1e6) / log2(col("rnk") + 1)).cast(LongType)
+        top10
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(
+            sum(when(rel, 1L).otherwise(0L)).as("hits"),
+            sum(when(rel, dcgTerm).otherwise(0L)).as("dcg_micro"),
+            min(when(rel, col("rnk"))).as("first_rel"))
+          .join(broadcast(labelCounts), "qlabel")
+          .withColumn("n_rel", col("lc") - 1)
+          .withColumn("idcg_micro", expr(
+            """aggregate(sequence(1L, least(10L, n_rel)), 0L,
+              |(acc, i) -> acc + CAST(round(1e6 / log2(i + 1)) AS LONG))"""
+              .stripMargin.replaceAll("\n", " ")))
+          .select(col("qid"), col("qlabel"), col("n_rel"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 6).as("p10"),
+            round(when(col("first_rel").isNotNull,
+              lit(1.0) / col("first_rel").cast("double"))
+              .otherwise(lit(0.0)), 6).as("mrr"),
+            round(when(col("idcg_micro") > 0,
+              col("dcg_micro").cast("double") /
+                col("idcg_micro").cast("double"))
+              .otherwise(lit(0.0)), 6).as("ndcg"))
+          .orderBy(col("qid"))
+      },
+      Some(
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, q.label AS qlabel,
+           |         c.vec_id AS nid, c.label AS nlabel,
+           |         round(${VectorFns.OracleSql.cosine("q.embedding", "c.embedding")}, 6) AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 25 AND c.vec_id <> q.vec_id),
+           |top10 AS (
+           |  SELECT * FROM (
+           |    SELECT qid, qlabel, nid, nlabel,
+           |           row_number() OVER (PARTITION BY qid
+           |             ORDER BY cos DESC, nid) AS rnk
+           |    FROM scored)
+           |  WHERE rnk <= 10),
+           |lc AS (SELECT label AS qlabel, count(*) AS lc
+           |       FROM embeddings GROUP BY label),
+           |agg AS (
+           |  SELECT qid, qlabel,
+           |    CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits,
+           |    CAST(sum(CASE WHEN nlabel = qlabel
+           |      THEN CAST(round(1e6 / log2(rnk + 1)) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS dcg_micro,
+           |    min(CASE WHEN nlabel = qlabel THEN rnk END) AS first_rel
+           |  FROM top10 GROUP BY qid, qlabel)
+           |SELECT qid, qlabel, lc - 1 AS n_rel, hits,
+           |  round(CAST(hits AS DOUBLE) / 10.0, 6) AS p10,
+           |  round(CASE WHEN first_rel IS NOT NULL
+           |    THEN 1.0 / CAST(first_rel AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+           |  round(CASE WHEN idcg_micro > 0
+           |    THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+           |    ELSE 0.0 END, 6) AS ndcg
+           |FROM (
+           |  SELECT a.*, lc,
+           |    CAST(list_sum(list_transform(range(1, least(10, lc - 1) + 1),
+           |      i -> CAST(round(1e6 / log2(i + 1)) AS BIGINT)))
+           |      AS BIGINT) AS idcg_micro
+           |  FROM agg a JOIN lc USING (qlabel))
+           |ORDER BY qid""".stripMargin)
     )
   )
 }

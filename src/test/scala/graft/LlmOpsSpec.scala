@@ -682,4 +682,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == again.toSeq,
       "fixed-round PCA must replay exactly")
   }
+
+  test("retrieval eval: metrics replay from a brute-force ranking; top-10 is bounded") {
+    val rows = q("q_eval_retrieval").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 25)
+    rows.foreach { case (qid, _, nRel, hits, p10, mrr, ndcg) =>
+      assert(hits >= 0 && hits <= 10 && nRel > 0)
+      assert(p10 >= 0.0 && p10 <= 1.0 && mrr >= 0.0 && mrr <= 1.0 &&
+        ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q$qid metrics out of range")
+    }
+    // the bounded top-k lowering must fire (no full per-query sort).
+    // rnk is consumed downstream (DCG terms), so the TopKPerKey rewrite
+    // can't drop the window — Spark's WindowGroupLimit is the bounded
+    // lowering here (map-side partial group limit before the exchange)
+    val opt = q("q_eval_retrieval").queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey") || opt.contains("WindowGroupLimit"),
+      s"top-10 not lowered to a bounded operator:\n$opt")
+
+    // first-principles replay: drive the exact ranking + metrics in
+    // Scala over the collected sf corpus (500×25 cosines)
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labelCount = vecs.groupBy(_._3).view.mapValues(_.length).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    vecs.filter(_._1 < 25).foreach { case (qid, qv, ql) =>
+      val top10 = vecs.filter(_._1 != qid)
+        .map { case (nid, nv, nl) =>
+          (nid, nl, BigDecimal(cos(qv, nv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(10)
+      val rel = top10.zipWithIndex.collect {
+        case ((_, nl, _), i) if nl == ql => i + 1 }
+      def dcgTerm(i: Int) = math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+      val dcg = rel.map(dcgTerm).sum
+      val nRel = labelCount(ql) - 1
+      val idcg = (1 to math.min(10, nRel)).map(dcgTerm).sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (_, _, gotNRel, gotHits, gotP10, gotMrr, gotNdcg) = byId(qid)
+      assert(gotNRel == nRel.toLong && gotHits == rel.length.toLong,
+        s"q$qid hits/nRel mismatch")
+      assert(gotP10 == r6(rel.length / 10.0), s"q$qid p10")
+      assert(gotMrr == r6(rel.headOption.map(1.0 / _).getOrElse(0.0)),
+        s"q$qid mrr")
+      assert(math.abs(gotNdcg -
+        (if (idcg > 0) r6(dcg.toDouble / idcg) else 0.0)) < 1e-9,
+        s"q$qid ndcg")
+    }
+  }
 }
