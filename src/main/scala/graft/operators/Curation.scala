@@ -922,6 +922,99 @@ object Curation {
           |       round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS logw,
           |       key_micro
           |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin)
+    ),
+
+    // North star — deterministic NEGATIVE SAMPLING for contrastive
+    // training: k=4 negatives per anchor via PERMUTATION SHIFTS over
+    // the position ring. Every corpus row gets a contiguous 0-based
+    // position (the q_global_ids technique: range partition +
+    // per-partition offsets — NO global window); slot i's negative for
+    // anchor a is the row at (pos(a) + shift_i) mod n, with shift_i a
+    // pure md5 function of the slot — so the k negatives are k
+    // rotations of the corpus: every doc serves as a negative exactly
+    // k times (perfectly balanced load, the in-batch-negatives
+    // property), the draw is replayable point-wise, and there is no
+    // RNG state. Same-label collisions are EMITTED and flagged
+    // (is_valid=false) rather than resampled — the standard masking
+    // contract of in-batch negatives, and the only unbounded-free
+    // choice (rejection loops have no worst-case bound on skewed
+    // label marginals).
+    //
+    // Scale shape: one range exchange for positions, one n·k ⋈ n join
+    // on the shifted position — linear; the 8-row offset collect is
+    // the q_global_ids precedent.
+    QueryDef(
+      "q_sample_negatives",
+      (s, dir) => {
+        val k = 4
+        val parts = 8
+        val ranged = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"))
+          .repartitionByRange(parts, col("vec_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = ranged.groupBy(col("pid"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val offsets = counts.map(_._1)
+          .zip(counts.scanLeft(0L)(_ + _._2).init)
+        val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, o)) =>
+          when(col("pid") === p, lit(o)).otherwise(acc)
+        }
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("vec_id"))
+        val pos = ranged
+          .select(col("vec_id"), col("label"),
+            (offCol + row_number().over(wLocal).cast(LongType) - lit(1L))
+              .as("pos"))
+          .localCheckpoint() // feeds the anchor AND corpus sides below
+        // per-slot ring shifts — the same md5 both engines evaluate
+        def md5hex(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val slots = (0 until k).map { i =>
+          (i.toLong,
+            1L + java.lang.Long.parseLong(md5hex(s"negshift:$i").take(8), 16)
+              % (n - 1))
+        }
+        val anchors = pos.select(col("vec_id").as("anchor_id"),
+          col("label").cast(LongType).as("anchor_label"), col("pos").as("apos"))
+          .withColumn("s", explode(typedLit(slots)))
+          .select(col("anchor_id"), col("anchor_label"),
+            pmod(col("apos") + col("s._2"), lit(n)).as("tpos"),
+            col("s._1").as("slot"))
+        anchors.join(pos.select(col("vec_id").as("neg_id"),
+            col("label").cast(LongType).as("neg_label"),
+            col("pos").as("tpos")), "tpos")
+          .select(col("anchor_id"), col("slot"), col("anchor_label"),
+            col("neg_id"), col("neg_label"),
+            (col("anchor_label") =!= col("neg_label")).as("is_valid"))
+          .orderBy(col("anchor_id"), col("slot"))
+      },
+      Some(
+        """WITH pos AS (
+          |  SELECT vec_id, label,
+          |         row_number() OVER (ORDER BY vec_id) - 1 AS pos
+          |  FROM embeddings),
+          |nn AS (SELECT count(*) AS n FROM embeddings),
+          |slots AS (
+          |  SELECT i AS slot,
+          |         1 + CAST(('0x' || substr(md5('negshift:' ||
+          |             CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % (n - 1)
+          |           AS shift
+          |  FROM range(0, 4) t(i), nn),
+          |anchors AS (
+          |  SELECT p.vec_id AS anchor_id,
+          |         CAST(p.label AS BIGINT) AS anchor_label,
+          |         (p.pos + s.shift) % (SELECT n FROM nn) AS tpos, s.slot
+          |  FROM pos p, slots s)
+          |SELECT a.anchor_id, a.slot, a.anchor_label,
+          |       c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
+          |       a.anchor_label <> CAST(c.label AS BIGINT) AS is_valid
+          |FROM anchors a JOIN pos c ON a.tpos = c.pos
+          |ORDER BY anchor_id, slot""".stripMargin)
     )
   )
 }

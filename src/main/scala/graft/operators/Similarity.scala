@@ -1088,6 +1088,95 @@ object Similarity {
            |      AS BIGINT) AS idcg_micro
            |  FROM agg a JOIN lc USING (qlabel))
            |ORDER BY qid""".stripMargin)
+    ),
+
+    // North star — SEMANTIC CLUSTERING: connected components over the
+    // cosine-similarity graph, with per-cluster label purity. This is
+    // the clustering VIEW of the space the dedup family prunes: same
+    // edge rule as q_dedup_embedding (round(cos,6) ≥ 0.45, the brute
+    // oracled reference), pointer-doubling CC (Dedup's log-rounds
+    // machinery), then one cluster-level rollup — size, distinct
+    // labels, majority label (tie to the smallest), purity. All stats
+    // are exact integers until the single purity division (6dp both
+    // engines); majority via max(struct(cnt, -label)) — the
+    // lexicographic argmax idiom, no window.
+    //
+    // Scale: the oracled exemplar derives edges from the brute n²/2
+    // pair scan (norms precomputed, codegen'd dot); the 100 TB path
+    // swaps in q_dedup_semantic's cell-bounded candidates at the same
+    // seam (the pair rule is identical — LlmOpsSpec proves the cell
+    // candidates' recall there). CC shuffles only (id, label) rows per
+    // round and converges in O(log n) rounds (pointer doubling).
+    QueryDef(
+      "q_embed_clusters",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
+        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        val pairs = a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("cos_raw",
+            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cos_raw") >= 0.4499) // exact superset prefilter
+          .filter(round(col("cos_raw"), 6) >= 0.45)
+          .select(col("vec_a"), col("vec_b"))
+        val groups = Dedup.connectedComponents(
+          e.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
+          .withColumnRenamed("label", "cluster_id")
+        val labCnt = groups
+          .join(Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("label").cast(LongType).as("lab")),
+            "vec_id")
+          .groupBy(col("cluster_id"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        labCnt.groupBy(col("cluster_id"))
+          .agg(
+            sum(col("c")).as("n_members"),
+            count(lit(1)).as("n_labels"),
+            max(struct(col("c"), (-col("lab")).as("neg"))).as("best"))
+          .select(col("cluster_id"), col("n_members"), col("n_labels"),
+            (-col("best.neg")).as("top_label"),
+            col("best.c").as("top_label_n"),
+            round(col("best.c").cast("double") /
+              col("n_members").cast("double"), 6).as("purity"))
+          .orderBy(col("n_members").desc, col("cluster_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  WHERE round(${VectorFns.OracleSql.cosine("a.embedding", "b.embedding")}, 6) >= 0.45),
+           |edges AS (
+           |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+           |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+           |reach(vec_id, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.vec_id = e.dst),
+           |grouped AS (
+           |  SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id),
+           |labcnt AS (
+           |  SELECT g.cluster_id, CAST(e.label AS BIGINT) AS lab,
+           |         count(*) AS c
+           |  FROM grouped g JOIN embeddings e USING (vec_id)
+           |  GROUP BY 1, 2),
+           |top AS (
+           |  SELECT cluster_id, lab AS top_label, c AS top_label_n
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |          ORDER BY c DESC, lab) AS rn FROM labcnt)
+           |  WHERE rn = 1)
+           |SELECT l.cluster_id,
+           |       CAST(sum(l.c) AS BIGINT) AS n_members,
+           |       count(*) AS n_labels,
+           |       any_value(t.top_label) AS top_label,
+           |       CAST(any_value(t.top_label_n) AS BIGINT) AS top_label_n,
+           |       round(CAST(any_value(t.top_label_n) AS DOUBLE) /
+           |         CAST(CAST(sum(l.c) AS BIGINT) AS DOUBLE), 6) AS purity
+           |FROM labcnt l JOIN top t USING (cluster_id)
+           |GROUP BY l.cluster_id
+           |ORDER BY n_members DESC, cluster_id""".stripMargin)
     )
   )
 }

@@ -335,4 +335,44 @@ class CurationSpec extends SparkSpec {
       s"DSIR must over-sample target-like docs " +
         s"(selected en $selectedEn vs corpus $corpusEn)")
   }
+
+  test("negative sampling: per-slot bijection, never self, replays from positions") {
+    val rows = q("q_sample_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val n = vecs.length
+    assert(rows.length == n * 4, "every anchor gets exactly 4 slots")
+    rows.foreach { case (a, _, al, nid, nl, valid) =>
+      assert(nid != a, s"anchor $a drew itself")
+      assert(valid == (al != nl), s"anchor $a validity flag wrong")
+    }
+    // each slot is a rotation: every doc serves as a negative exactly
+    // once per slot (balanced load)
+    rows.groupBy(_._2).foreach { case (slot, g) =>
+      assert(g.map(_._4).distinct.length == n,
+        s"slot $slot is not a bijection")
+    }
+    // replay from first principles: positions by sorted vec_id,
+    // shifts from the same md5 derivation
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sorted = vecs.sortBy(_._1)
+    val posOf = sorted.map(_._1).zipWithIndex.toMap
+    val atPos = sorted.map(_._1)
+    val labelOf = vecs.toMap
+    val shifts = (0 until 4).map(i =>
+      1L + java.lang.Long.parseLong(md5hex(s"negshift:$i").take(8), 16)
+        % (n - 1))
+    val expect = sorted.flatMap { case (a, al) =>
+      shifts.zipWithIndex.map { case (sh, i) =>
+        val nid = atPos(((posOf(a) + sh) % n).toInt)
+        (a, i.toLong, al, nid, labelOf(nid), al != labelOf(nid))
+      }
+    }
+    assert(rows.toSeq == expect.toSeq, "negatives must replay from positions")
+  }
 }

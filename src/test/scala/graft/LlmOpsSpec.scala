@@ -740,4 +740,49 @@ class LlmOpsSpec extends SparkSpec {
         s"q$qid ndcg")
     }
   }
+
+  test("embed clusters: partition the corpus; replay via union-find on brute pairs") {
+    val rows = q("q_embed_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    assert(rows.map(_._2).sum == vecs.length,
+      "clusters must partition the corpus")
+    rows.foreach { case (cid, n, nl, _, tn, p) =>
+      assert(tn <= n && nl <= n && p > 0.0 && p <= 1.0, s"cluster $cid stats")
+    }
+    // union-find over the same brute pair rule
+    val parent = scala.collection.mutable.HashMap(
+      vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length
+         if cosR(vecs(i)._2, vecs(j)._2) >= 0.45) {
+      val (ri, rj) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val byCluster = vecs.groupBy(v => find(v._1))
+    val expect = byCluster.map { case (cid, members) =>
+      val labCnt = members.groupBy(_._3.toLong).view.mapValues(_.length).toMap
+      val (topLab, topN) = labCnt.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      (cid, members.length.toLong, labCnt.size.toLong, topLab, topN.toLong,
+        BigDecimal(topN.toDouble / members.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (cid, n, _, _, _, _) => (-n, cid) }
+    assert(rows.toSeq == expect, "cluster rollup must replay via union-find")
+  }
 }
