@@ -204,6 +204,33 @@ object Dedup {
       case _ => ()
     }
 
+  /** localCheckpoint with the inherited size ESTIMATE dropped.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but PRESERVES the
+    * child plan's estimated `Statistics` in the `LogicalRDD` leaf (so
+    * the optimizer keeps cardinality information across a checkpoint).
+    * In an UNBOUNDED iterative loop whose round plan joins the previous
+    * round's leaf with itself — the pointer-doubling step below — that
+    * inheritance SQUARES `sizeInBytes` every round: the estimate's bit
+    * count doubles per round, and past ~15 rounds the driver spends
+    * minutes per round inside `SizeInBytesOnlyStatsPlanVisitor`
+    * multiplying million-digit BigIntegers (measured on the 10×-probe
+    * clusters CC: >600 s of single-threaded driver BigInteger multiply
+    * while the cluster sat idle — SCALEPROBE r8). The fixed-round
+    * loops (PageRank, k-core, BFS…) never reach the blow-up depth;
+    * convergence-driven CC does.
+    *
+    * Re-wrapping the checkpointed rows through `createDataFrame` drops
+    * the leaf back to `defaultSizeInBytes` — bounded stats at any round
+    * count — at the cost of one Row-conversion pass over the narrow
+    * (id, label) rows per consumer, noise next to the round's join
+    * shuffles. Returns (wrapped, checkpoint handle): compute with the
+    * first, pass the SECOND to [[freeCheckpoint]]. */
+  private def checkpointCappedStats(df: DataFrame): (DataFrame, DataFrame) = {
+    val ck = df.localCheckpoint()
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
+  }
+
   /** Connected components over an undirected edge list by min-label
     * propagation with pointer doubling. Each round every node takes
     *   label := min(label, min(neighbors' labels), label-of-label)
@@ -233,12 +260,14 @@ object Dedup {
                           dstCol: String): (DataFrame, Int) = {
     // checkpoint the edge list BEFORE symmetrizing: the union's two
     // branches would otherwise each lazily re-run the (possibly
-    // expensive) pair-derivation plan feeding this
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    // expensive) pair-derivation plan feeding this. Stats-capped: an
+    // expensive pair derivation (nested candidate joins) can carry an
+    // astronomical size estimate that would then compound per round.
+    val (e0, e0Ck) = checkpointCappedStats(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint()
+    var (labels, labelsCk) = checkpointCappedStats(
+      nodes.select(col(idCol).as("id"), col(idCol).as("label")))
     var prevSum = Option.empty[Long]
     var converged = false
     var rounds = 0
@@ -257,24 +286,26 @@ object Dedup {
         .select(col("dst").as("id"), col("nbr_label"))
       // checkpoint once: stepped feeds BOTH sides of the doubling
       // self-join below and would otherwise run the join+agg twice
-      val stepped = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+      val (stepped, steppedCk) = checkpointCappedStats(
+        labels.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label")))
       // pointer doubling: a label is always some node's id (min over
       // ids), so look up the label THAT node holds and take the min —
       // left join + coalesce only as NULL hygiene
       val parent = stepped
         .select(col("id").as("p_id"), col("label").as("p_label"))
-      val prev = labels
-      labels = stepped.join(parent, stepped("label") === parent("p_id"), "left")
-        .select(stepped("id"),
-          least(stepped("label"), coalesce(col("p_label"), stepped("label")))
-            .as("label"))
-        .localCheckpoint()
-      freeCheckpoint(prev)
-      freeCheckpoint(stepped)
+      val prevCk = labelsCk
+      val next = checkpointCappedStats(
+        stepped.join(parent, stepped("label") === parent("p_id"), "left")
+          .select(stepped("id"),
+            least(stepped("label"), coalesce(col("p_label"), stepped("label")))
+              .as("label")))
+      labels = next._1
+      labelsCk = next._2
+      freeCheckpoint(prevCk)
+      freeCheckpoint(steppedCk)
       // coalesce: sum over zero rows is NULL — an empty node set must
       // converge to an empty result, not NPE
       val s = labels.agg(coalesce(sum(col("label")), lit(0L)))
@@ -282,7 +313,7 @@ object Dedup {
       converged = prevSum.contains(s)
       prevSum = Some(s)
     }
-    freeCheckpoint(e0)
+    freeCheckpoint(e0Ck)
     (labels.select(col("id").as(idCol), col("label")), rounds)
   }
 

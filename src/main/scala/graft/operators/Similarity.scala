@@ -416,6 +416,94 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Brute pair-scan ceiling for [[embedClustersPlan]]: below it the
+    * similarity edges come from the exact n²/2 scan (oracle-able);
+    * above it the cell-bounded candidate pipeline takes over. */
+  val ClusterBruteMaxN = 10000L
+
+  /** Per-vector cluster assignment (vec_id, cluster_id) — the CC half
+    * of [[embedClustersPlan]], exposed so the spec can force the cells
+    * path (`bruteMax = 0`) and prove membership refinement against the
+    * brute clustering. */
+  def embedClusterGroups(s: SparkSession, dir: String,
+                         bruteMax: Long = ClusterBruteMaxN): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
+    val n = e.count()
+    val pairs = if (n < bruteMax) {
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos_raw",
+          VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.4499) // exact superset prefilter
+        .filter(round(col("cos_raw"), 6) >= 0.45)
+        .select(col("vec_a"), col("vec_b"))
+    } else {
+      // multi-probe cell candidates with emit-once dedup at the
+      // smallest shared cell — q_dedup_semantic's pipeline (see the
+      // 30×-probe rationale there); vectors re-attach via
+      // shuffle-hash joins so no sort ever carries a wide row
+      val wSig = Window.partitionBy(col("vec_id"))
+      val probes = ivfProbeAssign(
+          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          nCells = ivfCellsFor(n), trainIters = 2, nProbe = 4, corpusN = n)
+        .withColumn("psig",
+          sort_array(collect_list(col("cell_id")).over(wSig)))
+        .select(col("vec_id"), col("cell_id"), col("psig"))
+        .localCheckpoint()
+      val cand = probes
+        .select(col("cell_id"), col("vec_id").as("vec_a"),
+          col("psig").as("asig"))
+        .join(probes.select(col("cell_id"), col("vec_id").as("vec_b"),
+          col("psig").as("bsig")), Seq("cell_id"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(element_at(array_intersect(col("asig"), col("bsig")), 1) ===
+          col("cell_id"))
+        .select(col("vec_a"), col("vec_b"))
+      val ev = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      cand
+        .join(ev.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na")).hint("shuffle_hash"), "vec_a")
+        .join(ev.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")).hint("shuffle_hash"), "vec_b")
+        .withColumn("cos_raw",
+          VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.4499)
+        .filter(round(col("cos_raw"), 6) >= 0.45)
+        .select(col("vec_a"), col("vec_b"))
+    }
+    Dedup.connectedComponents(
+      e.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
+      .withColumnRenamed("label", "cluster_id")
+  }
+
+  /** q_embed_clusters body: the cluster rollup over
+    * [[embedClusterGroups]]. */
+  def embedClustersPlan(s: SparkSession, dir: String,
+                        bruteMax: Long = ClusterBruteMaxN): DataFrame = {
+    val groups = embedClusterGroups(s, dir, bruteMax)
+    val labCnt = groups
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast(LongType).as("lab")),
+        "vec_id")
+      .groupBy(col("cluster_id"), col("lab"))
+      .agg(count(lit(1)).as("c"))
+    labCnt.groupBy(col("cluster_id"))
+      .agg(
+        sum(col("c")).as("n_members"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("c"), (-col("lab")).as("neg"))).as("best"))
+      .select(col("cluster_id"), col("n_members"), col("n_labels"),
+        (-col("best.neg")).as("top_label"),
+        col("best.c").as("top_label_n"),
+        round(col("best.c").cast("double") /
+          col("n_members").cast("double"), 6).as("purity"))
+      .orderBy(col("n_members").desc, col("cluster_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // B47(a) — exact cosine top-k, oracled against DuckDB with the
@@ -1101,48 +1189,21 @@ object Similarity {
     // engines); majority via max(struct(cnt, -label)) — the
     // lexicographic argmax idiom, no window.
     //
-    // Scale: the oracled exemplar derives edges from the brute n²/2
-    // pair scan (norms precomputed, codegen'd dot); the 100 TB path
-    // swaps in q_dedup_semantic's cell-bounded candidates at the same
-    // seam (the pair rule is identical — LlmOpsSpec proves the cell
-    // candidates' recall there). CC shuffles only (id, label) rows per
-    // round and converges in O(log n) rounds (pointer doubling).
+    // Scale: below ClusterBruteMaxN the edges come from the brute n²/2
+    // pair scan (exact, DuckDB-oracled — the gate/bench corpora);
+    // above it the SAME seam swaps in the multi-probe cell-bounded
+    // candidate pipeline (q_dedup_semantic's emit-once form, recall
+    // measured there at 0.92 for this 4-probe rule) — the
+    // corpus-size-driven auto-switch discipline of ivfProbeAssign.
+    // Measured at the 10× probe (20k vectors): 65.8 s brute → cells
+    // bounded (SCALEPROBE r8). Cell edges ⊆ brute edges, so the
+    // scaled clustering is a REFINEMENT of the exact one — LlmOpsSpec
+    // pins that property by forcing the cells path at spec scale.
+    // CC shuffles only (id, label) rows per round and converges in
+    // O(log n) rounds (pointer doubling).
     QueryDef(
       "q_embed_clusters",
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-          .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
-        val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          col("nrm").as("nb"))
-        val pairs = a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos_raw",
-            VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("cos_raw") >= 0.4499) // exact superset prefilter
-          .filter(round(col("cos_raw"), 6) >= 0.45)
-          .select(col("vec_a"), col("vec_b"))
-        val groups = Dedup.connectedComponents(
-          e.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
-          .withColumnRenamed("label", "cluster_id")
-        val labCnt = groups
-          .join(Tables.embeddings(s, dir)
-            .select(col("vec_id"), col("label").cast(LongType).as("lab")),
-            "vec_id")
-          .groupBy(col("cluster_id"), col("lab"))
-          .agg(count(lit(1)).as("c"))
-        labCnt.groupBy(col("cluster_id"))
-          .agg(
-            sum(col("c")).as("n_members"),
-            count(lit(1)).as("n_labels"),
-            max(struct(col("c"), (-col("lab")).as("neg"))).as("best"))
-          .select(col("cluster_id"), col("n_members"), col("n_labels"),
-            (-col("best.neg")).as("top_label"),
-            col("best.c").as("top_label_n"),
-            round(col("best.c").cast("double") /
-              col("n_members").cast("double"), 6).as("purity"))
-          .orderBy(col("n_members").desc, col("cluster_id"))
-      },
+      (s, dir) => embedClustersPlan(s, dir),
       Some(
         s"""WITH RECURSIVE pairs AS (
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -784,5 +784,23 @@ class LlmOpsSpec extends SparkSpec {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.sortBy { case (cid, n, _, _, _, _) => (-n, cid) }
     assert(rows.toSeq == expect, "cluster rollup must replay via union-find")
+
+    // the auto-switch scale path (cell-bounded candidates, forced at
+    // spec scale): cell edges ⊆ brute edges, so its clustering must
+    // REFINE the brute one — members of one cells-cluster always share
+    // a brute cluster
+    val bruteOf = byCluster.toSeq.flatMap { case (cid, members) =>
+      members.toSeq.map(_._1 -> cid) }.toMap
+    val cellGroups = operators.Similarity
+      .embedClusterGroups(spark, sf, bruteMax = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cellGroups.length == vecs.length,
+      "cells clustering must partition the corpus")
+    cellGroups.groupBy(_._2).foreach { case (cid, members) =>
+      val bruteClusters = members.map(m => bruteOf(m._1)).distinct
+      assert(bruteClusters.length == 1,
+        s"cells cluster $cid spans brute clusters $bruteClusters — " +
+          "not a refinement")
+    }
   }
 }
