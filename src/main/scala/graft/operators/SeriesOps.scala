@@ -734,6 +734,102 @@ object SeriesOps {
           |       END) >= 3.5, false) AS is_outlier
           |FROM dev d JOIN mad m USING (event_type)
           |ORDER BY d.event_type, d.hr""".stripMargin)
+    ),
+
+    // Simple-exponential-smoothing FORECAST (the predict leg the
+    // series family was missing): per series, the SES recurrence
+    // s_t = α·x_t + (1−α)·s_{t−1} folded over the hour-ordered counts,
+    // emitting the one-step-ahead forecast (= the final level), its
+    // in-sample one-step MAE, and the skill ratio vs the naive
+    // last-value forecast — the go/no-go diagnostic before trusting
+    // SES on a series.
+    //
+    // Cross-engine float discipline: the fold is a SINGLE sequential
+    // left fold carrying a 2-ELEMENT DOUBLE ARRAY [level, abs-err-sum]
+    // — Spark `aggregate` with the head as init over the tail ≡ DuckDB
+    // 2-arg `list_reduce` (which uses its first element as init); both
+    // engines execute the identical IEEE sequence of *, +, abs (no
+    // libm), so the doubles agree bit-for-bit before the 6dp rounding.
+    // The accumulator is an ARRAY, not a struct, deliberately: DuckDB
+    // v1.0's list_reduce MISCOMPUTES multi-field struct lambdas (a CSE
+    // defect shares the 0.7·acc.s subexpression across fields — the
+    // error field came back as acc.e + 0.7·|el.s − acc.s|, measured on
+    // a 4-element probe); the list-typed accumulator folds correctly.
+    // The naive-MAE terms are |int − int| — exact integer-valued
+    // doubles, order-free. Collection order is total (list(... ORDER
+    // BY hr) / sort_array of (hr, c) structs).
+    //
+    // Scale shape: one map-combined (series × hour) grid aggregate,
+    // then one ARRAY per series (bounded by the time range, never by
+    // event volume) and one O(grid) fold per series.
+    QueryDef(
+      "q_ts_forecast",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_hours"),
+            max(col("hr")).as("last_hr"),
+            sort_array(collect_list(struct(col("hr"),
+              col("c").cast(DoubleType).as("c")))).as("pts"))
+          .withColumn("xs", expr("transform(pts, p -> p.c)"))
+          .withColumn("fold", expr(
+            """aggregate(
+              |  slice(transform(xs, x -> array(x, CAST(0.0 AS DOUBLE))),
+              |        2, size(xs) - 1),
+              |  array(element_at(xs, 1), CAST(0.0 AS DOUBLE)),
+              |  (acc, el) -> array(
+              |    0.3 * element_at(el, 1) + 0.7 * element_at(acc, 1),
+              |    element_at(acc, 2) +
+              |      abs(element_at(el, 1) - element_at(acc, 1))))"""
+              .stripMargin.replaceAll("\n", " ")))
+          .withColumn("naive_sum", expr(
+            """aggregate(
+              |  transform(sequence(2, size(xs)),
+              |    t -> abs(element_at(xs, t) - element_at(xs, t - 1))),
+              |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""
+              .stripMargin.replaceAll("\n", " ")))
+          .select(col("event_type"), col("n_hours"), col("last_hr"),
+            round(element_at(col("fold"), 1), 6).as("forecast"),
+            round(element_at(col("fold"), 2) / (col("n_hours") - 1), 6).as("mae"),
+            round(col("naive_sum") / (col("n_hours") - 1), 6).as("mae_naive"),
+            when(col("naive_sum") > 0,
+              round((element_at(col("fold"), 2) / (col("n_hours") - 1)) /
+                (col("naive_sum") / (col("n_hours") - 1)), 6)).as("skill"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |ser AS (
+          |  SELECT event_type, count(*) AS n_hours, max(hr) AS last_hr,
+          |         list(CAST(c AS DOUBLE) ORDER BY hr) AS xs
+          |  FROM hourly GROUP BY event_type),
+          |folded AS (
+          |  SELECT event_type, n_hours, last_hr, xs,
+          |         list_reduce(
+          |           list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE)]),
+          |           (acc, el) -> [0.3 * el[1] + 0.7 * acc[1],
+          |                         acc[2] + abs(el[1] - acc[1])]) AS fold,
+          |         list_reduce(
+          |           list_prepend(CAST(0.0 AS DOUBLE),
+          |             list_transform(range(2, n_hours + 1),
+          |               t -> abs(xs[t] - xs[t - 1]))),
+          |           (a, b) -> a + b) AS naive_sum
+          |  FROM ser)
+          |SELECT event_type, n_hours, last_hr,
+          |       round(fold[1], 6) AS forecast,
+          |       round(fold[2] / (n_hours - 1), 6) AS mae,
+          |       round(naive_sum / (n_hours - 1), 6) AS mae_naive,
+          |       CASE WHEN naive_sum > 0
+          |            THEN round((fold[2] / (n_hours - 1)) /
+          |                       (naive_sum / (n_hours - 1)), 6)
+          |       END AS skill
+          |FROM folded ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -593,4 +593,35 @@ class GraphSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts forecast: SES fold replays exactly; metrics well-formed") {
+    val rows = q("q_ts_forecast").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hourly = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byType = hourly.groupBy(_._1)
+    rows.foreach { case (et, nHours, forecast, mae, maeNaive, skill) =>
+      val xs = byType(et).sortBy(_._2).map(_._3.toDouble)
+      assert(nHours == xs.length.toLong, s"$et n_hours")
+      var s = xs.head; var e = 0.0
+      xs.tail.foreach { x => e += math.abs(x - s); s = 0.3 * x + 0.7 * s }
+      assert(forecast == r6(s), s"$et forecast $forecast != ${r6(s)}")
+      assert(mae == r6(e / (xs.length - 1)), s"$et mae")
+      val naive = xs.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+      assert(maeNaive == r6(naive / (xs.length - 1)), s"$et mae_naive")
+      if (naive > 0)
+        assert(skill.contains(
+          r6((e / (xs.length - 1)) / (naive / (xs.length - 1)))),
+          s"$et skill")
+      assert(mae >= 0.0 && maeNaive >= 0.0)
+    }
+  }
 }

@@ -112,7 +112,13 @@ class PlanAuditSpec extends SparkSpec {
                             // semi-join + hash-join sized by |E|)
       "q_text_pmi",         // 1-row broadcast (corpus totals attach)
       "q_text_llr",         // 1-row broadcast (bigram total attach)
-      "q_snapshot_cdc")     // 1x1 per-commit insert/delete stat join
+      "q_snapshot_cdc",     // 1x1 per-commit insert/delete stat join
+      "q_eval_retrieval",   // corpus x broadcast 25-query eval set
+                            // (the bounded-query brute ranking the
+                            // metrics are DEFINED over)
+      "q_embed_clusters")   // brute reference form below the
+                            // 10^4-vector auto-switch (scale path =
+                            // cell candidates, LlmOpsSpec refinement)
                             // (manifest-sized, 4 commits)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
