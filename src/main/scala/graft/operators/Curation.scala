@@ -1015,6 +1015,93 @@ object Curation {
           |       a.anchor_label <> CAST(c.label AS BIGINT) AS is_valid
           |FROM anchors a JOIN pos c ON a.tpos = c.pos
           |ORDER BY anchor_id, slot""".stripMargin)
+    ),
+
+    // TEMPERATURE-scaled language sampling (the mBERT/XLM-R α-rule,
+    // Conneau et al. 2020 arXiv:1911.02116 §3): resample so language l
+    // gets share q_l ∝ n_l^α with α = 0.5 — high-resource languages
+    // are damped, low-resource boosted, at a fixed 50% token budget.
+    // α = 0.5 makes the weight exactly sqrt(n) — IEEE-correctly-rounded
+    // on both engines (unlike pow/ln) — and the weight SUM is an exact
+    // micro-int (round(sqrt·1e9) summed as BIGINT, order-free), so the
+    // per-lang keep rate is one shared deterministic double expression.
+    // Membership is the md5-bucket draw of the mixture family: pure
+    // projection, point-wise answerable, no RNG state.
+    //
+    // Scale shape: identical to q_mix_domains — one |langs|-row
+    // broadcast of rates back onto the stream, one partial+final
+    // rollup; the fact side never shuffles for the rate attach.
+    QueryDef(
+      "q_mix_temperature",
+      (s, dir) => {
+        val perLang = Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_micro",
+            round(sqrt(col("n_docs").cast(DoubleType)) * 1e9)
+              .cast(LongType))
+        val tot = perLang.agg(
+          sum(col("n_docs")).as("total"), sum(col("w_micro")).as("sumw"))
+        val rates = perLang.crossJoin(broadcast(tot))
+          .withColumn("q_share",
+            round(col("w_micro").cast(DoubleType) / col("sumw"), 6))
+          .withColumn("rate",
+            least(lit(1.0),
+              lit(0.5) * col("total").cast(DoubleType) *
+                col("w_micro").cast(DoubleType) / col("sumw") /
+                col("n_docs")))
+          .select(col("lang"), col("n_docs"), col("total"),
+            col("q_share"), col("rate"))
+        val bucket = conv(substring(
+          md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast(LongType)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .join(broadcast(rates), "lang")
+          .withColumn("kept", col("bucket") < col("rate") * 65536.0)
+          .groupBy(col("lang"))
+          .agg(
+            first(col("n_docs")).as("n_docs"),
+            round(first(col("n_docs")).cast(DoubleType) /
+              first(col("total")), 6).as("natural_share"),
+            first(col("q_share")).as("temp_share"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            round(first(col("rate")), 6).as("target_rate"))
+          .withColumn("kept_frac",
+            round(col("n_kept").cast(DoubleType) / col("n_docs"), 6))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH per_lang AS (
+          |  SELECT lang, count(*) AS n_docs,
+          |         CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e9)
+          |           AS BIGINT) AS w_micro
+          |  FROM documents GROUP BY lang),
+          |tot AS (
+          |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+          |         CAST(sum(w_micro) AS BIGINT) AS sumw FROM per_lang),
+          |rates AS (
+          |  SELECT lang, n_docs, total,
+          |         round(CAST(w_micro AS DOUBLE) / sumw, 6) AS q_share,
+          |         least(1.0, 0.5 * CAST(total AS DOUBLE)
+          |           * CAST(w_micro AS DOUBLE) / sumw / n_docs) AS rate
+          |  FROM per_lang CROSS JOIN tot),
+          |marked AS (
+          |  SELECT d.lang, r.n_docs, r.total, r.q_share, r.rate,
+          |         CAST(('0x' || substr(md5('temp:' ||
+          |             CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+          |           < r.rate * 65536.0 AS kept
+          |  FROM documents d JOIN rates r USING (lang))
+          |SELECT lang, n_docs,
+          |       round(CAST(n_docs AS DOUBLE) / total, 6) AS natural_share,
+          |       q_share AS temp_share,
+          |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_kept,
+          |       round(rate, 6) AS target_rate,
+          |       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / n_docs,
+          |             6) AS kept_frac
+          |FROM marked GROUP BY lang, n_docs, total, q_share, rate
+          |ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -375,4 +375,45 @@ class CurationSpec extends SparkSpec {
     }
     assert(rows.toSeq == expect.toSeq, "negatives must replay from positions")
   }
+
+  test("temperature mix: sqrt-damping holds; rates and kept sets replay") {
+    val rows = q("q_mix_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = docs.length.toLong
+    val wMicro = byLang.view
+      .mapValues(n => math.round(math.sqrt(n.toDouble) * 1e9)).toMap
+    val sumw = wMicro.values.sum
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (lang, n, natShare, tempShare, nKept, rate) =>
+      assert(n == byLang(lang))
+      assert(natShare == r6(n.toDouble / total))
+      assert(tempShare == r6(wMicro(lang).toDouble / sumw))
+      val wantRate = math.min(1.0,
+        0.5 * total.toDouble * wMicro(lang).toDouble / sumw / n)
+      assert(rate == r6(wantRate), s"$lang rate")
+      // the α-rule's point: damp above-average langs, boost below
+      if (natShare > tempShare + 1e-9)
+        assert(n.toDouble / total > 1.0 / byLang.size,
+          s"$lang damped but not high-resource")
+      // kept set replays point-wise from the md5 draw
+      val expectKept = docs.filter(_._2 == lang).count { case (id, _) =>
+        java.lang.Long.parseLong(md5hex(s"temp:$id").take(4), 16) <
+          wantRate * 65536.0
+      }
+      assert(nKept == expectKept.toLong, s"$lang kept count")
+    }
+    // shares are both distributions
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+  }
 }
