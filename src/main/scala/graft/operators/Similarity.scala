@@ -1238,6 +1238,106 @@ object Similarity {
            |FROM labcnt l JOIN top t USING (cluster_id)
            |GROUP BY l.cluster_id
            |ORDER BY n_members DESC, cluster_id""".stripMargin)
+    ),
+
+    // Per-dimension STANDARDIZATION (the feature-store z-score pass)
+    // with a per-vector z-norm — the embedding-space outlier signal
+    // (a standardized 64-dim vector has E[‖z‖] ≈ √64 = 8; vectors far
+    // above sit off-manifold and are curation candidates). Two stages:
+    //   1. per-dimension moments in ONE map-combined posexplode
+    //      aggregate — Σx and Σx² as exact round(·1e9) BIGINT
+    //      micro-sums (order-free), 64 rows out;
+    //   2. the 64 means/stds collapse to two ARRAYS in a 1-row
+    //      aggregate broadcast back onto the corpus (allowlisted
+    //      scalar-attach), and each vector standardizes in one
+    //      in-projection indexed transform + sequential fold (same
+    //      fold order both engines).
+    // Every derived double (mean, std, each z term) is the identical
+    // IEEE expression over exact integers on both engines; sqrt is
+    // correctly rounded per IEEE 754.
+    //
+    // Scale shape: the moment shuffle carries 64 rows per map
+    // partition; the apply side is a pure projection — the same plan
+    // standardizes a 100 TB corpus in one pass.
+    QueryDef(
+      "q_embed_standardize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val dims = e
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("pos"), col("x").cast("double").as("x"))
+          .groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("x") * 1e9).cast(LongType)).as("s_micro"),
+            sum(round(col("x") * col("x") * 1e9).cast(LongType))
+              .as("q_micro"))
+          .select(col("pos"),
+            (col("s_micro").cast("double") / 1e9 / col("n")).as("mean"),
+            sqrt(col("q_micro").cast("double") / 1e9 / col("n") -
+              pow(col("s_micro").cast("double") / 1e9 / col("n"), 2))
+              .as("std"))
+        val statsRow = dims
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mean)))," +
+              " p -> p.mean)").as("means"),
+            expr("transform(array_sort(collect_list(struct(pos, std)))," +
+              " p -> p.std)").as("stds"))
+        e.crossJoin(broadcast(statsRow))
+          .withColumn("z", expr(
+            """transform(embedding, (x, i) ->
+              |  (CAST(x AS DOUBLE) - element_at(means, i + 1)) /
+              |  element_at(stds, i + 1))"""
+              .stripMargin.replaceAll("\n", " ")))
+          .select(col("vec_id"), col("label").cast(LongType).as("label"),
+            round(sqrt(expr(
+              "aggregate(transform(z, v -> v * v), CAST(0.0 AS DOUBLE), " +
+                "(acc, v) -> acc + v)")), 6).as("z_norm"),
+            round(expr(
+              "aggregate(z, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)") /
+              size(col("z")), 6).as("z_mean"))
+          .withColumn("is_outlier", col("z_norm") > 9.0)
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """WITH xs AS (
+          |  SELECT vec_id, u.p.x AS x, u.p.pos AS pos
+          |  FROM (SELECT vec_id,
+          |          unnest(list_transform(embedding, (x, i) ->
+          |            struct_pack(x := CAST(x AS DOUBLE), pos := i))) AS p
+          |        FROM embeddings) u(vec_id, p)),
+          |dims AS (
+          |  SELECT pos, count(*) AS n,
+          |         CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT))
+          |           AS BIGINT) AS s_micro,
+          |         CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          |             * 1e9) AS BIGINT)) AS BIGINT) AS q_micro
+          |  FROM xs GROUP BY pos),
+          |stats AS (
+          |  SELECT pos,
+          |         CAST(s_micro AS DOUBLE) / 1e9 / n AS mean,
+          |         sqrt(CAST(q_micro AS DOUBLE) / 1e9 / n -
+          |              pow(CAST(s_micro AS DOUBLE) / 1e9 / n, 2)) AS std
+          |  FROM dims),
+          |arrs AS (
+          |  SELECT list(mean ORDER BY pos) AS means,
+          |         list(std ORDER BY pos) AS stds FROM stats),
+          |z AS (
+          |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+          |         list_transform(e.embedding, (x, i) ->
+          |           (CAST(x AS DOUBLE) - a.means[i]) / a.stds[i]) AS zv
+          |  FROM embeddings e CROSS JOIN arrs a)
+          |SELECT vec_id, label,
+          |       round(sqrt(list_reduce(
+          |         list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(zv, v -> v * v)),
+          |         (acc, v) -> acc + v)), 6) AS z_norm,
+          |       round(list_reduce(
+          |         list_prepend(CAST(0.0 AS DOUBLE), zv),
+          |         (acc, v) -> acc + v) / len(zv), 6) AS z_mean,
+          |       round(sqrt(list_reduce(
+          |         list_prepend(CAST(0.0 AS DOUBLE),
+          |           list_transform(zv, v -> v * v)),
+          |         (acc, v) -> acc + v)), 6) > 9.0 AS is_outlier
+          |FROM z ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -803,4 +803,46 @@ class LlmOpsSpec extends SparkSpec {
           "not a refinement")
     }
   }
+
+  test("standardize: z-norms replay from micro-summed moments; outliers consistent") {
+    val rows = q("q_embed_standardize").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(rows.length == vecs.length)
+    val dim = vecs.head._2.length
+    // moments from the same micro-int discipline
+    val n = vecs.length.toLong
+    val means = new Array[Double](dim); val stds = new Array[Double](dim)
+    (0 until dim).foreach { d =>
+      val s = vecs.map(v => math.round(v._2(d) * 1e9)).sum
+      val q2 = vecs.map(v => math.round(v._2(d) * v._2(d) * 1e9)).sum
+      means(d) = s.toDouble / 1e9 / n
+      stds(d) = math.sqrt(q2.toDouble / 1e9 / n - math.pow(means(d), 2))
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = rows.map(r => r._1 -> r).toMap
+    vecs.foreach { case (id, v) =>
+      val z = v.indices.map(d => (v(d) - means(d)) / stds(d))
+      var sq = 0.0; z.foreach(x => sq += x * x)
+      var sm = 0.0; z.foreach(x => sm += x)
+      val (_, zNorm, zMean, outlier) = byId(id)
+      assert(zNorm == r6(math.sqrt(sq)), s"vec $id z_norm")
+      assert(zMean == r6(sm / dim), s"vec $id z_mean")
+      assert(outlier == (zNorm > 9.0), s"vec $id outlier flag")
+    }
+    // standardization property: corpus-level per-dim z mean ~0, var ~1
+    val zAll = vecs.map { case (_, v) =>
+      v.indices.map(d => (v(d) - means(d)) / stds(d)).toArray }
+    (0 until dim).foreach { d =>
+      val col0 = zAll.map(_(d))
+      val m = col0.sum / n
+      val va = col0.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(m) < 1e-6 && math.abs(va - 1.0) < 1e-6,
+        s"dim $d not standardized (m=$m var=$va)")
+    }
+  }
 }

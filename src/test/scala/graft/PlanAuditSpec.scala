@@ -116,9 +116,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_eval_retrieval",   // corpus x broadcast 25-query eval set
                             // (the bounded-query brute ranking the
                             // metrics are DEFINED over)
-      "q_embed_clusters")   // brute reference form below the
+      "q_embed_clusters",   // brute reference form below the
                             // 10^4-vector auto-switch (scale path =
                             // cell candidates, LlmOpsSpec refinement)
+      "q_embed_standardize") // 1-row broadcast (the 64-dim mean/std
+                            // moment arrays attach)
                             // (manifest-sized, 4 commits)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
