@@ -136,6 +136,82 @@ object Maintenance {
     }
   }
 
+  /** Stage the BRANCHED transaction log ONCE per corpus: main history +
+    * an isolated dev branch + a fast-forward merge, plus a CONFLICTING
+    * branch whose merge is refused — the Iceberg branch-ref model
+    * (branch = named pointer with its own commit chain; merge =
+    * disjointness check against main commits since the branch base,
+    * then a normal put-if-absent commit on main).
+    *
+    * Layout: `_log/` main commits, `_log_dev/` + `_log_hot/` branch
+    * commits, `_refs/<name>.json` branch refs (CREATE_NEW — ref
+    * creation is itself put-if-absent), `_refs/hot_merge_rejected.json`
+    * the audit record of the refused merge. Cutoffs as txnRoot:
+    * base < 1998-01-01 ≤ mid < 2000-01-01 ≤ tail. */
+  private def branchRoot(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val (c1, c2) = ("1998-01-01", "2000-01-01")
+    graft.Staging.cached(
+      s"txnbranch_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      import java.nio.file.{Files, Paths}
+      val refs = Paths.get(tgt, "_refs")
+      Files.createDirectories(refs)
+      Seq("_log", "_log_dev", "_log_hot")
+        .foreach(d => Files.createDirectories(Paths.get(tgt, d)))
+      val orders = Tables.orders(s, dir)
+      def commit(log: String, v: Int, writer: String,
+                 adds: Seq[String], lo: String, hi: String): Unit = {
+        val body =
+          s"""{"version":$v,"writer":"$writer","attempt":1,""" +
+            s""""adds":${adds.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""removes":[],"lo":"$lo","hi":"$hi"}"""
+        Files.write(Paths.get(tgt, log, f"v$v%03d.json"),
+          body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+      def writeData(name: String, lo: Option[String],
+                    hi: Option[String]): Unit = {
+        val od = col("o_orderdate")
+        val f = (lo.map(x => od >= lit(x).cast("timestamp")) ++
+          hi.map(x => od < lit(x).cast("timestamp")))
+          .reduce(_ && _)
+        orders.filter(f).coalesce(1).write.mode("overwrite")
+          .parquet(s"$tgt/$name")
+      }
+      // main v0 and the two branch refs at base_version 0
+      writeData("base", None, Some(c1))
+      commit("_log", 0, "base", Seq("base"), "0000-01-01", c1)
+      Seq("dev", "hot").foreach { b =>
+        Files.write(refs.resolve(s"$b.json"),
+          s"""{"name":"$b","base_version":0}""".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+      }
+      // branch commits land in their own chains; main moves on
+      writeData("dev1", Some(c2), None)
+      commit("_log_dev", 1, "dev", Seq("dev1"), c2, "9999-12-31")
+      writeData("hot1", Some(c1), Some(c2)) // overlaps main's m1
+      commit("_log_hot", 1, "hot", Seq("hot1"), c1, c2)
+      writeData("m1", Some(c1), Some(c2))
+      commit("_log", 1, "main", Seq("m1"), c1, c2)
+      // merge dev -> main: every branch range must be disjoint from
+      // every main range committed after the branch base
+      def disjoint(aLo: String, aHi: String,
+                   bLo: String, bHi: String): Boolean =
+        aHi <= bLo || bHi <= aLo
+      require(disjoint(c2, "9999-12-31", c1, c2), "dev merge check")
+      commit("_log", 2, "MERGE(dev)", Seq("dev1"), c2, "9999-12-31")
+      // merge hot -> main: [c1,c2) overlaps main v1's [c1,c2) — refuse
+      // and leave the audit record a lakehouse surfaces to the user
+      if (!disjoint(c1, c2, c1, c2))
+        Files.write(refs.resolve("hot_merge_rejected.json"),
+          (s"""{"name":"hot","reason":"range [$c1,$c2) overlaps """ +
+            s"""main v1 [$c1,$c2) committed after base 0"}""")
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Small-file compaction: a deliberately fragmented landing zone
@@ -830,6 +906,96 @@ object Maintenance {
           |        BETWEEN 20240110 AND 20240120
           |  AND event_type = 'click'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // BRANCH refs over the transaction log (the Iceberg branch/WAP
+    // model): a branch is a named pointer with its own commit chain
+    // rooted at a main version; branch readers resolve main-at-base ∪
+    // branch adds and NEVER see main commits after the base (isolation
+    // — the write-audit-publish workflow's whole point); merge runs the
+    // disjointness check against main commits since the base and then
+    // is an ordinary put-if-absent main commit (fast-forward), while a
+    // conflicting branch's merge is REFUSED with an audit record
+    // (LayoutSpec asserts both the refusal and the isolation).
+    //
+    // The staged history: main v0 (base) → branch dev (tail slice) and
+    // branch hot (mid slice) at base 0 → main v1 (mid slice) → merge
+    // dev = main v2; hot's merge refused (mid ∩ mid). Every view below
+    // resolves from the log fold — file listing is never consulted.
+    //
+    // Scale shape: refs and manifests are metadata (one row per
+    // commit); each view read opens exactly its live files. Branch
+    // cost is O(branch commits), merge cost O(commits since base) —
+    // never a table scan.
+    QueryDef(
+      "q_snapshot_branch",
+      (s, dir) => {
+        val root = branchRoot(s, dir)
+        def logOf(sub: String) = {
+          val p = new java.io.File(s"$root/$sub")
+          if (p.listFiles((_, n) => n.endsWith(".json")).isEmpty)
+            Seq.empty
+          else
+            s.read.json(s"$root/$sub")
+              .select(col("version").cast(LongType), col("writer"),
+                col("adds"))
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getSeq[String](2)))
+              .toSeq.sortBy(_._1)
+        }
+        val main = logOf("_log")
+        def liveMain(v: Long) =
+          main.filter(_._1 <= v).flatMap(_._3)
+        def view(ref: String, v: Long, files: Seq[String]) =
+          s.read.parquet(files.map(n => s"$root/$n"): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("o_totalprice") * 100).cast(LongType))
+                .as("cents"))
+            .select(lit(ref).as("ref"), lit(v).as("version"),
+              col("n_rows"), col("cents"))
+        val mainViews = main.map { case (v, _, _) =>
+          view("main", v, liveMain(v)) }
+        val branchViews = Seq("dev", "hot").flatMap { b =>
+          logOf(s"_log_$b").map { case (bv, _, _) =>
+            // base_version is 0 in the staged refs; a general reader
+            // parses it from _refs/<b>.json — the fold is identical
+            view(b, bv, liveMain(0L) ++
+              logOf(s"_log_$b").filter(_._1 <= bv).flatMap(_._3))
+          }
+        }
+        (mainViews ++ branchViews).reduce(_.unionByName(_))
+          .orderBy(col("ref"), col("version"))
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT 'main' AS ref, CAST(0 AS BIGINT) AS version,
+          |         count(*) AS n_rows,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 'main', 1, count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 'main', 2, count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'dev', 1, count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |     OR o_orderdate >= TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 'hot', 1, count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
+          |ORDER BY ref, version""".stripMargin)
     )
   )
 }

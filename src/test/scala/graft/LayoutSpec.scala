@@ -396,4 +396,38 @@ class LayoutSpec extends SparkSpec {
     assert(!bodies.exists(_.contains("orphan")),
       "no manifest may reference the orphan")
   }
+
+  test("q_snapshot_branch: branch isolates from later main; conflicting merge refused") {
+    val rows = q("q_snapshot_branch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val byKey = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // isolation: the dev branch view was read AFTER main v1 committed,
+    // yet it must not contain main v1's rows — dev@1 = main@0 + tail,
+    // disjoint from main@1's midrange addition
+    val total = sources.Tables.orders(spark, sf).count()
+    assert(byKey(("dev", 1L))._1 ==
+      byKey(("main", 0L))._1 + (total - byKey(("main", 1L))._1),
+      "dev branch must see base + tail, never main's later commit")
+    // the hot branch view equals main@1 logically (same slice)...
+    assert(byKey(("hot", 1L)) == byKey(("main", 1L)),
+      "hot staged the same logical slice as main v1")
+    // ...which is exactly why its merge must have been REFUSED
+    val root = Staging.cached(
+      s"txnbranch_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1) {
+      _ => fail("branch log must already be staged by the query run")
+    }
+    val refused = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_refs", "hot_merge_rejected.json"))
+    assert(refused.contains("overlaps"),
+      s"refusal record must name the overlap: $refused")
+    // the merged main head covers everything exactly once
+    assert(byKey(("main", 2L))._1 == total,
+      "post-merge main must cover all of orders")
+    // and no commit chain contains a hot merge
+    val mainWriters = spark.read.json(s"$root/_log")
+      .select(col("writer")).collect().map(_.getString(0)).toSet
+    assert(mainWriters == Set("base", "main", "MERGE(dev)"),
+      s"main log must contain no hot merge: $mainWriters")
+  }
 }
