@@ -519,6 +519,51 @@ object Relational {
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |WHERE o_orderpriority = '1-URGENT'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // DYNAMIC PARTITION PRUNING: the fact table is laid out
+    // Hive-partitioned by order year; the filter that selects years
+    // lives on a NON-partition attribute of the dimension (tag =
+    // year % 3), so static pruning cannot fire — at 100 TB this is
+    // every star-schema query whose dim filter implies a partition
+    // subset. Spark plans a DynamicPruning subquery into the fact
+    // scan: the dim side's broadcast result prunes fact PARTITION
+    // DIRECTORIES at runtime before any fact bytes are read.
+    // PlanAuditSpec pins `dynamicpruning` in the scan and that the
+    // dim filter stays off the fact side statically.
+    //
+    // The partitioned layout is staged once (pure function of the
+    // corpus — the q_join_bucketed discipline); the query under test
+    // is the star join over it.
+    QueryDef(
+      "q_join_dpp",
+      (s, dir) => {
+        val tag = "dpp_orders_" +
+          s"${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}"
+        val root = graft.Staging.cached(tag, rev = 1) { tgt =>
+          Tables.orders(s, dir)
+            .withColumn("o_year", year(col("o_orderdate")))
+            .write.mode("overwrite").partitionBy("o_year").parquet(tgt)
+        }
+        val fact = s.read.parquet(root)
+        val dim = fact.select(col("o_year")).distinct()
+          .withColumn("tag", pmod(col("o_year"), lit(3)))
+          .filter(col("tag") === 1)
+        fact.join(broadcast(dim), Seq("o_year"))
+          .groupBy(col("o_year").cast(org.apache.spark.sql.types.LongType)
+            .as("o_year"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100)
+              .cast(org.apache.spark.sql.types.LongType)).as("cents"))
+          .orderBy(col("o_year"))
+      },
+      Some(
+        """SELECT year(o_orderdate) AS o_year, count(*) AS n_rows,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |         AS BIGINT) AS cents
+          |FROM orders
+          |WHERE year(o_orderdate) % 3 = 1
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -191,6 +191,15 @@ class PlanAuditSpec extends SparkSpec {
       s"top-50 must not global-sort:\n$p")
   }
 
+  test("q_join_dpp: the fact scan carries a dynamic-pruning subquery") {
+    val p = q("q_join_dpp").queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must be dynamically pruned:\n$p")
+    // and the pruning is on the partition column, at the scan
+    assert(p.contains("PartitionFilters"),
+      s"partition filters must reach the scan:\n$p")
+  }
+
   test("q_join_bucketed joins and aggregates with zero hash exchanges") {
     // both sides bucketed+sorted on the join key: the join AND the
     // per-order aggregate must reuse the bucketing — the only exchange
