@@ -467,6 +467,97 @@ object Maintenance {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // BLOOM-FILTER file skipping — the point-lookup complement of the
+    // min/max manifest above. The staged layout is date-tiled, so a
+    // lookup on l_orderkey gets NOTHING from min/max stats (every file
+    // spans the full key range); a per-file Bloom filter skips files
+    // that provably lack the key — the Parquet bloom-filter /
+    // Iceberg-puffin design. The filter is SIZED TO THE FILE'S
+    // CARDINALITY (m = pow2(16·rows/file), the ndv discipline): a
+    // fixed-size bloom saturates as files grow and silently stops
+    // skipping — the failure mode that matters at 100 TB, where a
+    // needle lookup should touch ~1 file out of millions.
+    //
+    // Everything is relational: bits build in one explode + bit_or
+    // aggregate grouped by (file, word); probing joins the key's k=4
+    // (word, mask) pairs against the manifest and keeps files where
+    // ALL k bits are set. Reading then touches only candidate files.
+    // A bloom can only over-approximate, so the oracle (full-scan
+    // lookup in DuckDB) proves zero false negatives; MaintSpec pins
+    // that files were actually skipped. One probe key is deliberately
+    // absent (max+1) — the skip-everything path.
+    QueryDef(
+      "q_manifest_bloom",
+      (s, dir) => {
+        val layout = graft.Staging.cached(
+          s"manifest_layout_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.lineitem(s, dir)
+            .repartitionByRange(24, col("l_shipdate"))
+            .sortWithinPartitions(col("l_shipdate"))
+            .write.mode("overwrite").parquet(tgt)
+        }
+        val lay = s.read.parquet(layout)
+        // bounds + sizing scalars (one tiny agg, q_manifest_prune's
+        // commit-planning posture)
+        val b = lay.agg(count(lit(1)), min(col("l_orderkey")),
+          max(col("l_orderkey"))).head()
+        val (nRows, loKey, hiKey) = (b.getLong(0), b.getLong(1), b.getLong(2))
+        val mBits = math.max(1024L, java.lang.Long.highestOneBit(
+          16L * math.max(1L, nRows / 24) - 1) * 2).min(1L << 20)
+        val k = 4
+        def hashes(key: org.apache.spark.sql.Column) = (0 until k).map { i =>
+          pmod(xxhash64(key, lit(i)), lit(mBits))
+        }
+        val manifestDir = graft.Staging.dir("q_manifest_bloom")
+        lay.select(input_file_name().as("file"), col("l_orderkey"))
+          .select(col("file"), explode(array(hashes(col("l_orderkey")): _*))
+            .as("h"))
+          .select(col("file"), (col("h") / 64).cast(LongType).as("word"),
+            expr("shiftleft(1L, CAST(h % 64 AS INT))").as("mask"))
+          .groupBy(col("file"), col("word"))
+          .agg(bit_or(col("mask")).as("bits"))
+          .write.mode("overwrite").parquet(manifestDir)
+        // three point lookups: two present, one provably absent
+        val keys = s.createDataFrame(Seq(
+            Tuple1(loKey), Tuple1(hiKey), Tuple1(hiKey + 1)))
+          .toDF("key")
+        val probes = keys
+          .select(col("key"), posexplode(array(hashes(col("key")): _*))
+            .as(Seq("i", "h")))
+          .select(col("key"), (col("h") / 64).cast(LongType).as("word"),
+            expr("shiftleft(1L, CAST(h % 64 AS INT))").as("mask"))
+        val files = s.read.parquet(manifestDir)
+          .join(probes, Seq("word"))
+          .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+          .groupBy(col("file"), col("key"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === k)
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val cand =
+          if (files.isEmpty) lay.filter(lit(false))
+          else s.read.parquet(files.toIndexedSeq: _*)
+        cand
+          .filter(col("l_orderkey").isin(loKey, hiKey, hiKey + 1))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("l_quantity") * 100).cast(LongType))
+              .as("qty_c"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some(
+        """SELECT l_orderkey, count(*) AS n_rows,
+          |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+          |         AS BIGINT) AS qty_c
+          |FROM lineitem
+          |WHERE l_orderkey IN (
+          |        (SELECT min(l_orderkey) FROM lineitem),
+          |        (SELECT max(l_orderkey) FROM lineitem),
+          |        (SELECT max(l_orderkey) + 1 FROM lineitem))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Data-quality audit: a declared rule catalog (uniqueness, range,
     // format, referential integrity) evaluated across three tables,
     // one result row per rule with exact violation counts. This is the

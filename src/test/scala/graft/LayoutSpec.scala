@@ -430,4 +430,56 @@ class LayoutSpec extends SparkSpec {
     assert(mainWriters == Set("base", "main", "MERGE(dev)"),
       s"main log must contain no hot merge: $mainWriters")
   }
+
+  test("q_manifest_bloom: lookups correct, bloom skips files, no false negatives") {
+    val rows = q("q_manifest_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the query itself ran the manifest build; replay its probe here
+    val layout = Staging.cached(
+      s"manifest_layout_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}",
+      rev = 1) { _ => fail("layout must already be staged") }
+    val lay = spark.read.parquet(layout)
+    val b = lay.agg(count(lit(1)), min(col("l_orderkey")),
+      max(col("l_orderkey"))).head()
+    val (nRows, loKey, hiKey) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    // both present keys report their true row counts
+    val truth = lay.filter(col("l_orderkey").isin(loKey, hiKey))
+      .groupBy(col("l_orderkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.toMap == truth, "lookup must equal the full-scan truth")
+    // replay the candidate-file selection from the written manifest
+    val mBits = math.max(1024L, java.lang.Long.highestOneBit(
+      16L * math.max(1L, nRows / 24) - 1) * 2).min(1L << 20)
+    val keysDf = spark.createDataFrame(Seq(
+      Tuple1(loKey), Tuple1(hiKey), Tuple1(hiKey + 1))).toDF("key")
+    val probes = keysDf.select(col("key"),
+        explode(array((0 until 4).map(i =>
+          pmod(xxhash64(col("key"), lit(i)), lit(mBits))): _*)).as("h"))
+      .select(col("key"), (col("h") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(h % 64 AS INT))").as("mask"))
+    val man = spark.read.parquet(Staging.dir("q_manifest_bloom"))
+    val candByKey = man.join(probes, Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+      .groupBy(col("file"), col("key")).count()
+      .filter(col("count") === 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nFiles = man.select(col("file")).distinct().count()
+    // the bloom must genuinely skip: candidates for each key are a
+    // strict minority of the tiled files (the key lives in ~1 file)
+    Seq(loKey, hiKey).foreach { k =>
+      val cand = candByKey.filter(_._2 == k).map(_._1).toSet
+      assert(cand.nonEmpty && cand.size * 2 < nFiles,
+        s"key $k: ${cand.size} of $nFiles files — bloom not skipping")
+      // no false negatives: every file truly containing k is candidate
+      val actual = lay.filter(col("l_orderkey") === k)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(actual.subsetOf(cand),
+        s"key $k: bloom dropped a file that contains it")
+    }
+    // the absent key matches at most a few fp files
+    val absent = candByKey.filter(_._2 == hiKey + 1).map(_._1).toSet
+    assert(absent.size * 2 < nFiles,
+      s"absent key matched ${absent.size} of $nFiles files")
+  }
 }
