@@ -254,6 +254,95 @@ object TpchReports {
           |JOIN orders   ON sq.l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |ORDER BY sum_qty_c DESC, o_orderkey LIMIT 100""".stripMargin)
+    ),
+
+    // TPC-H Q15 (top supplier): suppliers whose quarter revenue equals
+    // the maximum — the max-of-aggregate shape (the original uses a
+    // VIEW + scalar subquery). Revenue stays exact cents, so the
+    // max-equality join cannot ride a float tie; the max itself is a
+    // bounded driver-side scalar off the per-supplier aggregate (the
+    // lmscore |V| posture) and the winner set is a filter, not a sort.
+    QueryDef(
+      "q_tpch_q15",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(cents(revenue).as("total_rev_c"))
+          .localCheckpoint() // feeds the max scalar AND the winner filter
+        val maxRev = rev.agg(max(col("total_rev_c"))).head().getLong(0)
+        rev.filter(col("total_rev_c") === maxRev)
+          .join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))
+          |      * 100) AS BIGINT)) AS BIGINT) AS total_rev_c
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_rev_c
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)
+    ),
+
+    // TPC-H Q22 (global sales opportunity): customers with
+    // above-average positive balance and no RECENT orders (every
+    // fixture customer has some order, so the anti join tests the
+    // last-two-years activity window — the original's "no orders in
+    // 7 years" intent at this data's time span) — scalar threshold +
+    // anti join, reported per market segment (the slim fixture's
+    // stand-in for the original's phone country code). The threshold
+    // compares exact customer cents against the exact-cents-derived
+    // average (one shared double), so both engines draw the identical
+    // prospect line; the no-orders test is a LEFT ANTI join that
+    // shuffles only the order keys.
+    QueryDef(
+      "q_tpch_q22",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast(LongType).as("bal_c"))
+        // exact-cents average of the positive balances (driver scalar)
+        val t = c.filter(col("bal_c") > 0)
+          .agg(sum(col("bal_c")), count(lit(1))).head()
+        val avgC = t.getLong(0).toDouble / t.getLong(1)
+        c.filter(col("bal_c").cast("double") > avgC)
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("bal_c")).as("total_bal_c"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(
+        """WITH bal AS (
+          |  SELECT c_custkey, c_mktsegment,
+          |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          |  FROM customer),
+          |thr AS (
+          |  SELECT CAST(CAST(sum(bal_c) AS BIGINT) AS DOUBLE)
+          |           / count(*) AS avg_c
+          |  FROM bal WHERE bal_c > 0)
+          |SELECT c_mktsegment, count(*) AS n_cust,
+          |       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+          |FROM bal, thr
+          |WHERE CAST(bal_c AS DOUBLE) > avg_c
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = bal.c_custkey
+          |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
     )
   )
 }

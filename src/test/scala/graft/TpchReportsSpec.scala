@@ -144,4 +144,39 @@ class TpchReportsSpec extends SparkSpec {
       .sortBy { case (ok, qc) => (-qc, ok) }.take(100)
     assert(rows.toSeq == expect, "Q18 survivor set must replay")
   }
+
+  test("tpch q15: winners achieve exactly the max quarter revenue") {
+    val rows = q("q_tpch_q15").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val lo = ms("1996-01-01"); val hi = ms("1996-04-01")
+    // quarter filter is on the SHIP date of each line
+    val bySupp = lines.collect {
+      case (_, sk, rc, sm, _, _) if sm >= lo && sm < hi => (sk, rc)
+    }.groupBy(_._1).map { case (sk, g) => (sk, g.map(_._2).sum) }
+    val maxRev = bySupp.values.max
+    val expect = bySupp.filter(_._2 == maxRev).toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, "Q15 winner set must replay")
+  }
+
+  test("tpch q22: prospects have above-avg balance and no recent orders") {
+    val rows = q("q_tpch_q22").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val cust = sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), centsOf(r.getDouble(2))))
+    val pos = cust.filter(_._3 > 0)
+    val avgC = pos.map(_._3).sum.toDouble / pos.length
+    val recent = sources.Tables.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val expect = cust
+      .filter(c => c._3.toDouble > avgC && !recent(c._1))
+      .groupBy(_._2).map { case (seg, g) =>
+        (seg, g.length.toLong, g.map(_._3).sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, "Q22 prospect rollup must replay")
+  }
 }
