@@ -786,16 +786,24 @@ object SeriesOps {
               |    element_at(acc, 2) +
               |      abs(element_at(el, 1) - element_at(acc, 1))))"""
               .stripMargin.replaceAll("\n", " ")))
+          // size >= 2 guard: Spark's sequence(2, 1) is DESCENDING and
+          // element_at(xs, 2) would ANSI-error on a 1-hour series; a
+          // single observation has no one-step errors (NULL metrics),
+          // matching DuckDB's empty range(2, 2)
           .withColumn("naive_sum", expr(
-            """aggregate(
+            """CASE WHEN size(xs) >= 2 THEN aggregate(
               |  transform(sequence(2, size(xs)),
               |    t -> abs(element_at(xs, t) - element_at(xs, t - 1))),
-              |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""
+              |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END"""
               .stripMargin.replaceAll("\n", " ")))
           .select(col("event_type"), col("n_hours"), col("last_hr"),
             round(element_at(col("fold"), 1), 6).as("forecast"),
-            round(element_at(col("fold"), 2) / (col("n_hours") - 1), 6).as("mae"),
-            round(col("naive_sum") / (col("n_hours") - 1), 6).as("mae_naive"),
+            when(col("n_hours") > 1,
+              round(element_at(col("fold"), 2) / (col("n_hours") - 1), 6))
+              .as("mae"),
+            when(col("n_hours") > 1,
+              round(col("naive_sum") / (col("n_hours") - 1), 6))
+              .as("mae_naive"),
             when(col("naive_sum") > 0,
               round((element_at(col("fold"), 2) / (col("n_hours") - 1)) /
                 (col("naive_sum") / (col("n_hours") - 1)), 6)).as("skill"))
@@ -823,8 +831,11 @@ object SeriesOps {
           |  FROM ser)
           |SELECT event_type, n_hours, last_hr,
           |       round(fold[1], 6) AS forecast,
-          |       round(fold[2] / (n_hours - 1), 6) AS mae,
-          |       round(naive_sum / (n_hours - 1), 6) AS mae_naive,
+          |       CASE WHEN n_hours > 1
+          |            THEN round(fold[2] / (n_hours - 1), 6) END AS mae,
+          |       CASE WHEN n_hours > 1
+          |            THEN round(naive_sum / (n_hours - 1), 6) END
+          |         AS mae_naive,
           |       CASE WHEN naive_sum > 0
           |            THEN round((fold[2] / (n_hours - 1)) /
           |                       (naive_sum / (n_hours - 1)), 6)

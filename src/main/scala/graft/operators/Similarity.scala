@@ -1122,9 +1122,16 @@ object Similarity {
             min(when(rel, col("rnk"))).as("first_rel"))
           .join(broadcast(labelCounts), "qlabel")
           .withColumn("n_rel", col("lc") - 1)
+          // n_rel >= 1 guard: sequence(1, 0) is DESCENDING in Spark
+          // ([1, 0] — it steps -1 when start > stop), which would feed
+          // log2(1)=0 into the division and ANSI-error on the cast; a
+          // label with no other member must yield idcg 0 (→ ndcg 0.0),
+          // matching DuckDB's empty range(1, 1)
           .withColumn("idcg_micro", expr(
-            """aggregate(sequence(1L, least(10L, n_rel)), 0L,
-              |(acc, i) -> acc + CAST(round(1e6 / log2(i + 1)) AS LONG))"""
+            """CASE WHEN n_rel >= 1 THEN
+              |  aggregate(sequence(1L, least(10L, n_rel)), 0L,
+              |    (acc, i) -> acc + CAST(round(1e6 / log2(i + 1)) AS LONG))
+              |ELSE 0L END"""
               .stripMargin.replaceAll("\n", " ")))
           .select(col("qid"), col("qlabel"), col("n_rel"), col("hits"),
             round(col("hits").cast("double") / 10.0, 6).as("p10"),

@@ -1059,7 +1059,16 @@ object Streams {
                   m.contains("\"writer\":\"stream\"") &&
                     m.contains(s""""batch":$batchId,"""))
                 if (!done) {
-                  if (batchId == 1L) {
+                  // the side writer carries its OWN idempotence key: a
+                  // batch-1 redelivery after the side commit landed but
+                  // before the stream's rebased commit did (driver
+                  // crash between the two tryCommits) re-enters with
+                  // done=false, and without this guard would commit
+                  // "side" at a second version — the log would then
+                  // resolve the side file twice
+                  val sideDone = manifests().exists(
+                    _.contains("\"writer\":\"batch_side\""))
+                  if (batchId == 1L && !sideDone) {
                     // deterministic CONCURRENT batch writer: wins the
                     // next version while the stream holds its snapshot
                     val side = s.range(1, 6)
