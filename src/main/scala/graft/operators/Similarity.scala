@@ -281,11 +281,7 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell_id"))
     if (!useHier || nCells <= 64) {
       // flat ranking: exact nProbe-nearest cells
-      vectors.crossJoin(broadcast(cents))
-        .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
-        .withColumn("probe_rank", row_number().over(w).cast(LongType))
-        .filter(col("probe_rank") <= nProbe)
-        .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
+      probeAssignToCentroids(vectors, idCol, vecCol, cents, nProbe)
     } else {
       // Two-level coarse quantizer (the IMI/IVF-tree shape): cluster
       // the CENTROIDS into ~√nCells super-cells (tiny second k-means
@@ -329,6 +325,23 @@ object Similarity {
         .filter(col("probe_rank") <= nProbe)
         .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
     }
+  }
+
+  /** Flat probe-ranking against a GIVEN centroid table: every vector's
+    * nProbe nearest cells by exact cosine (ties to the lowest cell id).
+    * The probed half of the train/add split — shared by
+    * [[ivfProbeAssign]]'s flat branch and the incremental-index query
+    * so a probe-window or tie-break retune applies to both. */
+  def probeAssignToCentroids(vectors: DataFrame, idCol: String,
+                             vecCol: String, cents: DataFrame,
+                             nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cell_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFns.cosineFast(col(vecCol), col("cent")))
+      .withColumn("probe_rank", row_number().over(w).cast(LongType))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cell_id"), col("probe_rank"))
   }
 
   /** Primary-cell assignment against a GIVEN centroid table — the faiss
@@ -1045,13 +1058,8 @@ object Similarity {
         val index = s.read.parquet(s"$standing/assign")
         val batch = e.filter(isBatch)
           .select(col("vec_id"), col("embedding"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cell_id"))
-        val probes = batch.crossJoin(broadcast(cents))
-          .withColumn("sim",
-            VectorFns.cosineFast(col("embedding"), col("cent")))
-          .withColumn("probe_rank", row_number().over(w).cast(LongType))
-          .filter(col("probe_rank") <= 6)
+        val probes = probeAssignToCentroids(batch, "vec_id", "embedding",
+            cents, nProbe = 6)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
             col("cell_id"))
         val wq = Window.partitionBy(col("qid"))
