@@ -70,8 +70,8 @@ object Maintenance {
     * real put-if-absent conflict + rebase and an OPTIMIZE rewrite.
     * Shared by q_snapshot_txn (time travel) and q_snapshot_cdc (the
     * change feed). Cutoffs: base < 1998-01-01 ≤ A < 2000-01-01 ≤ B. */
-  private def txnRoot(s: org.apache.spark.sql.SparkSession,
-                      dir: String): String = {
+  private[graft] def txnRoot(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String = {
     val (c1, c2) = ("1998-01-01", "2000-01-01")
     graft.Staging.cached(
       s"txnlog_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",

@@ -1126,6 +1126,104 @@ object Streams {
           |  SELECT 'side_load' AS event_type, (i + 1) * 10.0 AS value
           |  FROM range(0, 5) t(i))
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // CDC APPLY — the CONSUMER leg of the transaction log: the commit
+    // manifests themselves are ingested AS A STREAM (file source over
+    // `_log/`, maxFilesPerTrigger=1 → ~one micro-batch per commit) and
+    // applied to a downstream mirror with exactly-once semantics. The
+    // mirror's state is the (high-watermark, live-file-set) pair:
+    //  - commits apply strictly IN VERSION ORDER — out-of-order
+    //    arrivals (the file source orders by mtime, not name) park in
+    //    a pending buffer until the next contiguous version lands;
+    //  - a replayed commit (version ≤ watermark) is a no-op — the
+    //    foreachBatch idempotence contract;
+    //  - each applied version records the mirror aggregate, so the
+    //    output is the consumer's view after every commit — which
+    //    must equal q_snapshot_txn's time-travel reads exactly (the
+    //    Streams2Spec cross-query pin, and the shared oracle).
+    // This is how a warehouse follows a lakehouse table: subscribe to
+    // the log, never re-scan snapshots; per-commit work is O(changed
+    // files) + one manifest row.
+    QueryDef(
+      "q_stream_cdc_apply",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        val root = graft.operators.Maintenance.txnRoot(s, dir)
+        val uniq = sinkSeq.incrementAndGet()
+        // (high watermark, live set) + parked out-of-order commits
+        val state = new java.util.concurrent.atomic.AtomicReference(
+          (-1L, Seq.empty[String]))
+        val pending = new java.util.concurrent.ConcurrentHashMap[
+          Long, (String, Seq[String], Seq[String])]()
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, String, Long, Long)]()
+        val manifestSchema = "version LONG, writer STRING, attempt LONG, " +
+          "adds ARRAY<STRING>, removes ARRAY<STRING>, lo STRING, hi STRING"
+        val q = s.readStream.schema(manifestSchema)
+          .option("maxFilesPerTrigger", "1")
+          .json(s"$root/_log")
+          .writeStream
+          .option("checkpointLocation",
+            graft.Staging.dir(s"cdc_apply_ck_$uniq"))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              // manifest rows are metadata-sized; park then drain
+              batch.collect().foreach { r =>
+                pending.put(r.getLong(0),
+                  (r.getString(1), r.getSeq[String](3), r.getSeq[String](4)))
+              }
+              var advanced = true
+              while (advanced) {
+                val (hw, live) = state.get()
+                Option(pending.remove(hw + 1)) match {
+                  case Some((writer, adds, removes)) =>
+                    val newLive = live.filterNot(removes.contains) ++ adds
+                    state.set((hw + 1, newLive))
+                    val agg = s.read
+                      .parquet(newLive.map(n => s"$root/$n"): _*)
+                      .agg(count(lit(1)),
+                        sum(round(col("o_totalprice") * 100)
+                          .cast("long")))
+                      .head()
+                    results.add((hw + 1, writer,
+                      agg.getLong(0), agg.getLong(1)))
+                  case None => advanced = false
+                }
+              }
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        results.iterator().asScala.toSeq
+          .toDF("version", "writer", "n_rows", "cents")
+          .orderBy(col("version"))
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS version, 'base' AS writer,
+          |         count(*) AS n_rows,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 1, 'A', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 2, 'B', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 3, 'OPT', count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders)
+          |ORDER BY version""".stripMargin)
     )
   )
 }

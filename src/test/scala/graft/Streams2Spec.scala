@@ -219,4 +219,18 @@ class Streams2Spec extends SparkSpec {
     assert(withheld.nonEmpty,
       "some unmatched in-horizon purchase must be withheld in state")
   }
+
+  test("cdc apply: the streamed consumer's views equal the time-travel reads") {
+    val applied = q("q_stream_cdc_apply").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // strictly ordered, contiguous versions — the in-order apply ran
+    assert(applied.map(_._1).toSeq == applied.indices.map(_.toLong),
+      s"versions must apply contiguously in order: ${applied.toSeq}")
+    // cross-query pin: the consumer's view after each commit must
+    // equal the snapshot reader's time travel to that version
+    val snapshots = q("q_snapshot_txn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(applied.toSeq == snapshots.toSeq,
+      "CDC apply must reconstruct exactly the snapshot history")
+  }
 }
