@@ -28,6 +28,7 @@ object Registry {
       operators.Relational.defs ++
       operators.Analytics.defs ++
       operators.TpchReports.defs ++
+      operators.TpchReports2.defs ++
       operators.Aggregates.defs ++
       operators.Windows.defs ++
       operators.SetOps.defs ++
