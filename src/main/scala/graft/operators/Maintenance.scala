@@ -364,6 +364,63 @@ object Maintenance {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Merge-on-read purge via DELETION VECTORS — the complement of
+    // q_purge_rewrite's copy-on-write: instead of re-encoding every
+    // affected partition, record the deleted ROW POSITIONS per file in
+    // a sidecar table and apply them at read time. This is the
+    // Delta/Iceberg v2 deletion-vector contract: delete cost is
+    // O(deleted rows) metadata — ZERO data files are rewritten (the
+    // LayoutSpec pin) — and the read applies each file's vector during
+    // its own scan. Positions come from the file source's
+    // `_metadata.row_index` (stable per file), the sidecar is one row
+    // per affected file (bounded by the file count, so it broadcasts),
+    // and membership is an in-projection `array_contains` against the
+    // file's sorted positions — production swaps the array for a
+    // roaring bitmap, same join shape. A reader of the raw zone minus
+    // the vectors must equal the table minus the tombstoned users.
+    QueryDef(
+      "q_purge_dv",
+      (s, dir) => {
+        val nBuckets = 16
+        def bucket(c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(c, lit(7L)), lit(nBuckets.toLong))
+        val landing = graft.Staging.cached(
+          s"purge_landing_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.events(s, dir)
+            .withColumn("ub", bucket(col("user_id")))
+            .write.mode("overwrite").partitionBy("ub").parquet(tgt)
+        }
+        // build the vectors: one sidecar row per file that contains a
+        // tombstoned row — positions sorted so the apply-side probe
+        // (and any bitmap encoding of it) is deterministic
+        val dvDir = graft.Staging.dir("q_purge_dv")
+        s.read.parquet(landing)
+          .filter(col("user_id") % 5 === 2)
+          .groupBy(col("_metadata.file_path").as("file_path"))
+          .agg(sort_array(collect_list(col("_metadata.row_index")))
+            .as("positions"),
+            count(lit(1)).as("dv_card"))
+          .write.mode("overwrite").parquet(dvDir)
+        // merge-on-read: each file's scan minus its vector; files
+        // without a vector stream through untouched (null dv)
+        val dv = s.read.parquet(dvDir)
+        s.read.parquet(landing)
+          .withColumn("file_path", col("_metadata.file_path"))
+          .withColumn("row_index", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("file_path"), "left_outer")
+          .filter(col("positions").isNull ||
+            !array_contains(col("positions"), col("row_index")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM events WHERE user_id % 5 <> 2
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // Z-order clustering: bit-interleave (user_id, day) into a z-value,
     // range-partition + sort the write on it, and every output file
     // covers a compact 2-D TILE instead of a stripe — so a filter on

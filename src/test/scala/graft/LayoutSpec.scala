@@ -138,6 +138,49 @@ class LayoutSpec extends SparkSpec {
       .filter(col("user_id") % 7 === 3).count() == 0)
   }
 
+  test("q_purge_dv: zero data files rewritten; vectors account for every tombstoned row") {
+    val landing = new java.io.File(Staging.cached(
+      s"purge_landing_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1)(_ => ()))
+    def snapshot(root: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    q("q_purge_rewrite").collect() // ensure the landing zone exists first
+    val before = snapshot(landing)
+    val rows = q("q_purge_dv").collect()
+    // merge-on-read: the data zone is UNTOUCHED — no file added,
+    // removed, resized, or re-written
+    assert(snapshot(landing) == before,
+      "deletion vectors must not rewrite any data file")
+    // the sidecar accounts for exactly the tombstoned rows, and every
+    // recorded position is a valid, unique row index of its file
+    val dv = spark.read.parquet(Staging.dir("q_purge_dv"))
+      .select(col("file_path"), col("positions"), col("dv_card")).collect()
+    val tombstoned = spark.read.parquet(landing.toString)
+      .filter(col("user_id") % 5 === 2).count()
+    assert(dv.map(_.getLong(2)).sum == tombstoned,
+      "vector cardinalities must sum to the tombstoned row count")
+    dv.foreach { r =>
+      val pos = r.getSeq[Long](1)
+      assert(pos.length == r.getLong(2) && pos.distinct.length == pos.length,
+        "positions must be unique and match the declared cardinality")
+      assert(pos == pos.sorted, "positions must be sorted for the probe")
+    }
+    // and the merge-on-read result equals the COW rewrite's contract:
+    // table minus the tombstoned users
+    val expect = sources.Tables.events(spark, sf)
+      .filter(col("user_id") % 5 =!= 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(org.apache.spark.sql.functions.sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type")).collect()
+    assert(rows.toSeq == expect.toSeq, "MOR read must equal table-minus-tombstones")
+  }
+
   test("q_layout_zorder: z-clustered files skip on the second dim; 1-d sort cannot") {
     q("q_layout_zorder").collect() // materializes the z layout
     def fileStats(path: String): Array[(Long, Long, Int, Int)] =
