@@ -846,6 +846,86 @@ object Graph {
           |JOIN degk du ON du.src = u
           |JOIN degk dv ON dv.src = v
           |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)
+    ),
+
+    // HITS hubs & authorities over the DIRECTED supplier→part graph,
+    // 3 fixed rounds from hub₀ = 1. Run UNNORMALIZED, the whole
+    // iteration is EXACT INTEGER arithmetic (auth₁ is the in-degree,
+    // every later score a sum of integer scores) — no per-round float
+    // normalization, so unlike float PageRank there is NO summation
+    // order to disagree on, ever. Scores ride in DECIMAL(38,0) to
+    // mirror DuckDB's HUGEINT widening (the q_ts_autocorr discipline:
+    // Σhub₃ ≈ 6e15 at sf0.1 and grows ~10× per 10× edges — BIGINT
+    // would cliff under ANSI at a 30× probe). Normalization happens
+    // once, at the end: share × |kind| (mean 1.0, the PageRank
+    // emission convention), one shared double expression from exact
+    // integers. Per round: the |S|- or |P|-row score vector joins the
+    // staged edge list (broadcast — the vector is the SMALL side) and
+    // map-combines into the next vector; per-round cost is one |E|
+    // pass, state is |V| rows, lineage cut per round.
+    QueryDef(
+      "q_graph_hits",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val pairs = edgeList(s, dir)
+          .where(col("src") % 2 === 0) // the supplier→part direction
+          .select((col("src") / 2).cast(LongType).as("sk"),
+            ((col("dst") - 1) / 2).cast(LongType).as("pk"))
+          .localCheckpoint()
+        var hub = pairs.select(col("sk").as("hs")).distinct()
+          .withColumn("h", lit(1).cast(dec)).localCheckpoint()
+        var auth: DataFrame = null
+        for (_ <- 1 to 3) {
+          auth = pairs.join(broadcast(hub), col("sk") === col("hs"))
+            .groupBy(col("pk").as("ap"))
+            .agg(sum(col("h")).cast(dec).as("a"))
+            .localCheckpoint()
+          hub = pairs.join(broadcast(auth), col("pk") === col("ap"))
+            .groupBy(col("sk").as("hs"))
+            .agg(sum(col("a")).cast(dec).as("h"))
+            .localCheckpoint()
+        }
+        // bounded scalars (|S| and |P| row aggregates, the Q15 posture)
+        val ht = hub.agg(sum(col("h")), count(lit(1))).head()
+        val at = auth.agg(sum(col("a")), count(lit(1))).head()
+        val (hSum, hN) = (ht.getDecimal(0).doubleValue(), ht.getLong(1))
+        val (aSum, aN) = (at.getDecimal(0).doubleValue(), at.getLong(1))
+        hub.select(concat(lit("s"), col("hs").cast("string")).as("node"),
+            lit("hub").as("kind"),
+            round(col("h").cast("double") * hN / hSum, 6).as("score"))
+          .unionAll(auth.select(
+            concat(lit("p"), col("ap").cast("string")).as("node"),
+            lit("auth").as("kind"),
+            round(col("a").cast("double") * aN / aSum, 6).as("score")))
+          .orderBy(col("node"))
+      },
+      Some(
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+          |h0 AS (SELECT DISTINCT sk AS hs, CAST(1 AS HUGEINT) AS h FROM pairs),
+          |a1 AS MATERIALIZED (SELECT pk AS ap, sum(h) AS a
+          |  FROM pairs JOIN h0 ON hs = sk GROUP BY pk),
+          |h1 AS MATERIALIZED (SELECT sk AS hs, sum(a) AS h
+          |  FROM pairs JOIN a1 ON ap = pk GROUP BY sk),
+          |a2 AS MATERIALIZED (SELECT pk AS ap, sum(h) AS a
+          |  FROM pairs JOIN h1 ON hs = sk GROUP BY pk),
+          |h2 AS MATERIALIZED (SELECT sk AS hs, sum(a) AS h
+          |  FROM pairs JOIN a2 ON ap = pk GROUP BY sk),
+          |a3 AS MATERIALIZED (SELECT pk AS ap, sum(h) AS a
+          |  FROM pairs JOIN h2 ON hs = sk GROUP BY pk),
+          |h3 AS MATERIALIZED (SELECT sk AS hs, sum(a) AS h
+          |  FROM pairs JOIN a3 ON ap = pk GROUP BY sk),
+          |hn AS (SELECT CAST(sum(h) AS DOUBLE) AS tot, count(*) AS n FROM h3),
+          |an AS (SELECT CAST(sum(a) AS DOUBLE) AS tot, count(*) AS n FROM a3)
+          |SELECT node, kind, score FROM (
+          |  SELECT 's' || CAST(hs AS VARCHAR) AS node, 'hub' AS kind,
+          |         round(CAST(h AS DOUBLE) * hn.n / hn.tot, 6) AS score
+          |  FROM h3, hn
+          |  UNION ALL
+          |  SELECT 'p' || CAST(ap AS VARCHAR), 'auth',
+          |         round(CAST(a AS DOUBLE) * an.n / an.tot, 6)
+          |  FROM a3, an)
+          |ORDER BY node""".stripMargin)
     )
   )
 }

@@ -29,6 +29,41 @@ class GraphSeriesSpec extends SparkSpec {
     assert(prs.toSeq == again.toSeq, "fixed-iteration ranks must replay exactly")
   }
 
+  test("hits: exact-integer replay of all three rounds; shares mean to 1") {
+    val rows = q("q_graph_hits").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // first-principles driver replay with BigInt (no width ceiling)
+    val pairs = sources.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = pairs.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      auth = pairs.groupBy(_._2).map { case (p, g) =>
+        p -> g.map(x => hub(x._1)).sum }
+      hub = pairs.groupBy(_._1).map { case (s, g) =>
+        s -> g.map(x => auth(x._2)).sum }
+    }
+    def shares(m: Map[Long, BigInt], pfx: String) = {
+      val tot = m.values.sum.toDouble
+      m.map { case (k, v) =>
+        (pfx + k) -> BigDecimal(v.toDouble * m.size / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    }
+    val expect = (shares(hub, "s") ++ shares(auth, "p")).toMap
+    assert(rows.length == expect.size, "one row per node")
+    rows.foreach { case (node, kind, sc) =>
+      assert(kind == (if (node.startsWith("s")) "hub" else "auth"))
+      assert(math.abs(sc - expect(node)) <= 1e-6,
+        s"$node: $sc != ${expect(node)}")
+    }
+    // normalization contract: shares of each kind average to 1.0
+    Seq("hub", "auth").foreach { k =>
+      val xs = rows.filter(_._2 == k).map(_._3)
+      assert(math.abs(xs.sum / xs.length - 1.0) < 1e-4, s"$k mean")
+    }
+  }
+
   test("interpolation: full grid, observed hours untouched, gaps bounded by neighbors") {
     val rows = q("q_ts_interpolate").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
