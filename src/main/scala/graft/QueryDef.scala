@@ -43,6 +43,7 @@ object Registry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
+      operators.TextSimilarity.defs ++
       operators.Multimodal.defs ++
       operators.Curation.defs ++
       operators.Maintenance.defs ++

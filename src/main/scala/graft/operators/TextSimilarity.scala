@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.QueryDef
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Sparse document-to-document similarity — the tf-idf/inverted-index
+  * complement of the dense-embedding retrieval in Similarity.scala.
+  * The shape a pipeline runs when it wants lexical near-neighbors
+  * (attribution, contamination forensics, related-document feeds)
+  * without paying for an embedding pass over the corpus.
+  */
+object TextSimilarity {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sparse cosine top-5 per query doc over tf-idf weights. A FIXED
+    // bounded query set (doc_id ≡ 7 mod 100, < 5000 — ≤50 queries at
+    // any corpus size, the q_text_bm25 rule: an unbounded query side
+    // makes the term join quadratic) scores against the whole corpus
+    // through the TERM-KEYED posting join, so candidate volume is
+    // Σ_q Σ_{t∈q} df(t) — the high-df pruning lever applies at real
+    // vocabulary sizes (this fixture's 31-word vocabulary sits above
+    // any sane cut, as documented at q_text_bm25).
+    //
+    // Cross-engine float discipline: the dot product and both squared
+    // norms are data-dependent-order sums of double terms, so every
+    // per-term contribution is frozen to a micro-int
+    // (CAST(round(x*1e9) AS BIGINT)) and summed exactly; doubles
+    // reappear only in the final one-association cosine expression,
+    // rounded 6 dp BEFORE the rank (cross-engine-stable order). The
+    // per-query top-5 row_number lowers to the bounded TopKPerKey
+    // operator via RewriteRowNumberTopK.
+    QueryDef(
+      "q_text_docsim",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        val tf = docs
+          .select(col("doc_id"), explode(col("ts")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        // tf-idf weight per (doc, term); the raw double is a pure
+        // scalar function of exact integers — identical on both engines
+        val weights = tf.join(dfq, "term")
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"),
+            (col("tf").cast(DoubleType) *
+              log(col("n_docs").cast(DoubleType) /
+                col("df").cast(DoubleType))).as("w"))
+          .localCheckpoint() // feeds norms AND both posting sides
+        val norms = weights.groupBy(col("doc_id"))
+          .agg(sum(round(col("w") * col("w") * 1e9).cast(LongType))
+            .as("norm2_c"))
+        val isQuery = pmod(col("doc_id"), lit(100L)) === 7L &&
+          col("doc_id") < 5000L
+        val qPost = weights.filter(isQuery)
+          .select(col("doc_id").as("query_id"), col("term"),
+            col("w").as("wq"))
+        val dots = qPost.join(weights, "term")
+          .where(col("doc_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(round(col("wq") * col("w") * 1e9).cast(LongType))
+            .as("dot_c"))
+        val cos = dots
+          .join(norms.select(col("doc_id").as("query_id"),
+            col("norm2_c").as("qn_c")), "query_id")
+          .join(norms.hint("shuffle_hash"), "doc_id")
+          .select(col("query_id"), col("doc_id"),
+            round((col("dot_c").cast(DoubleType) / 1e9) /
+              (sqrt(col("qn_c").cast(DoubleType) / 1e9) *
+                sqrt(col("norm2_c").cast(DoubleType) / 1e9)), 6)
+              .as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("doc_id"))
+        cos.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, count(*) AS tf
+          |  FROM (SELECT doc_id, unnest(ts) AS term FROM tok)
+          |  GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM documents),
+          |weights AS MATERIALIZED (
+          |  SELECT doc_id, term,
+          |         CAST(tf.tf AS DOUBLE) *
+          |           ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+          |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+          |norms AS (
+          |  SELECT doc_id,
+          |         CAST(sum(CAST(round(w * w * 1e9) AS BIGINT)) AS BIGINT)
+          |           AS norm2_c
+          |  FROM weights GROUP BY 1),
+          |qpost AS (
+          |  SELECT doc_id AS query_id, term, w AS wq FROM weights
+          |  WHERE doc_id % 100 = 7 AND doc_id < 5000),
+          |dots AS (
+          |  SELECT q.query_id, c.doc_id,
+          |         CAST(sum(CAST(round(q.wq * c.w * 1e9) AS BIGINT))
+          |           AS BIGINT) AS dot_c
+          |  FROM qpost q JOIN weights c USING (term)
+          |  WHERE c.doc_id <> q.query_id
+          |  GROUP BY 1, 2),
+          |cos AS (
+          |  SELECT d.query_id, d.doc_id,
+          |         round((CAST(d.dot_c AS DOUBLE) / 1e9) /
+          |           (sqrt(CAST(qn.norm2_c AS DOUBLE) / 1e9) *
+          |            sqrt(CAST(dn.norm2_c AS DOUBLE) / 1e9)), 6) AS cosine
+          |  FROM dots d
+          |  JOIN norms qn ON qn.doc_id = d.query_id
+          |  JOIN norms dn ON dn.doc_id = d.doc_id),
+          |ranked AS (
+          |  SELECT query_id, doc_id, cosine,
+          |         row_number() OVER (PARTITION BY query_id
+          |           ORDER BY cosine DESC, doc_id) AS rnk
+          |  FROM cos)
+          |SELECT query_id, rnk, doc_id, cosine FROM ranked
+          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+    )
+  )
+}

@@ -324,4 +324,46 @@ class TextAnalysisSpec extends SparkSpec {
     val again = q("q_quality_train").collect().map(_.getDouble(2))
     assert(rows.map(_._3).toSeq == again.toSeq, "training must replay exactly")
   }
+
+  test("docsim: sparse cosine top-5 replays from a brute-force tf-idf ranking") {
+    val rows = q("q_text_docsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def microSum(xs: Iterable[Double]): Long = xs.map(x =>
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+    // brute-force tf-idf weights driver-side
+    val docs = sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").toSeq).toMap
+    val n = docs.size.toDouble
+    val tf = docs.map { case (d, ts) =>
+      d -> ts.groupBy(identity).map { case (t, g) => t -> g.length } }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, g) => t -> g.size }
+    val w = tf.map { case (d, m) =>
+      d -> m.map { case (t, f) => t -> f * math.log(n / df(t)) } }
+    val normC = w.map { case (d, m) =>
+      d -> microSum(m.values.map(x => x * x)) }
+    val queries = docs.keys.filter(d => d % 100 == 7 && d < 5000).toSeq.sorted
+    val expect = queries.flatMap { qd =>
+      val wq = w(qd)
+      val cands = docs.keys.filter(_ != qd).flatMap { d =>
+        val shared = wq.keySet.intersect(w(d).keySet)
+        if (shared.isEmpty) None
+        else {
+          val dotC = microSum(shared.toSeq.sorted.map(t => wq(t) * w(d)(t)))
+          val cos = BigDecimal((dotC.toDouble / 1e9) /
+            (math.sqrt(normC(qd).toDouble / 1e9) *
+              math.sqrt(normC(d).toDouble / 1e9)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some((d, cos))
+        }
+      }.toSeq
+      cands.sortBy { case (d, c) => (-c, d) }.take(5).zipWithIndex
+        .map { case ((d, c), i) => (qd, (i + 1).toLong, d, c) }
+    }
+    assert(rows.toSeq == expect, "docsim top-5 must replay")
+  }
 }
