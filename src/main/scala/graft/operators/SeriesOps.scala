@@ -841,6 +841,87 @@ object SeriesOps {
           |                       (naive_sum / (n_hours - 1)), 6)
           |       END AS skill
           |FROM folded ORDER BY event_type""".stripMargin)
+    ),
+
+    // Holt's LINEAR-TREND forecast (double exponential smoothing,
+    // α=0.3, β=0.1) — the trend-aware upgrade of q_ts_forecast's SES:
+    //   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    //   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    // Initialized classically (l₂ = x₁... l from x₁, b from x₂−x₁),
+    // folded over t = 3..n with a 3-ELEMENT DOUBLE-ARRAY accumulator
+    // [level, trend, abs-err-sum] (ARRAY, not struct — the DuckDB v1.0
+    // struct-lambda CSE defect documented at q_ts_forecast; the l_t
+    // term appears expanded inside the b_t field on BOTH engines and
+    // the list fold computes it correctly, verified against a scalar
+    // replay). Emits the one-step forecast l+b, the trend itself, and
+    // the in-sample one-step MAE over the n−2 folded steps. Same grid
+    // scale shape as SES: one map-combined (series × hour) aggregate,
+    // one bounded array per series, one O(grid) fold.
+    QueryDef(
+      "q_ts_holt",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_hours"),
+            max(col("hr")).as("last_hr"),
+            sort_array(collect_list(struct(col("hr"),
+              col("c").cast(DoubleType).as("c")))).as("pts"))
+          .withColumn("xs", expr("transform(pts, p -> p.c)"))
+          .withColumn("fold", expr(
+            """CASE WHEN size(xs) >= 3 THEN aggregate(
+              |  slice(transform(xs,
+              |          x -> array(x, CAST(0.0 AS DOUBLE),
+              |                     CAST(0.0 AS DOUBLE))),
+              |        3, size(xs) - 2),
+              |  array(element_at(xs, 1),
+              |        element_at(xs, 2) - element_at(xs, 1),
+              |        CAST(0.0 AS DOUBLE)),
+              |  (acc, el) -> array(
+              |    0.3 * element_at(el, 1) +
+              |      0.7 * (element_at(acc, 1) + element_at(acc, 2)),
+              |    0.1 * ((0.3 * element_at(el, 1) +
+              |      0.7 * (element_at(acc, 1) + element_at(acc, 2))) -
+              |      element_at(acc, 1)) + 0.9 * element_at(acc, 2),
+              |    element_at(acc, 3) + abs(element_at(el, 1) -
+              |      (element_at(acc, 1) + element_at(acc, 2))))) END"""
+              .stripMargin.replaceAll("\n", " ")))
+          .select(col("event_type"), col("n_hours"), col("last_hr"),
+            round(element_at(col("fold"), 1) + element_at(col("fold"), 2), 6)
+              .as("forecast"),
+            round(element_at(col("fold"), 2), 6).as("trend"),
+            round(element_at(col("fold"), 3) / (col("n_hours") - 2), 6)
+              .as("mae"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |ser AS (
+          |  SELECT event_type, count(*) AS n_hours, max(hr) AS last_hr,
+          |         list(CAST(c AS DOUBLE) ORDER BY hr) AS xs
+          |  FROM hourly GROUP BY event_type),
+          |folded AS (
+          |  SELECT event_type, n_hours, last_hr,
+          |    CASE WHEN n_hours >= 3 THEN list_reduce(
+          |      list_prepend([xs[1], xs[2] - xs[1], CAST(0.0 AS DOUBLE)],
+          |        list_transform(xs[3:],
+          |          x -> [x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+          |      (acc, el) -> [
+          |        0.3 * el[1] + 0.7 * (acc[1] + acc[2]),
+          |        0.1 * ((0.3 * el[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+          |          + 0.9 * acc[2],
+          |        acc[3] + abs(el[1] - (acc[1] + acc[2]))]) END AS fold
+          |  FROM ser)
+          |SELECT event_type, n_hours, last_hr,
+          |       round(fold[1] + fold[2], 6) AS forecast,
+          |       round(fold[2], 6) AS trend,
+          |       round(fold[3] / (n_hours - 2), 6) AS mae
+          |FROM folded ORDER BY event_type""".stripMargin)
     )
   )
 }

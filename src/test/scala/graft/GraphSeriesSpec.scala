@@ -64,6 +64,35 @@ class GraphSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holt: level/trend fold replays a scalar recurrence exactly") {
+    val rows = q("q_ts_holt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val series = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("event_type"), col("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(2).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    rows.foreach { case (et, n, fc, tr, mae) =>
+      val xs = series(et)
+      assert(n == xs.length.toLong)
+      var l = xs(0); var b = xs(1) - xs(0); var e = 0.0
+      xs.drop(2).foreach { x =>
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        val b2 = 0.1 * (l2 - l) + 0.9 * b
+        e += math.abs(x - (l + b))
+        l = l2; b = b2
+      }
+      def r6(d: Double) =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(fc == r6(l + b), s"$et forecast")
+      assert(tr == r6(b), s"$et trend")
+      assert(mae == r6(e / (xs.length - 2)), s"$et mae")
+    }
+  }
+
   test("interpolation: full grid, observed hours untouched, gaps bounded by neighbors") {
     val rows = q("q_ts_interpolate").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
