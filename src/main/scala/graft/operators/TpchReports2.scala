@@ -32,6 +32,45 @@ object TpchReports2 {
     sum(round(c * 100).cast(LongType))
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** The fixture has no partsupp table, so Q2/Q11/Q20 DERIVE it from
+    * shipping history: one row per distinct (part, supplier) pair that
+    * actually shipped, availqty = total units shipped (exact BIGINT),
+    * supplycost = a deterministic 40–79% of the part's retail price
+    * drawn from an md5 hash of the pair key (exact integer cents via
+    * `div` — both engines compute the identical BIGINT). One
+    * l_partkey-grouped aggregate; part broadcasts in for the price. */
+  private def partsupp(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"), col("p_retailprice"))
+      .agg(sum(round(col("l_quantity")).cast(LongType)).as("ps_availqty"))
+      .select(col("ps_partkey"), col("ps_suppkey"), col("ps_availqty"),
+        expr("""cast(round(p_retailprice * 100) as bigint) * (40 +
+          pmod(cast(conv(substring(md5(concat('ps:',
+            cast(ps_partkey as string), '_',
+            cast(ps_suppkey as string))), 1, 4), 16, 10) as bigint),
+          40)) div 100""".replaceAll("\n", " "))
+          .cast(LongType).as("ps_supplycost_c"))
+
+  /** The shared DuckDB partsupp CTE (same derivation, same draw). */
+  private val PartsuppCte: String =
+    """partsupp AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+      |           AS ps_availqty,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) *
+      |           (40 + CAST(('0x' || substr(md5('ps:' ||
+      |             CAST(l_partkey AS VARCHAR) || '_' ||
+      |             CAST(l_suppkey AS VARCHAR)), 1, 4)) AS BIGINT) % 40)
+      |           // 100 AS ps_supplycost_c
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY l_partkey, l_suppkey, p_retailprice)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q3 (shipping priority): top-10 unshipped orders by revenue
@@ -403,6 +442,178 @@ object TpchReports2 {
           |                    AND l3.l_shipdate > l3.o_orderdate
           |                      + INTERVAL 90 DAY)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    ),
+
+    // TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    // EUROPE supplier(s) achieving the minimum supply cost — the
+    // correlated-min scalar subquery, decorrelated into a per-part min
+    // joined back on (part, cost). Costs are exact integer cents, so
+    // the min-equality join cannot ride a float tie; ties emit every
+    // achieving supplier (original semantics). The rank/report key is
+    // exact balance cents.
+    QueryDef(
+      "q_tpch_q2",
+      (s, dir) => {
+        val eur = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal") * 100).cast(LongType).as("bal_c"),
+            col("n_name"))
+        val p = Tables.part(s, dir)
+          .where(col("p_size").between(10, 25) && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))
+        val cand = partsupp(s, dir)
+          .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+        val mn = cand.groupBy(col("ps_partkey").as("mpk"))
+          .agg(min(col("ps_supplycost_c")).as("mc"))
+        cand.join(broadcast(mn),
+            col("ps_partkey") === col("mpk") &&
+              col("ps_supplycost_c") === col("mc"))
+          .select(col("bal_c"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"), col("ps_supplycost_c"))
+          .orderBy(col("bal_c").desc, col("p_partkey"), col("s_name"))
+          .limit(100)
+      },
+      Some(
+        s"""WITH $PartsuppCte,
+          |eur AS (
+          |  SELECT s_suppkey, s_name,
+          |         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'),
+          |cand AS (
+          |  SELECT p_partkey, p_brand, ps_suppkey, ps_supplycost_c
+          |  FROM part JOIN partsupp ON ps_partkey = p_partkey
+          |  JOIN eur ON s_suppkey = ps_suppkey
+          |  WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE'),
+          |mn AS (
+          |  SELECT p_partkey AS mpk, min(ps_supplycost_c) AS mc
+          |  FROM cand GROUP BY 1)
+          |SELECT e.bal_c, e.s_name, e.n_name, c.p_partkey, c.p_brand,
+          |       c.ps_supplycost_c
+          |FROM cand c
+          |JOIN mn ON c.p_partkey = mn.mpk AND c.ps_supplycost_c = mn.mc
+          |JOIN eur e ON e.s_suppkey = c.ps_suppkey
+          |ORDER BY e.bal_c DESC, c.p_partkey, e.s_name LIMIT 100""".stripMargin)
+    ),
+
+    // TPC-H Q11 (important stock): parts whose EUROPE inventory value
+    // exceeds the region AVERAGE part value — the scalar-subquery
+    // HAVING threshold. The original's fixed fraction (0.0001) is tied
+    // to SF; value·n_parts > Σvalue is the scale-free form of the same
+    // shape and stays an exact integer cross-multiply (the q_tpch_q17
+    // discipline — no double is ever compared). Both scalars are one
+    // bounded driver-side aggregate (Q15 posture).
+    QueryDef(
+      "q_tpch_q11",
+      (s, dir) => {
+        val eurSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val nat = partsupp(s, dir)
+          .join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
+          .select(col("ps_partkey"),
+            (col("ps_supplycost_c") * col("ps_availqty")).as("v"))
+        val perPart = nat.groupBy(col("ps_partkey"))
+          .agg(sum(col("v")).as("value_c"))
+          .localCheckpoint() // feeds the scalar AND the filter
+        val t = perPart.agg(sum(col("value_c")), count(lit(1))).head()
+        val (total, np) = (t.getLong(0), t.getLong(1))
+        perPart.filter(col("value_c") * np > total)
+          .orderBy(col("value_c").desc, col("ps_partkey"))
+      },
+      Some(
+        s"""WITH $PartsuppCte,
+          |nat AS (
+          |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
+          |  FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'),
+          |per AS (
+          |  SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+          |  FROM nat GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(sum(value_c) AS BIGINT) AS t, count(*) AS np
+          |  FROM per)
+          |SELECT ps_partkey, value_c FROM per, tot
+          |WHERE value_c * np > t
+          |ORDER BY value_c DESC, ps_partkey""".stripMargin)
+    ),
+
+    // TPC-H Q20 (potential part promotion): EUROPE suppliers holding
+    // excess stock of a 'small%' part — availqty exceeding 1.5× what
+    // they shipped of it in 1996 (exact integer cross-multiply:
+    // availqty·2 > shipped·3). The original's nested IN chain
+    // (supplier IN (partsupp WHERE part IN (...) AND availqty > ...))
+    // becomes a semi-join chain: qualifying pairs are distinct-
+    // projected, then the supplier report is one LEFT SEMI against
+    // them — no row multiplication reaches the output.
+    QueryDef(
+      "q_tpch_q20",
+      (s, dir) => {
+        val smallP = Tables.part(s, dir)
+          .where(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))
+        val yr = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(round(col("l_quantity")).cast(LongType)).as("shipped"))
+        val qual = partsupp(s, dir)
+          .join(broadcast(smallP), col("ps_partkey") === col("p_partkey"))
+          .join(yr, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+          .where(col("ps_availqty") * 2 > col("shipped") * 3)
+          .select(col("ps_suppkey")).distinct()
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).where(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(qual, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_name"), col("n_name"),
+            round(col("s_acctbal") * 100).cast(LongType).as("bal_c"))
+          .orderBy(col("s_name"))
+      },
+      Some(
+        s"""WITH $PartsuppCte,
+          |yr AS (
+          |  SELECT l_partkey, l_suppkey,
+          |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+          |           AS shipped
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  GROUP BY 1, 2),
+          |qual AS (
+          |  SELECT DISTINCT ps_suppkey
+          |  FROM partsupp
+          |  JOIN (SELECT p_partkey FROM part
+          |        WHERE p_name LIKE 'small%') sp
+          |    ON sp.p_partkey = ps_partkey
+          |  JOIN yr ON yr.l_partkey = ps_partkey
+          |         AND yr.l_suppkey = ps_suppkey
+          |  WHERE ps_availqty * 2 > shipped * 3)
+          |SELECT s_name, n_name,
+          |       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+          |FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE'
+          |  AND s_suppkey IN (SELECT ps_suppkey FROM qual)
+          |ORDER BY s_name""".stripMargin)
     )
   )
 }

@@ -221,6 +221,116 @@ class TpchReports2Spec extends SparkSpec {
     assert(!plan.contains("Union"), s"Q19 must stay one scan pass:\n$plan")
   }
 
+  /** Driver-side replay of the derived partsupp table (one row per
+    * shipped (part, supplier) pair; availqty = Σ round(qty); supplycost
+    * = deterministic 40–79% of retail in exact integer cents via the
+    * md5 draw) — independent of the Spark derivation under test.
+    */
+  private lazy val partsuppReplay: Map[(Long, Long), (Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(pk: Long, sk: Long): Long = {
+      val hex = md.digest(s"ps:${pk}_$sk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 40
+    }
+    lines.groupBy(l => (l._2, l._3)).map { case ((pk, sk), g) =>
+      val avail = g.map(l => BigDecimal(l._4)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      val retailC = centsOf(parts(pk)._4)
+      val costC = retailC * (40 + draw(pk, sk)) / 100
+      (pk, sk) -> (avail, costC)
+    }
+  }
+
+  test("tpch q2: every winner achieves its part's exact minimum cost; replay") {
+    val rows = q("q_tpch_q2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    val eurNations = sources.Tables.nation(spark, sf)
+      .join(sources.Tables.region(spark, sf).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    val supp = sources.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("s_nationkey"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), centsOf(r.getDouble(2)),
+        r.getInt(3)))
+      .toMap
+    val qualParts = parts.collect {
+      case (pk, (brand, "LARGE", sz, _, _)) if sz >= 10 && sz <= 25 =>
+        pk -> brand
+    }
+    val cand = partsuppReplay.toSeq.flatMap { case ((pk, sk), (_, costC)) =>
+      qualParts.collect {
+        case (qpk, brand) if qpk == pk && eurNations(supp(sk)._3) =>
+          (pk, brand, sk, costC)
+      }
+    }
+    val mins = cand.groupBy(_._1).map { case (pk, g) => pk -> g.map(_._4).min }
+    val expect = cand.collect {
+      case (pk, brand, sk, costC) if costC == mins(pk) =>
+        val (name, balC, natKey) = supp(sk)
+        (balC, name, nationName(natKey), pk, brand, costC)
+    }.sortBy { case (balC, name, _, pk, _, _) => (-balC, pk, name) }.take(100)
+    assert(rows.toSeq == expect, "Q2 min-cost supplier set must replay")
+  }
+
+  test("tpch q11: survivors clear the scale-free average-value bar; replay") {
+    val rows = q("q_tpch_q11").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val eurNations = sources.Tables.nation(spark, sf)
+      .join(sources.Tables.region(spark, sf).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    val eurSupp = suppNation.collect {
+      case (sk, nk) if eurNations(nk) => sk }.toSet
+    val perPart = partsuppReplay.toSeq.collect {
+      case ((pk, sk), (avail, costC)) if eurSupp(sk) => (pk, costC * avail)
+    }.groupBy(_._1).map { case (pk, g) => (pk, g.map(_._2).sum) }.toSeq
+    val total = perPart.map(_._2).sum
+    val np = perPart.length
+    val expect = perPart.filter { case (_, v) => v * np > total }
+      .sortBy { case (pk, v) => (-v, pk) }
+    assert(rows.toSeq == expect, "Q11 important-stock set must replay")
+  }
+
+  test("tpch q20: exactly the suppliers holding excess small-part stock") {
+    val rows = q("q_tpch_q20").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val eurNations = sources.Tables.nation(spark, sf)
+      .join(sources.Tables.region(spark, sf).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    val smallParts = parts.collect {
+      case (pk, (_, _, _, _, nm)) if nm.startsWith("small") => pk }.toSet
+    val lo = ms("1996-01-01"); val hi = ms("1997-01-01")
+    val shipped = lines.collect {
+      case (_, pk, sk, qty, _, _, sm) if sm >= lo && sm < hi =>
+        ((pk, sk), BigDecimal(qty)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val qualSupp = partsuppReplay.toSeq.collect {
+      case ((pk, sk), (avail, _))
+        if smallParts(pk) && shipped.get((pk, sk))
+          .exists(s => avail * 2 > s * 3) => sk
+    }.toSet
+    val supp = sources.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("s_nationkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), centsOf(r.getDouble(2)),
+        r.getInt(3)))
+    val expect = supp.collect {
+      case (sk, nm, balC, nk) if eurNations(nk) && qualSupp(sk) =>
+        (nm, nationName(nk), balC)
+    }.sortBy(_._1)
+    assert(rows.toSeq == expect.toSeq,
+      "Q20 excess-stock supplier set must replay")
+  }
+
   test("tpch q21: only-late-supplier aggregate rewrite replays the EXISTS form") {
     val rows = q("q_tpch_q21").collect()
       .map(r => (r.getString(0), r.getLong(1)))
