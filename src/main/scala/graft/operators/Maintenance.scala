@@ -1144,6 +1144,144 @@ object Maintenance {
           |           AS BIGINT)
           |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
           |ORDER BY ref, version""".stripMargin)
+    ),
+
+    // MERGE INTO — the daily CDC-merge every lake-format user runs:
+    // one batch of changes (updates + deletes + inserts) applied to a
+    // partitioned target with WHEN MATCHED DELETE / WHEN MATCHED
+    // UPDATE / WHEN NOT MATCHED INSERT semantics (delete wins over
+    // update, the MERGE first-matching-clause rule). The copy-on-write
+    // shape: the delta's partition footprint is computed FIRST (commit
+    // planning — bounded by the partition count, driver-side), only
+    // the touched month directories are re-encoded through the
+    // anti-join(delete) → left-join(update) → union(insert) pipeline,
+    // and every untouched directory passes through as byte-identical
+    // files never decoded (LayoutSpec pin). At 100 TB a late-data
+    // merge touches the trailing partitions, not the lake — merge cost
+    // is O(touched partitions + |delta|). Money rides exact cents end
+    // to end. The insert membership draw is salt-md5, never parity
+    // (ids are assigned round-robin by source, so parity confounds —
+    // the q_data_split lesson). Oracle: the merged table must equal
+    // the MERGE expressed relationally (anti-join + left-join + union)
+    // over the raw source.
+    QueryDef(
+      "q_merge_into",
+      (s, dir) => {
+        // target table: exact-cents orders partitioned by order month
+        val landing = graft.Staging.cached(
+          s"merge_landing_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus").as("status"),
+              round(col("o_totalprice") * 100).cast(LongType).as("price_c"),
+              date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+            .write.mode("overwrite").partitionBy("ym").parquet(tgt)
+        }
+        val src = Tables.orders(s, dir)
+        val cut = lit("2001-07-01").cast("timestamp")
+        val recent = src.filter(col("o_orderdate") >= cut)
+        // UPDATE: price corrected +10%, status finalized
+        val upd = recent.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            expr("cast(round(o_totalprice * 100) as bigint) * 11 div 10")
+              .as("new_price"))
+        // DELETE: retracted orders
+        val del = recent.filter(col("o_orderkey") % 7 === 1)
+          .select(col("o_orderkey"))
+        // INSERT: the next month's arrivals (derived deterministically:
+        // salt-md5 half of the recent orders, re-keyed out of range)
+        val ins = recent
+          .filter(expr("""pmod(cast(conv(substring(md5(concat('m:',
+            cast(o_orderkey as string))), 1, 4), 16, 10) as bigint), 2) = 0"""
+            .replaceAll("\n", " ")))
+          .select((col("o_orderkey") + lit(1000000000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus").as("status"),
+            (round(col("o_totalprice") * 100).cast(LongType) + lit(999L))
+              .as("price_c"), lit("2001-09").as("ym"))
+        // commit planning: the delta's partition footprint (bounded by
+        // the month count — metadata, not data-plane work)
+        val touched = recent
+          .filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 7 === 1)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .union(ins.select(col("ym"))).distinct()
+          .collect().map(_.getString(0)).toSet
+        val out = graft.Staging.dir("q_merge_into")
+        import java.nio.file.{Files, Paths}
+        val outP = Paths.get(out)
+        if (Files.exists(outP)) {
+          Files.walk(outP).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+        Files.createDirectories(outP)
+        // untouched month dirs: file-level passthrough, never decoded
+        val land = Paths.get(landing)
+        val listing = Files.list(land)
+        try listing.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("ym=") &&
+              !touched(name.stripPrefix("ym="))) {
+            Files.walk(p).forEach { f =>
+              val tgt = outP.resolve(land.relativize(f).toString)
+              if (Files.isDirectory(f)) Files.createDirectories(tgt)
+              else Files.copy(f, tgt)
+            }
+          }
+        } finally listing.close()
+        // re-encode ONLY the touched months through the merge pipeline
+        val live = s.read.parquet(landing)
+          .filter(col("ym").isin(touched.toSeq: _*))
+        live
+          .join(broadcast(del), Seq("o_orderkey"), "left_anti")
+          .join(broadcast(upd), Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("new_price").isNotNull, lit("F"))
+              .otherwise(col("status")).as("status"),
+            coalesce(col("new_price"), col("price_c")).as("price_c"),
+            col("ym"))
+          .unionByName(ins)
+          .write.mode("append").partitionBy("ym").parquet(out)
+        s.read.parquet(out)
+          .select(col("o_orderkey"), col("ym"), col("price_c"),
+            col("status"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(
+        """WITH upd AS (
+          |  SELECT o_orderkey,
+          |         CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+          |           * 11 // 10 AS BIGINT) AS new_price
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+          |    AND o_orderkey % 3 = 0),
+          |del AS (
+          |  SELECT o_orderkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+          |    AND o_orderkey % 7 = 1),
+          |ins AS (
+          |  SELECT o_orderkey + 1000000000000 AS o_orderkey,
+          |         '2001-09' AS ym,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) + 999
+          |           AS price_c,
+          |         o_orderstatus AS status
+          |  FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '2001-07-01'
+          |    AND CAST('0x' || substr(md5('m:' ||
+          |          CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT)
+          |        % 2 = 0)
+          |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS ym,
+          |       CAST(coalesce(u.new_price,
+          |         CAST(round(o.o_totalprice * 100) AS BIGINT))
+          |         AS BIGINT) AS price_c,
+          |       CASE WHEN u.o_orderkey IS NOT NULL THEN 'F'
+          |            ELSE o.o_orderstatus END AS status
+          |FROM orders o LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+          |WHERE NOT EXISTS (SELECT 1 FROM del d
+          |                  WHERE d.o_orderkey = o.o_orderkey)
+          |UNION ALL
+          |SELECT o_orderkey, ym, CAST(price_c AS BIGINT) AS price_c,
+          |       status FROM ins
+          |ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

@@ -525,4 +525,55 @@ class LayoutSpec extends SparkSpec {
     assert(absent.size * 2 < nFiles,
       s"absent key matched ${absent.size} of $nFiles files")
   }
+
+  test("q_merge_into: untouched months pass through byte-identical; merge semantics hold") {
+    val rows = q("q_merge_into").collect()
+    val landing = new java.io.File(Staging.cached(
+      s"merge_landing_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1)(_ => ()))
+    val out = new java.io.File(Staging.dir("q_merge_into"))
+    def months(root: java.io.File): Map[String, java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("ym="))
+        .map(f => f.getName -> f).toMap
+    val (lm, om) = (months(landing), months(out))
+    // the delta's partition footprint: the two trailing source months
+    // plus the insert month — everything else must be untouched
+    val touched = Set("ym=2001-07", "ym=2001-08", "ym=2001-09")
+    assert((om.keySet -- lm.keySet) == Set("ym=2001-09"),
+      "the insert month must be the only new partition")
+    assert(lm.size > touched.size * 5,
+      "need many untouched months for the passthrough pin to mean anything")
+    def files(d: java.io.File): Map[String, Long] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    (lm.keySet -- touched).foreach { k =>
+      assert(om.contains(k) && files(om(k)) == files(lm(k)),
+        s"$k must pass through byte-identical (same files, same sizes)")
+    }
+    // merge semantics: deletes gone, updates flagged 'F' with the
+    // exact-cents bump, inserts present exactly once
+    val byKey = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    assert(byKey.size == rows.length, "merge output must keep keys unique")
+    val recent = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2001-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(recent.nonEmpty)
+    recent.foreach { case (k, price) =>
+      val cents = BigDecimal(price * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      if (k % 7 == 1) assert(!byKey.contains(k), s"order $k must be deleted")
+      else if (k % 3 == 0) {
+        val (_, pc, st) = byKey(k)
+        assert(st == "F" && pc == cents * 11 / 10,
+          s"order $k must carry the finalized update")
+      } else assert(byKey(k)._2 == cents, s"order $k must be unchanged")
+    }
+    val inserts = rows.filter(_.getLong(0) >= 1000000000000L)
+    assert(inserts.nonEmpty &&
+      inserts.forall(r => r.getString(1) == "2001-09"),
+      "inserts must land in the new month")
+  }
 }
