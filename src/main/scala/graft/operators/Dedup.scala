@@ -749,6 +749,92 @@ object Dedup {
           |                               ' ' ORDER BY s.pos), '')) AS clean_md5
           |FROM seg2 s JOIN df USING (seg)
           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
+    ),
+
+    // North star — WINNOWING fingerprints (the MOSS algorithm,
+    // Schleimer/Wilkerson/Aiken SIGMOD'03): hash every token 4-gram,
+    // slide a window of 5 hashes, keep each window's MINIMUM — the
+    // local sampling rule that guarantees any shared token run of
+    // length ≥ k+w−1 = 8 contributes a shared fingerprint, while
+    // storing only ~2/(w+1) of the gram hashes (the density bound the
+    // paper proves). The whole selection is per-doc bounded
+    // in-projection work (O(tokens·w), no shuffle); what shuffles is
+    // the SAMPLED posting list — ~3× smaller than q_dedup_ngram's full
+    // shingle index, which is winnowing's entire point at 100 TB.
+    // Same stop-key discipline as ngram: fingerprints with df > 64
+    // are dropped before the pair join so a boilerplate run can't
+    // square it. Hashes are 48-bit md5 prefixes — identical integers
+    // in both engines (the partsupp/md5-draw discipline), and exact
+    // in the window-min comparison. Oracle replays the full pipeline;
+    // the spec proves the selection against a first-principles Scala
+    // replay plus the substring-match guarantee on real fixture pairs.
+    QueryDef(
+      "q_dedup_winnow",
+      (s, dir) => {
+        val fp = Tables.documents(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, size(ts) - 3),
+              |  i -> cast(conv(substring(md5(
+              |    array_join(slice(ts, i, 4), ' ')), 1, 12), 16, 10)
+              |    as bigint))""".stripMargin.replaceAll("\n", " "))
+            .as("g"))
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(0, size(g) - 5),
+              |  j -> array_min(slice(g, j + 1, 5))))"""
+              .stripMargin.replaceAll("\n", " "))).as("h"))
+        // stop-fingerprint cap: two-level distinct-then-count df
+        val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select(col("h"))
+        val fpc = fp.join(keep, "h")
+        val sz = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = fpc.select(col("doc_id").as("doc_a"), col("h"))
+        val b = fpc.select(col("doc_id").as("doc_b"), col("h"))
+        a.join(b, a("h") === b("h") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              least(col("na"), col("nb")), 6).as("containment"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents
+          |  WHERE len(string_split(lower(text), ' ')) >= 8),
+          |grams AS (
+          |  SELECT doc_id, list_transform(range(1, len(ts) - 2),
+          |    i -> CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]
+          |      || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 12))
+          |      AS BIGINT)) AS g
+          |  FROM toks),
+          |sel AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    range(0, len(g) - 4), j -> list_min(g[j+1:j+5]))) AS fps
+          |  FROM grams),
+          |fp AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+          |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+          |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+          |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         count(*) AS n_shared
+          |  FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT doc_a, doc_b, n_shared,
+          |       round(n_shared * 1.0 / least(sa.n, sb.n), 6)
+          |         AS containment
+          |FROM inter
+          |JOIN sz sa ON doc_a = sa.doc_id
+          |JOIN sz sb ON doc_b = sb.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -845,4 +845,58 @@ class LlmOpsSpec extends SparkSpec {
         s"dim $d not standardized (m=$m var=$va)")
     }
   }
+
+  test("winnowing: fingerprints replay; MOSS guarantee holds on fixture pairs") {
+    // first-principles replay of the per-doc selection (k=4, w=5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(gram: String): Long = java.lang.Long.parseLong(
+      md.digest(gram.getBytes("UTF-8")).take(6).map("%02x".format(_))
+        .mkString, 16)
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSeq)
+      .filter(_._2.length >= 8)
+    val expected: Map[Long, Set[Long]] = docs.map { case (id, ts) =>
+      val g = ts.sliding(4).map(w => h48(w.mkString(" "))).toVector
+      id -> g.sliding(5).map(_.min).toSet
+    }.toMap
+    // Spark-side selection, pre-df-cap (re-derive through the same
+    // expression pipeline the query uses)
+    val fp = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(ts) - 3), i -> cast(conv(substring(" +
+          "md5(array_join(slice(ts, i, 4), ' ')), 1, 12), 16, 10) as bigint))")
+        .as("g"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(g) - 5)," +
+          " j -> array_min(slice(g, j + 1, 5))))")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(fp == expected, "winnowed fingerprint sets must replay exactly")
+    // the paper's density bound: selected ≈ 2/(w+1) of grams, never more
+    // than the window count
+    docs.foreach { case (id, ts) =>
+      val nGrams = ts.length - 3
+      assert(expected(id).size <= nGrams - 4,
+        s"doc $id selected more fingerprints than windows")
+    }
+    // MOSS guarantee: any two docs sharing a run of >= k+w-1 = 8
+    // consecutive tokens share at least one fingerprint (pre-cap)
+    val runs = docs.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(8).map(r => r.mkString(" ") -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).distinct.toSeq).filter(_.length > 1)
+    val guaranteedPairs = runs.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    assert(guaranteedPairs.nonEmpty,
+      "fixture must contain shared 8-token runs or the test proves nothing")
+    guaranteedPairs.foreach { case (a, b) =>
+      assert((expected(a) & expected(b)).nonEmpty,
+        s"docs $a,$b share an 8-token run but no fingerprint")
+    }
+    // and the declared query returns those pairs whose fingerprints
+    // survive the df cap with n_shared >= 2
+    assert(q("q_dedup_winnow").count() > 0)
+  }
 }
