@@ -922,6 +922,147 @@ object SeriesOps {
           |       round(fold[2], 6) AS trend,
           |       round(fold[3] / (n_hours - 2), 6) AS mae
           |FROM folded ORDER BY event_type""".stripMargin)
+    ),
+
+    // Holt-Winters ADDITIVE SEASONAL forecast (triple exponential
+    // smoothing, α=0.3 / β=0.1 / γ=0.2, period m=24 — the daily cycle
+    // of hourly counts):
+    //   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    //   s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+    // The seasonal-aware upgrade of q_ts_holt, and the model the
+    // fixture actually calls for (q_ts_seasonal proves the daily
+    // profile; q_ts_autocorr proves the 24 h cycle). Runs on the
+    // ZERO-FILLED grid (q_ts_seasonal discipline) so the 24-slot
+    // seasonal index cannot misalign on silent hours. Classical init
+    // from the first two seasons (l₀ = mean of season 1, b₀ = the
+    // season-over-season slope, s_i = x_i − l₀), then ONE sequential
+    // fold from t=25 carrying a 27-element DOUBLE-ARRAY accumulator
+    // [level, trend, s_{t−23}..s_t (rotating 24-slot buffer),
+    // |err|-sum] — array, not struct (the DuckDB v1.0 struct-lambda
+    // CSE defect at q_ts_forecast); the buffer rotates by slicing so
+    // s_{t−m} is always slot 3, and every scalar update is expanded
+    // inline IDENTICALLY in both engines, so the doubles agree
+    // bit-for-bit through ~700 folded steps, rounded 6 dp at the end.
+    // Scale: one map-combined (series × hour) aggregate, one bounded
+    // array per series, one O(grid) fold — flat in event volume,
+    // linear in time range, like SES/Holt.
+    QueryDef(
+      "q_ts_holtwinters",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val b = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi")).head()
+        val spine = s.range(1).select(explode(sequence(
+          lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+          expr("interval 1 hour"))).as("hr"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(spine))
+        val hourly = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val sum1 = "aggregate(slice(xs, 1, 24), cast(0.0 as double), " +
+          "(a, x) -> a + x)"
+        val sum2 = "aggregate(slice(xs, 25, 24), cast(0.0 as double), " +
+          "(a, x) -> a + x)"
+        grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("c"), lit(0L)).cast(DoubleType).as("c"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_hours"),
+            max(col("hr")).as("last_hr"),
+            sort_array(collect_list(struct(col("hr"), col("c")))).as("pts"))
+          .withColumn("xs", expr("transform(pts, p -> p.c)"))
+          .withColumn("fold", expr(
+            s"""CASE WHEN size(xs) >= 49 THEN aggregate(
+              |  slice(xs, 25, size(xs) - 24),
+              |  concat(
+              |    array($sum1 / 24.0D,
+              |          ($sum2 - $sum1) / 576.0D),
+              |    transform(slice(xs, 1, 24), x -> x - $sum1 / 24.0D),
+              |    array(cast(0.0 as double))),
+              |  (acc, x) -> concat(
+              |    array(
+              |      0.3 * (x - element_at(acc, 3)) +
+              |        0.7 * (element_at(acc, 1) + element_at(acc, 2)),
+              |      0.1 * ((0.3 * (x - element_at(acc, 3)) +
+              |        0.7 * (element_at(acc, 1) + element_at(acc, 2))) -
+              |        element_at(acc, 1)) + 0.9 * element_at(acc, 2)),
+              |    slice(acc, 4, 23),
+              |    array(
+              |      0.2 * (x - element_at(acc, 1) - element_at(acc, 2)) +
+              |        0.8 * element_at(acc, 3),
+              |      element_at(acc, 27) + abs(x - (element_at(acc, 1) +
+              |        element_at(acc, 2) + element_at(acc, 3)))))) END"""
+              .stripMargin.replaceAll("\n", " ")))
+          .select(col("event_type"), col("n_hours"), col("last_hr"),
+            round(element_at(col("fold"), 1), 6).as("level"),
+            round(element_at(col("fold"), 2), 6).as("trend"),
+            round(element_at(col("fold"), 1) + element_at(col("fold"), 2) +
+              element_at(col("fold"), 3), 6).as("forecast"),
+            round(expr("array_max(slice(fold, 3, 24))") -
+              expr("array_min(slice(fold, 3, 24))"), 6)
+              .as("seasonal_amp"),
+            round(element_at(col("fold"), 27) / (col("n_hours") - 24), 6)
+              .as("mae"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH bounds AS (
+          |  SELECT date_trunc('hour', min(ts)) AS lo,
+          |         date_trunc('hour', max(ts)) AS hi FROM events),
+          |spine AS (
+          |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          |  FROM bounds),
+          |grid AS (
+          |  SELECT event_type, hr
+          |  FROM (SELECT DISTINCT event_type FROM events), spine),
+          |hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |ser AS (
+          |  SELECT g.event_type, count(*) AS n_hours, max(g.hr) AS last_hr,
+          |         list(CAST(coalesce(h.c, 0) AS DOUBLE) ORDER BY g.hr)
+          |           AS xs
+          |  FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+          |  GROUP BY g.event_type),
+          |folded AS (
+          |  SELECT event_type, n_hours, last_hr,
+          |    CASE WHEN n_hours >= 49 THEN list_reduce(
+          |      list_prepend(
+          |        [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |           xs[1:24]), (a, x) -> a + x) / 24.0,
+          |         (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |            xs[25:48]), (a, x) -> a + x) -
+          |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |            xs[1:24]), (a, x) -> a + x)) / 576.0]
+          |        || list_transform(xs[1:24], x ->
+          |             x - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |               xs[1:24]), (a, x) -> a + x) / 24.0)
+          |        || [CAST(0.0 AS DOUBLE)],
+          |        list_transform(xs[25:], x ->
+          |          list_prepend(CAST(x AS DOUBLE),
+          |            list_transform(range(26),
+          |              i -> CAST(0.0 AS DOUBLE))))),
+          |      (acc, el) ->
+          |        [0.3 * (el[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+          |         0.1 * ((0.3 * (el[1] - acc[3]) +
+          |           0.7 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]]
+          |        || acc[4:26]
+          |        || [0.2 * (el[1] - acc[1] - acc[2]) + 0.8 * acc[3],
+          |            acc[27] + abs(el[1] - (acc[1] + acc[2] +
+          |              acc[3]))]) END AS fold
+          |  FROM ser)
+          |SELECT event_type, n_hours, last_hr,
+          |       round(fold[1], 6) AS level,
+          |       round(fold[2], 6) AS trend,
+          |       round(fold[1] + fold[2] + fold[3], 6) AS forecast,
+          |       round(list_max(fold[3:26]) - list_min(fold[3:26]), 6)
+          |         AS seasonal_amp,
+          |       round(fold[27] / (n_hours - 24), 6) AS mae
+          |FROM folded ORDER BY event_type""".stripMargin)
     )
   )
 }

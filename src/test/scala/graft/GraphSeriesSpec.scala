@@ -93,6 +93,50 @@ class GraphSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holt-winters: triple-smoothing fold replays a scalar recurrence exactly") {
+    val rows = q("q_ts_holtwinters").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    // the zero-filled grid the operator folds over
+    val b0 = sources.Tables.events(spark, sf)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b0.getTimestamp(0).getTime, b0.getTimestamp(1).getTime)
+    val spineHrs = (lo to hi by 3600000L).toVector
+    val observed = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2))
+      .toMap
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (et, n, lev, tr, fc, amp, mae) =>
+      val xs = spineHrs.map(h => observed.getOrElse((et, h), 0L).toDouble)
+      assert(n == xs.length.toLong && xs.length >= 49)
+      var l = xs.take(24).foldLeft(0.0)(_ + _) / 24.0
+      var b = (xs.slice(24, 48).foldLeft(0.0)(_ + _) -
+        xs.take(24).foldLeft(0.0)(_ + _)) / 576.0
+      val seas = scala.collection.mutable.Queue(
+        xs.take(24).map(_ - l): _*)
+      var e = 0.0
+      xs.drop(24).foreach { x =>
+        val sm = seas.dequeue()
+        val l2 = 0.3 * (x - sm) + 0.7 * (l + b)
+        val b2 = 0.1 * (l2 - l) + 0.9 * b
+        val s2 = 0.2 * (x - l - b) + 0.8 * sm
+        e += math.abs(x - (l + b + sm))
+        l = l2; b = b2; seas.enqueue(s2)
+      }
+      assert(lev == r6(l), s"$et level")
+      assert(tr == r6(b), s"$et trend")
+      assert(fc == r6(l + b + seas.head), s"$et forecast")
+      assert(amp == r6(seas.max - seas.min), s"$et seasonal amplitude")
+      assert(mae == r6(e / (xs.length - 24)), s"$et mae")
+      assert(amp > 0.0, s"$et must carry a real seasonal signal")
+    }
+  }
+
   test("interpolation: full grid, observed hours untouched, gaps bounded by neighbors") {
     val rows = q("q_ts_interpolate").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
