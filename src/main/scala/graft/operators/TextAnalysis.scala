@@ -24,6 +24,144 @@ object TextAnalysis {
   private val StopDe = Seq("der", "die", "und", "das", "ist", "von")
   private val StopFr = Seq("le", "les", "et", "des", "un", "une")
 
+  private val qualityReady = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** The trained-and-scored quality corpus shared by q_quality_train
+    * (report), q_quality_auc and q_quality_calibration (evaluation):
+    * (doc_id, y DOUBLE 0/1, sg DOUBLE unrounded sigmoid score). One
+    * 12-round GD per JVM per corpus (memoized, localCheckpoint'ed).
+    * See q_quality_train's Scaladoc for the cross-engine float
+    * discipline that makes sg bit-identical to the DuckDB twin. */
+  private[operators] def qualityScored(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    qualityReady.computeIfAbsent(s"$dir@${graft.Staging.stampOf(dir)}", _ => {
+      val eta = 2.0
+      val rounds = 12
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val ts = TextFns.tokens(col("text"))
+      val wc = size(ts)
+      val sw = size(filter(ts, t => t.isin(stop: _*)))
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(array_contains(ts, "join"), 1.0).otherwise(0.0).as("y"),
+          (col("n_chars") / 1000.0).as("x1"),
+          (size(array_distinct(ts)).cast("double") / wc).as("x2"),
+          (sw.cast("double") / wc).as("x3"))
+        .localCheckpoint() // moment pass + the standardized build
+      // features are z-SCORED before GD (raw scales differ by 10x,
+      // which starves the descent) — the moments come from the same
+      // exact micro-sum machinery as the gradients, so both engines
+      // standardize with bit-identical mu/sigma
+      val st = raw.agg(
+        count(lit(1)).as("n"),
+        (1 to 3).flatMap(k => Seq(
+          sum(round(col(s"x$k") * 1e9).cast(LongType)).as(s"m$k"),
+          sum(round((col(s"x$k") * col(s"x$k")) * 1e9).cast(LongType))
+            .as(s"q$k"))): _*).head()
+      val nAll = st.getLong(0)
+      val mu = Array.tabulate(3) { k =>
+        (st.getLong(1 + 2 * k).toDouble / 1e9) / nAll
+      }
+      val sd = Array.tabulate(3) { k =>
+        math.sqrt((st.getLong(2 + 2 * k).toDouble / 1e9) / nAll -
+          mu(k) * mu(k))
+      }
+      val feats = raw.select(col("doc_id"), col("y"),
+          lit(1.0).as("x0"),
+          ((col("x1") - mu(0)) / sd(0)).as("x1"),
+          ((col("x2") - mu(1)) / sd(1)).as("x2"),
+          ((col("x3") - mu(2)) / sd(2)).as("x3"))
+        .localCheckpoint() // 12 GD rounds + the final scoring pass
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def sig(z: org.apache.spark.sql.Column) =
+        lit(1.0) / (lit(1.0) + exp(-z))
+      def z(wv: Array[Double]) =
+        lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
+          lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
+      for (_ <- 1 to rounds) {
+        val g = feats.select(sig(z(w)).as("sg"), col("y"),
+            col("x0"), col("x1"), col("x2"), col("x3"))
+          .agg(count(lit(1)).as("n"),
+            (0 to 3).map(k =>
+              sum(round(((col("sg") - col("y")) * col(s"x$k")) * 1e9)
+                .cast(org.apache.spark.sql.types.LongType))
+                .as(s"g$k")): _*)
+          .head()
+        val n = g.getLong(0)
+        w = Array.tabulate(4)(k =>
+          w(k) - eta * ((g.getLong(k + 1).toDouble / 1e9) / n))
+      }
+      feats.select(col("doc_id"), col("y"), sig(z(w)).as("sg"))
+        .localCheckpoint()
+    })
+
+  /** The DuckDB twin of [[qualityScored]]: WITH-clause prefix ending in
+    * a `scored` CTE of (doc_id, y, sg) — shared by the three quality
+    * oracles. */
+  private def qualityOracleCtes: String = {
+    val sigOf = (w: String) =>
+      s"1/(1+exp(-((($w.w0*f.x0 + $w.w1*f.x1) + $w.w2*f.x2) + $w.w3*f.x3)))"
+    val head =
+      """WITH fr AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         CASE WHEN list_contains(ts, 'join')
+        |              THEN 1.0 ELSE 0.0 END AS y,
+        |         n_chars / 1000.0 AS x1,
+        |         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS x2,
+        |         CAST(len(list_filter(ts, t -> t IN
+        |           ('the','a','of','and','to','in','is')))
+        |           AS DOUBLE) / len(ts) AS x3
+        |  FROM (SELECT doc_id, n_chars,
+        |          string_split(lower(text), ' ') AS ts
+        |        FROM documents)),
+        |st AS MATERIALIZED (
+        |  SELECT count(*) AS n,
+        |         (CAST(CAST(sum(CAST(round(x1 * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS mu1,
+        |         (CAST(CAST(sum(CAST(round((x1 * x1) * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS qq1,
+        |         (CAST(CAST(sum(CAST(round(x2 * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS mu2,
+        |         (CAST(CAST(sum(CAST(round((x2 * x2) * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS qq2,
+        |         (CAST(CAST(sum(CAST(round(x3 * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS mu3,
+        |         (CAST(CAST(sum(CAST(round((x3 * x3) * 1e9) AS BIGINT)) AS BIGINT)
+        |            AS DOUBLE) / 1e9) / count(*) AS qq3
+        |  FROM fr),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, y, 1.0 AS x0,
+        |         (x1 - mu1) / sqrt(qq1 - mu1 * mu1) AS x1,
+        |         (x2 - mu2) / sqrt(qq2 - mu2 * mu2) AS x2,
+        |         (x3 - mu3) / sqrt(qq3 - mu3 * mu3) AS x3
+        |  FROM fr, st),
+        |w0 AS MATERIALIZED (
+        |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    val roundCtes = (1 to 12).map { r =>
+      val gk = (0 to 3).map(k =>
+        s"""CAST(sum(CAST(round(((sg - y) * x$k) * 1e9) AS BIGINT))
+           |             AS BIGINT) AS s$k""".stripMargin).mkString(",\n           ")
+      s"""w$r AS MATERIALIZED (
+         |  SELECT w.w0 - 2.0 * ((CAST(g.s0 AS DOUBLE) / 1e9) / g.n) AS w0,
+         |         w.w1 - 2.0 * ((CAST(g.s1 AS DOUBLE) / 1e9) / g.n) AS w1,
+         |         w.w2 - 2.0 * ((CAST(g.s2 AS DOUBLE) / 1e9) / g.n) AS w2,
+         |         w.w3 - 2.0 * ((CAST(g.s3 AS DOUBLE) / 1e9) / g.n) AS w3
+         |  FROM w${r - 1} w, (
+         |    SELECT count(*) AS n,
+         |           $gk
+         |    FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+         |                 ${sigOf("w")} AS sg
+         |          FROM f, w${r - 1} w)) g)""".stripMargin
+    }
+    val scored =
+      s"""scored AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, ${sigOf("w")} AS sg
+         |  FROM f, w12 w)""".stripMargin
+    (head +: roundCtes :+ scored).mkString(",\n")
+  }
+
   /** BPE merge train shared by q_text_bpe (report) and
     * q_text_bpe_encode (apply): 6 rounds over the bounded top-2000
     * word-frequency table; returns (word, cnt, seq) with seq the
@@ -1222,130 +1360,175 @@ object TextAnalysis {
     // projection over the broadcast weights.
     QueryDef(
       "q_quality_train",
+      (s, dir) =>
+        qualityScored(s, dir)
+          .select(col("doc_id"), col("y").cast(LongType).as("y"),
+            round(col("sg"), 6).as("score"),
+            (col("sg") > 0.5).as("pred_hit"))
+          .orderBy(col("doc_id")),
+      Some(
+        s"""$qualityOracleCtes
+           |SELECT doc_id, CAST(y AS BIGINT) AS y,
+           |       round(sg, 6) AS score, sg > 0.5 AS pred_hit
+           |FROM scored ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Evaluation leg of the trained quality classifier — ROC-AUC,
+    // accuracy, Brier score and expected calibration error in ONE
+    // metrics row, all computed histogram-first so no global sort or
+    // corpus-wide window ever happens:
+    //  * AUC on the FIXED 1000-bin score histogram (the production
+    //    form at any corpus size — the histogram is 1000 rows
+    //    regardless of n): concordant-pair counting
+    //    auc2 = SUM np_b*(2*nn_below + nn_b) stays pure BIGINT until
+    //    the final division by 2*NP*NN, so there is no float sum to
+    //    disagree on; the prefix sum runs as a bin<bin join over the
+    //    bounded bin table (never a global window — the audit rule).
+    //  * ECE over 10 confidence bins: ECE*N*1e6 =
+    //    SUM |np_b*1e6 - conf_micro_b| is EXACT INTEGER arithmetic end
+    //    to end (conf_micro = micro-summed rounded scores).
+    //  * accuracy/Brier: integer counts / scaled-BIGINT micro-sums.
+    // Scale: two map-combined histogram passes over the scored
+    // projection + O(bins^2) bounded join work.
+    QueryDef(
+      "q_quality_auc",
       (s, dir) => {
-        val eta = 2.0
-        val rounds = 12
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-        val ts = TextFns.tokens(col("text"))
-        val wc = size(ts)
-        val sw = size(filter(ts, t => t.isin(stop: _*)))
-        val raw = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            when(array_contains(ts, "join"), 1.0).otherwise(0.0).as("y"),
-            (col("n_chars") / 1000.0).as("x1"),
-            (size(array_distinct(ts)).cast("double") / wc).as("x2"),
-            (sw.cast("double") / wc).as("x3"))
-          .localCheckpoint() // moment pass + the standardized build
-        // features are z-SCORED before GD (raw scales differ by 10×,
-        // which starves the descent) — the moments come from the same
-        // exact micro-sum machinery as the gradients, so both engines
-        // standardize with bit-identical μ/σ
-        val st = raw.agg(
-          count(lit(1)).as("n"),
-          (1 to 3).flatMap(k => Seq(
-            sum(round(col(s"x$k") * 1e9).cast(LongType)).as(s"m$k"),
-            sum(round((col(s"x$k") * col(s"x$k")) * 1e9).cast(LongType))
-              .as(s"q$k"))): _*).head()
-        val nAll = st.getLong(0)
-        val mu = Array.tabulate(3) { k =>
-          (st.getLong(1 + 2 * k).toDouble / 1e9) / nAll
-        }
-        val sd = Array.tabulate(3) { k =>
-          math.sqrt((st.getLong(2 + 2 * k).toDouble / 1e9) / nAll -
-            mu(k) * mu(k))
-        }
-        val feats = raw.select(col("doc_id"), col("y"),
-            lit(1.0).as("x0"),
-            ((col("x1") - mu(0)) / sd(0)).as("x1"),
-            ((col("x2") - mu(1)) / sd(1)).as("x2"),
-            ((col("x3") - mu(2)) / sd(2)).as("x3"))
-          .localCheckpoint() // 12 GD rounds + the final scoring pass
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        def sig(z: org.apache.spark.sql.Column) =
-          lit(1.0) / (lit(1.0) + exp(-z))
-        def z(wv: Array[Double]) =
-          lit(wv(0)) * col("x0") + lit(wv(1)) * col("x1") +
-            lit(wv(2)) * col("x2") + lit(wv(3)) * col("x3")
-        for (_ <- 1 to rounds) {
-          val g = feats.select(sig(z(w)).as("sg"), col("y"),
-              col("x0"), col("x1"), col("x2"), col("x3"))
-            .agg(count(lit(1)).as("n"),
-              (0 to 3).map(k =>
-                sum(round(((col("sg") - col("y")) * col(s"x$k")) * 1e9)
-                  .cast(org.apache.spark.sql.types.LongType))
-                  .as(s"g$k")): _*)
-            .head()
-          val n = g.getLong(0)
-          w = Array.tabulate(4)(k =>
-            w(k) - eta * ((g.getLong(k + 1).toDouble / 1e9) / n))
-        }
-        feats.select(col("doc_id"), col("y").cast(LongType).as("y"),
-            round(sig(z(w)), 6).as("score"),
-            (sig(z(w)) > 0.5).as("pred_hit"))
-          .orderBy(col("doc_id"))
+        val scored = qualityScored(s, dir)
+          .select(col("y"), round(col("sg"), 6).as("score"))
+        val hist = scored
+          .groupBy(least(floor(col("score") * 1000).cast(LongType),
+            lit(999L)).as("bin"))
+          .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+            sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+          .localCheckpoint() // feeds the prefix join twice + totals
+        val below = hist.select(col("bin").as("b2"), col("nn").as("nn2"))
+        val cum = hist.join(broadcast(below), col("b2") < col("bin"),
+            "left")
+          .groupBy(col("bin"), col("np"), col("nn"))
+          .agg(coalesce(sum(col("nn2")), lit(0L)).as("nn_below"))
+        val tot = hist.agg(sum(col("np")).as("np_t"),
+          sum(col("nn")).as("nn_t")).head()
+        val (npT, nnT) = (tot.getLong(0), tot.getLong(1))
+        val auc2 = cum.agg(
+          sum(col("np") * (lit(2L) * col("nn_below") + col("nn")))
+            .as("a2")).head().getLong(0)
+        val cal = scored
+          .groupBy(least(floor(col("score") * 10).cast(LongType),
+            lit(9L)).as("cbin"))
+          .agg(count(lit(1)).as("n_b"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np_b"),
+            sum(round(col("score") * 1e6).cast(LongType)).as("conf_micro"))
+        val eceMicro = cal.agg(
+          sum(abs(col("np_b") * lit(1000000L) - col("conf_micro")))
+            .as("e")).head().getLong(0)
+        val n = npT + nnT
+        scored.agg(
+            sum(when((col("score") > 0.5 && col("y") === 1.0) ||
+              (!(col("score") > 0.5) && col("y") === 0.0), 1L)
+              .otherwise(0L)).as("n_correct"),
+            sum(round(((col("score") - col("y")) *
+              (col("score") - col("y"))) * 1e9).cast(LongType))
+              .as("brier_micro"))
+          .select(
+            lit(npT).as("n_pos"), lit(nnT).as("n_neg"),
+            round(lit(auc2.toDouble) / (lit(2.0) * npT * nnT), 6)
+              .as("auc"),
+            round(col("n_correct").cast(DoubleType) / n, 6)
+              .as("accuracy"),
+            round((col("brier_micro").cast(DoubleType) / 1e9) / n, 6)
+              .as("brier"),
+            round((lit(eceMicro.toDouble) / 1e6) / n, 6).as("ece"))
       },
-      Some {
-        val sigOf = (w: String) =>
-          s"1/(1+exp(-((($w.w0*f.x0 + $w.w1*f.x1) + $w.w2*f.x2) + $w.w3*f.x3)))"
-        val head =
-          """WITH fr AS MATERIALIZED (
-            |  SELECT doc_id,
-            |         CASE WHEN list_contains(ts, 'join')
-            |              THEN 1.0 ELSE 0.0 END AS y,
-            |         n_chars / 1000.0 AS x1,
-            |         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS x2,
-            |         CAST(len(list_filter(ts, t -> t IN
-            |           ('the','a','of','and','to','in','is')))
-            |           AS DOUBLE) / len(ts) AS x3
-            |  FROM (SELECT doc_id, n_chars,
-            |          string_split(lower(text), ' ') AS ts
-            |        FROM documents)),
-            |st AS MATERIALIZED (
-            |  SELECT count(*) AS n,
-            |         (CAST(CAST(sum(CAST(round(x1 * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS mu1,
-            |         (CAST(CAST(sum(CAST(round((x1 * x1) * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS qq1,
-            |         (CAST(CAST(sum(CAST(round(x2 * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS mu2,
-            |         (CAST(CAST(sum(CAST(round((x2 * x2) * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS qq2,
-            |         (CAST(CAST(sum(CAST(round(x3 * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS mu3,
-            |         (CAST(CAST(sum(CAST(round((x3 * x3) * 1e9) AS BIGINT)) AS BIGINT)
-            |            AS DOUBLE) / 1e9) / count(*) AS qq3
-            |  FROM fr),
-            |f AS MATERIALIZED (
-            |  SELECT doc_id, y, 1.0 AS x0,
-            |         (x1 - mu1) / sqrt(qq1 - mu1 * mu1) AS x1,
-            |         (x2 - mu2) / sqrt(qq2 - mu2 * mu2) AS x2,
-            |         (x3 - mu3) / sqrt(qq3 - mu3 * mu3) AS x3
-            |  FROM fr, st),
-            |w0 AS MATERIALIZED (
-            |  SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
-        val roundCtes = (1 to 12).map { r =>
-          val gk = (0 to 3).map(k =>
-            s"""CAST(sum(CAST(round(((sg - y) * x$k) * 1e9) AS BIGINT))
-               |             AS BIGINT) AS s$k""".stripMargin).mkString(",\n           ")
-          s"""w$r AS MATERIALIZED (
-             |  SELECT w.w0 - 2.0 * ((CAST(g.s0 AS DOUBLE) / 1e9) / g.n) AS w0,
-             |         w.w1 - 2.0 * ((CAST(g.s1 AS DOUBLE) / 1e9) / g.n) AS w1,
-             |         w.w2 - 2.0 * ((CAST(g.s2 AS DOUBLE) / 1e9) / g.n) AS w2,
-             |         w.w3 - 2.0 * ((CAST(g.s3 AS DOUBLE) / 1e9) / g.n) AS w3
-             |  FROM w${r - 1} w, (
-             |    SELECT count(*) AS n,
-             |           $gk
-             |    FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
-             |                 ${sigOf("w")} AS sg
-             |          FROM f, w${r - 1} w)) g)""".stripMargin
-        }
-        (head +: roundCtes).mkString(",\n") +
-          s"""
-             |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
-             |       round(${sigOf("w")}, 6) AS score,
-             |       ${sigOf("w")} > 0.5 AS pred_hit
-             |FROM f, w12 w ORDER BY f.doc_id""".stripMargin
-      }
+      Some(
+        s"""$qualityOracleCtes,
+           |sc AS MATERIALIZED (
+           |  SELECT y, round(sg, 6) AS score FROM scored),
+           |hist AS (
+           |  SELECT least(CAST(floor(score * 1000) AS BIGINT), 999)
+           |           AS bin,
+           |         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS np,
+           |         CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END)
+           |           AS BIGINT) AS nn
+           |  FROM sc GROUP BY 1),
+           |cum AS (
+           |  SELECT a.bin, a.np, a.nn,
+           |         CAST(coalesce(sum(b.nn), 0) AS BIGINT) AS nn_below
+           |  FROM hist a LEFT JOIN hist b ON b.bin < a.bin
+           |  GROUP BY a.bin, a.np, a.nn),
+           |tot AS (SELECT CAST(sum(np) AS BIGINT) AS np_t,
+           |               CAST(sum(nn) AS BIGINT) AS nn_t FROM hist),
+           |num AS (SELECT CAST(sum(np * (2 * nn_below + nn)) AS BIGINT)
+           |          AS auc2 FROM cum),
+           |cal AS (
+           |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS cbin,
+           |         CAST(count(*) AS BIGINT) AS n_b,
+           |         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS np_b,
+           |         CAST(sum(CAST(round(score * 1e6) AS BIGINT))
+           |           AS BIGINT) AS conf_micro
+           |  FROM sc GROUP BY 1),
+           |ece AS (SELECT CAST(sum(abs(np_b * 1000000 - conf_micro))
+           |          AS BIGINT) AS e FROM cal),
+           |pt AS (
+           |  SELECT CAST(sum(CASE WHEN (score > 0.5 AND y = 1.0) OR
+           |           (NOT (score > 0.5) AND y = 0.0) THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS n_correct,
+           |         CAST(sum(CAST(round(((score - y) * (score - y)) * 1e9)
+           |           AS BIGINT)) AS BIGINT) AS brier_micro,
+           |         count(*) AS n
+           |  FROM sc)
+           |SELECT np_t AS n_pos, nn_t AS n_neg,
+           |       round(CAST(auc2 AS DOUBLE) / (2.0 * np_t * nn_t), 6)
+           |         AS auc,
+           |       round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+           |       round((CAST(brier_micro AS DOUBLE) / 1e9) / n, 6)
+           |         AS brier,
+           |       round((CAST(e AS DOUBLE) / 1e6) / n, 6) AS ece
+           |FROM tot, num, pt, ece""".stripMargin)
+    ),
+
+    // The reliability diagram behind q_quality_auc's ECE: 10 fixed
+    // confidence bins, per bin the count, positive rate (empirical
+    // accuracy), mean confidence (exact micro-summed rounded scores)
+    // and the |acc - conf| gap. Histogram-first like the AUC — one
+    // map-combined pass, 10 output rows at any corpus size.
+    QueryDef(
+      "q_quality_calibration",
+      (s, dir) =>
+        qualityScored(s, dir)
+          .select(col("y"), round(col("sg"), 6).as("score"))
+          .groupBy(least(floor(col("score") * 10).cast(LongType),
+            lit(9L)).as("cbin"))
+          .agg(count(lit(1)).as("n_b"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np_b"),
+            sum(round(col("score") * 1e6).cast(LongType)).as("conf_micro"))
+          .select(col("cbin"), col("n_b"), col("np_b"),
+            round(col("np_b").cast(DoubleType) / col("n_b"), 6).as("acc"),
+            round((col("conf_micro").cast(DoubleType) / 1e6) / col("n_b"),
+              6).as("conf"),
+            round(abs(col("np_b").cast(DoubleType) / col("n_b") -
+              (col("conf_micro").cast(DoubleType) / 1e6) / col("n_b")), 6)
+              .as("gap"))
+          .orderBy(col("cbin")),
+      Some(
+        s"""$qualityOracleCtes,
+           |sc AS (SELECT y, round(sg, 6) AS score FROM scored),
+           |cal AS (
+           |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS cbin,
+           |         CAST(count(*) AS BIGINT) AS n_b,
+           |         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS np_b,
+           |         CAST(sum(CAST(round(score * 1e6) AS BIGINT))
+           |           AS BIGINT) AS conf_micro
+           |  FROM sc GROUP BY 1)
+           |SELECT cbin, n_b, np_b,
+           |       round(CAST(np_b AS DOUBLE) / n_b, 6) AS acc,
+           |       round((CAST(conf_micro AS DOUBLE) / 1e6) / n_b, 6)
+           |         AS conf,
+           |       round(abs(CAST(np_b AS DOUBLE) / n_b -
+           |         (CAST(conf_micro AS DOUBLE) / 1e6) / n_b), 6) AS gap
+           |FROM cal ORDER BY cbin""".stripMargin)
     )
   )
 }

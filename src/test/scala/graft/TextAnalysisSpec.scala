@@ -325,6 +325,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == again.toSeq, "training must replay exactly")
   }
 
+  test("quality eval: AUC/ECE/accuracy/Brier replay from the scored corpus") {
+    val scored = q("q_quality_train").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))) // (y, score6)
+    val m = q("q_quality_auc").collect().head
+    val (nPos, nNeg, auc, acc, brier, ece) = (m.getLong(0), m.getLong(1),
+      m.getDouble(2), m.getDouble(3), m.getDouble(4), m.getDouble(5))
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nPos == scored.count(_._1 == 1L).toLong &&
+      nNeg == scored.count(_._1 == 0L).toLong)
+    // AUC replay: exact concordant-pair counting on the same 1000-bin
+    // quantization the operator is DEFINED over
+    def bin(s: Double) = math.min(math.floor(s * 1000).toLong, 999L)
+    val pos = scored.filter(_._1 == 1L).map(x => bin(x._2))
+    val neg = scored.filter(_._1 == 0L).map(x => bin(x._2))
+    val num2 = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p).toLong).sum
+    assert(auc == r6(num2.toDouble / (2.0 * pos.length * neg.length)),
+      "AUC must equal exact pair counting on the binned scores")
+    // measured 0.744 at sf0.001 — floor just under, so a ranking
+    // regression fails while fixture noise doesn't
+    assert(auc > 0.72, s"the learned model must rank well (auc=$auc)")
+    // accuracy / Brier replay
+    val correct = scored.count { case (y, s0) => (s0 > 0.5) == (y == 1L) }
+    assert(acc == r6(correct.toDouble / scored.length))
+    val brierMicro = scored.map { case (y, s0) =>
+      BigDecimal((s0 - y) * (s0 - y) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum
+    assert(brier == r6(brierMicro.toDouble / 1e9 / scored.length))
+    // ECE replay from the 10-bin reliability table, and the table's own
+    // internal consistency
+    val cal = q("q_quality_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(cal.map(_._2).sum == scored.length.toLong)
+    cal.foreach { case (_, nB, npB, a, c, g) =>
+      assert(npB <= nB && a >= 0.0 && a <= 1.0 && c >= 0.0 && c <= 1.0)
+      assert(g >= 0.0 && g <= 1.0)
+    }
+    val eceMicro = cal.map { case (cb, nB, npB, _, _, _) =>
+      val confMicro = scored.filter(x =>
+        math.min(math.floor(x._2 * 10).toLong, 9L) == cb)
+        .map(x => BigDecimal(x._2 * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      math.abs(npB * 1000000L - confMicro)
+    }.sum
+    assert(ece == r6(eceMicro.toDouble / 1e6 / scored.length),
+      "ECE must replay from the reliability bins")
+  }
+
   test("docsim: sparse cosine top-5 replays from a brute-force tf-idf ranking") {
     val rows = q("q_text_docsim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
