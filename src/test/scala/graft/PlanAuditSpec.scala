@@ -101,6 +101,7 @@ class PlanAuditSpec extends SparkSpec {
                             // (grid-sized, both sides post-aggregation)
       "q_ts_seasonal",      // keys x broadcast hour spine (zero-fill,
                             // bounded by the TIME RANGE like interpolate)
+      "q_ts_holtwinters",   // same zero-fill grid build as q_ts_seasonal
       "q_drift_psi",        // sources x broadcast 6-row bin spine
       "q_agg_histogram",    // fact x broadcast 1-row bounds; 20-row
                             // bucket spine x the same bounds
