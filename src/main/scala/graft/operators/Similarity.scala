@@ -1353,6 +1353,120 @@ object Similarity {
           |           list_transform(zv, v -> v * v)),
           |         (acc, v) -> acc + v)), 6) > 9.0 AS is_outlier
           |FROM z ORDER BY vec_id""".stripMargin)
+    ),
+
+    // Johnson–Lindenstrauss random projection, 64 → 16 dims — the
+    // ONE-PASS alternative to iterative PCA (q_embed_pca) for
+    // dimensionality reduction at corpus scale. The ±1 sign matrix
+    // (Achlioptas's database-friendly JL variant) is derived from
+    // md5("j_d") first-nibble parity: a pure deterministic function
+    // both engines compute identically, so the oracle rebuilds the
+    // SAME matrix in SQL while Spark materializes it driver-side as
+    // a k·d = 1024-element literal (bounded work, broadcast as a
+    // constant — no join, no shuffle; the projection is a map-only
+    // projection over the corpus scan, THE 100 TB shape: PCA needs
+    // d² moment passes + iterations, JL needs one pass and no
+    // training data at all).
+    //
+    // Float discipline: embedding floats → exact round(·1e9) BIGINT
+    // micro-ints; each projected component is an exact ±1-weighted
+    // BIGINT sum (order-free); doubles appear only in the final
+    // rp/norm formulas, rounded 6 dp both sides. rp_vec ships the raw
+    // micro-ints as a comma string (exact, format-proof). norm_ratio
+    // ≈ 1 is the JL distortion diagnostic (E[‖y‖²] = ‖x‖² under the
+    // 1/√k scaling).
+    QueryDef(
+      "q_embed_rp",
+      (s, dir) => {
+        val k = 16; val d = 64
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sgn: Array[Long] = Array.tabulate(k * d) { idx =>
+          val h = md.digest(s"${idx / d}_${idx % d}".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 1) == 0) 1L else -1L // even hex nibble → +1
+        }
+        // The matrix is a DRIVER-SIDE CONSTANT, so the projection is
+        // UNROLLED into static codegen'd integer arithmetic instead of
+        // a higher-order fold: HOF lambdas are CodegenFallback and ran
+        // ~1 µs/step interpreted (1024 steps/row — measured 24.5 s on
+        // the 10× probe; the unrolled form runs the same math in
+        // whole-stage codegen). Association is free to differ from the
+        // oracle's sequential fold because the sums are exact BIGINTs;
+        // the ONE double fold (‖y‖²) keeps left-association, which is
+        // IEEE-identical to DuckDB's 0.0-seeded list_reduce. Projects
+        // are staged m/q → y → outputs; each stage's outputs are
+        // non-cheap multi-ref, so CollapseProject keeps them single-eval.
+        val e = Tables.embeddings(s, dir)
+        val mCols = (0 until d).map(i => expr(
+          s"CAST(round(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) " +
+            "* 1e9) AS BIGINT)").as(s"m_$i"))
+        val qCols = (0 until d).map(i => expr(
+          s"CAST(round(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * " +
+            s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * 1e9) " +
+            "AS BIGINT)").as(s"q_$i"))
+        val staged = e.select((col("vec_id") +: mCols) ++ qCols: _*)
+        val yCols = (0 until k).map { j =>
+          (0 until d).map(i =>
+            if (sgn(j * d + i) > 0L) col(s"m_$i") else -col(s"m_$i"))
+            .reduce(_ + _).as(s"y_$j")
+        }
+        val xq = (0 until d).map(i => col(s"q_$i")).reduce(_ + _)
+          .as("xq_micro")
+        val proj = staged.select((col("vec_id") +: yCols) :+ xq: _*)
+        val yDbl = (0 until k).map(j =>
+          col(s"y_$j").cast("double") / 1e9 / 4.0)
+        proj.select(col("vec_id"),
+          round(yDbl(0), 6).as("rp0"),
+          round(yDbl(1), 6).as("rp1"),
+          concat_ws(",",
+            (0 until k).map(j => col(s"y_$j").cast("string")): _*)
+            .as("rp_vec"),
+          round(sqrt(yDbl.map(c => c * c).reduce(_ + _)) /
+            sqrt(col("xq_micro").cast("double") / 1e9), 6)
+            .as("norm_ratio"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """WITH sg AS (
+          |  SELECT i AS idx,
+          |         CASE WHEN substr(md5(CAST(i // 64 AS VARCHAR) || '_' ||
+          |                              CAST(i % 64 AS VARCHAR)), 1, 1)
+          |                IN ('0','2','4','6','8','a','c','e')
+          |              THEN CAST(1 AS BIGINT)
+          |              ELSE CAST(-1 AS BIGINT) END AS sign
+          |  FROM range(1024) t(i)),
+          |flat AS (SELECT list(sign ORDER BY idx) AS sgn FROM sg),
+          |mv AS (
+          |  SELECT e.vec_id,
+          |         list_transform(e.embedding, x ->
+          |           CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS m,
+          |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |           list_transform(e.embedding, x ->
+          |             CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+          |               * 1e9) AS BIGINT))),
+          |           (a, b) -> a + b) AS BIGINT) AS xq_micro,
+          |         f.sgn AS sgn
+          |  FROM embeddings e CROSS JOIN flat f),
+          |ym AS (
+          |  SELECT vec_id, xq_micro,
+          |         list_transform(range(0, 16), j ->
+          |           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |             list_transform(range(0, 64), i ->
+          |               sgn[j * 64 + i + 1] * m[i + 1])),
+          |             (a, b) -> a + b) AS BIGINT)) AS ymicro
+          |  FROM mv)
+          |SELECT vec_id,
+          |       round(CAST(ymicro[1] AS DOUBLE) / 1e9 / 4.0, 6) AS rp0,
+          |       round(CAST(ymicro[2] AS DOUBLE) / 1e9 / 4.0, 6) AS rp1,
+          |       array_to_string(list_transform(ymicro, v ->
+          |         CAST(v AS VARCHAR)), ',') AS rp_vec,
+          |       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |               list_transform(ymicro, v ->
+          |                 (CAST(v AS DOUBLE) / 1e9 / 4.0) *
+          |                 (CAST(v AS DOUBLE) / 1e9 / 4.0))),
+          |             (a, b) -> a + b)) /
+          |             sqrt(CAST(xq_micro AS DOUBLE) / 1e9), 6)
+          |         AS norm_ratio
+          |FROM ym ORDER BY vec_id""".stripMargin)
     )
   )
 }

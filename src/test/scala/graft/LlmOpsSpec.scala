@@ -899,4 +899,56 @@ class LlmOpsSpec extends SparkSpec {
     // survive the df cap with n_shared >= 2
     assert(q("q_dedup_winnow").count() > 0)
   }
+
+  test("rp: projection replays exactly from md5 signs; JL preserves distances") {
+    val (k, d) = (16, 64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sgn: Array[Long] = Array.tabulate(k * d) { idx =>
+      val h = md.digest(s"${idx / d}_${idx % d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def project(v: Array[Float]): Array[Double] = {
+      val m = v.map(x => math.round(x.toDouble * 1e9))
+      Array.tabulate(k) { j =>
+        var acc = 0L
+        (0 until d).foreach(i => acc += sgn(j * d + i) * m(i))
+        acc.toDouble / 1e9 / 4.0
+      }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = q("q_embed_rp").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4))).toMap
+    assert(rows.size == vecs.length)
+    vecs.foreach { case (id, v) =>
+      val y = project(v)
+      val (rp0, rp1, rpVec, ratio) = rows(id)
+      assert(rp0 == r6(y(0)) && rp1 == r6(y(1)), s"vec $id components")
+      assert(rpVec.split(",").length == k, s"vec $id must project to $k dims")
+      val xn = math.sqrt(v.map(x => math.round(x.toDouble * x.toDouble * 1e9))
+        .sum.toDouble / 1e9)
+      var yq = 0.0; y.foreach(c => yq += c * c)
+      assert(ratio == r6(math.sqrt(yq) / xn), s"vec $id norm_ratio")
+    }
+    // JL property: norms and pairwise distances concentrate around 1×.
+    // k = 16 is a coarse sketch — the bounds are loose but must hold
+    // for EVERY vector/sampled pair, deterministically.
+    val ratios = rows.values.map(_._4)
+    ratios.foreach(r => assert(r > 0.4 && r < 1.8, s"norm ratio $r"))
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.85 && meanRatio < 1.15, s"mean norm ratio $meanRatio")
+    val sample = vecs.sortBy(_._1).take(30)
+    val proj = sample.map { case (id, v) => (id, v.map(_.toDouble), project(v)) }
+    for (i <- proj.indices; jj <- (i + 1) until proj.length) {
+      val (_, xa, ya) = proj(i); val (_, xb, yb) = proj(jj)
+      val dx = math.sqrt(xa.zip(xb).map { case (p, q) => (p - q) * (p - q) }.sum)
+      val dy = math.sqrt(ya.zip(yb).map { case (p, q) => (p - q) * (p - q) }.sum)
+      assert(dy / dx > 0.35 && dy / dx < 2.0,
+        s"pair distance distortion ${dy / dx}")
+    }
+  }
 }
