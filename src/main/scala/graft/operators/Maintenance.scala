@@ -136,6 +136,51 @@ object Maintenance {
     }
   }
 
+  /** Stage the RESTORE scenario ONCE per corpus: the txnRoot history
+    * (v0..v3) plus a v4 `RESTORE TO VERSION 1` commit — the Delta/Iceberg
+    * RESTORE contract: a restore is a METADATA-ONLY commit whose adds
+    * re-reference the files live at the target version and whose removes
+    * drop the files live at head; no data file is written or copied, so
+    * restoring a 100 TB table costs O(manifest). The restore log lives in
+    * its OWN root while data files stay in txnRoot — the metadata/data
+    * separation every real lake has (a restore log rewrite never touches
+    * the data plane). The commit goes through the same put-if-absent
+    * CREATE_NEW protocol as every other writer. */
+  private[graft] def restoreRoot(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val base = txnRoot(s, dir)
+    graft.Staging.cached(
+      s"txnrestore_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      import java.nio.file.{Files, Paths}
+      val log = Paths.get(tgt, "_log")
+      Files.createDirectories(log)
+      Files.list(Paths.get(base, "_log")).sorted().forEach(f =>
+        Files.copy(f, log.resolve(f.getFileName)))
+      val ms = s.read.json(s"$tgt/_log")
+        .select(col("version").cast(LongType), col("adds"), col("removes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+        .sortBy(_._1)
+      def liveAt(v: Long): Seq[String] = ms.filter(_._1 <= v)
+        .foldLeft(Seq.empty[String]) { case (acc, (_, adds, rms)) =>
+          acc.filterNot(rms.contains) ++ adds
+        }
+      val (target, head) = (1L, ms.map(_._1).max)
+      val adds = liveAt(target).filterNot(liveAt(head).contains)
+      val removes = liveAt(head).filterNot(liveAt(target).contains)
+      def arr(xs: Seq[String]) =
+        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val body =
+        s"""{"version":${head + 1},"writer":"RESTORE","attempt":1,""" +
+          s""""adds":${arr(adds)},"removes":${arr(removes)},""" +
+          s""""lo":"0000-01-01","hi":"9999-12-31","restore_of":$target}"""
+      Files.write(log.resolve(f"v${head + 1}%03d.json"),
+        body.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+  }
+
   /** Stage the BRANCHED transaction log ONCE per corpus: main history +
     * an isolated dev branch + a fast-forward merge, plus a CONFLICTING
     * branch whose merge is refused — the Iceberg branch-ref model
@@ -997,6 +1042,86 @@ object Maintenance {
           |  SELECT 3, 'OPT', count(*), count(*), CAST(0 AS BIGINT),
           |         CAST(0 AS BIGINT)
           |  FROM orders)
+          |ORDER BY version""".stripMargin)
+    ),
+
+    // RESTORE TO VERSION (the Delta RESTORE / Iceberg rollback
+    // contract): undo is a NEW commit whose live set equals the target
+    // version's — history is append-only (the bad commits stay
+    // readable for audit; time travel still resolves them), and the
+    // restore itself is metadata-only: its adds RE-REFERENCE files
+    // already in the log, so restoring a 100 TB table writes zero data
+    // bytes. The staged scenario restores v3's OPTIMIZE head back to
+    // v1: v4 re-adds {base, a1} and removes {compact0}. The query
+    // resolves the 5-commit log, time-travel-reads every version, and
+    // emits per-commit file-churn counters; the oracle replays each
+    // version's logical row set from raw orders — v4 must agree with
+    // v1 EXACTLY (count and exact cents), which is the restore
+    // guarantee. LayoutSpec pins the metadata-only property (adds ⊆
+    // previously-committed files, no new data dirs on disk).
+    //
+    // Scale shape: restore cost is O(manifest) — the live-set fold and
+    // the one CREATE_NEW commit; the data plane is untouched. Reads at
+    // any version scan only that version's live files (manifest-planned
+    // pruning, as q_snapshot_txn).
+    QueryDef(
+      "q_snapshot_restore",
+      (s, dir) => {
+        val dataRoot = txnRoot(s, dir)
+        val logRoot = restoreRoot(s, dir)
+        val ms = s.read.json(s"$logRoot/_log")
+          .select(col("version").cast(LongType), col("writer"),
+            col("adds"), col("removes"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            r.getSeq[String](2), r.getSeq[String](3)))
+          .sortBy(_._1)
+        ms.map { case (v, w, adds, rms) =>
+          val live = ms.filter(_._1 <= v)
+            .foldLeft(Seq.empty[String]) { case (acc, (_, _, as, rs)) =>
+              acc.filterNot(rs.contains) ++ as
+            }
+            .map(n => s"$dataRoot/$n")
+          s.read.parquet(live: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("o_totalprice") * 100).cast(LongType))
+                .as("cents"))
+            .select(lit(v).as("version"), lit(w).as("writer"),
+              lit(adds.size.toLong).as("n_add_files"),
+              lit(rms.size.toLong).as("n_rm_files"),
+              col("n_rows"), col("cents"))
+        }.reduce(_.unionByName(_)).orderBy(col("version"))
+      },
+      Some(
+        """SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS version, 'base' AS writer,
+          |         CAST(1 AS BIGINT) AS n_add_files,
+          |         CAST(0 AS BIGINT) AS n_rm_files,
+          |         count(*) AS n_rows,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT) AS cents
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 1, 'A', CAST(1 AS BIGINT), CAST(0 AS BIGINT), count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          |  UNION ALL
+          |  SELECT 2, 'B', CAST(1 AS BIGINT), CAST(0 AS BIGINT), count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 3, 'OPT', CAST(1 AS BIGINT), CAST(3 AS BIGINT), count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 4, 'RESTORE', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+          |         count(*),
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |           AS BIGINT)
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01')
           |ORDER BY version""".stripMargin)
     ),
 

@@ -317,6 +317,44 @@ class LayoutSpec extends SparkSpec {
     assert(v1rows < total && v1rows > rows(0)._3)
   }
 
+  test("q_snapshot_restore: metadata-only undo; restored snapshot == target exactly") {
+    val rows = q("q_snapshot_restore").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.last._2 == "RESTORE")
+    // the restore guarantee: v4 reads EXACTLY what v1 read
+    assert(rows(4)._5 == rows(1)._5 && rows(4)._6 == rows(1)._6,
+      s"restored snapshot must equal the target version: ${rows.toSeq}")
+    // and it really undid something: head (v3) differs from the target
+    assert(rows(3)._5 != rows(1)._5)
+    // metadata-only: every file the restore adds was committed BEFORE —
+    // the restore writes zero data bytes
+    val logRoot = Staging.cached(
+      s"txnrestore_${Staging.keyOf(sf)}_${Staging.stampOf(sf)}", rev = 1) {
+      _ => fail("restore log must already be staged by the query run")
+    }
+    val log = spark.read.json(s"$logRoot/_log")
+      .select(col("version"), col("writer"), col("adds"), col("removes"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2), r.getSeq[String](3)))
+      .sortBy(_._1)
+    val restored = log.last
+    val priorAdds = log.dropRight(1).flatMap(_._3).toSet
+    assert(restored._3.nonEmpty && restored._3.toSet.subsetOf(priorAdds),
+      s"restore adds ${restored._3} must re-reference committed files")
+    // history is append-only: all four original commits still present
+    // and byte-identical in content fields (audit survives the undo)
+    assert(log.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // live set after restore == live set at the target version
+    def liveAt(v: Long) = log.filter(_._1 <= v)
+      .foldLeft(Seq.empty[String]) { case (acc, (_, _, as, rs)) =>
+        acc.filterNot(rs.contains) ++ as
+      }.toSet
+    assert(liveAt(4L) == liveAt(1L),
+      s"restored live set ${liveAt(4L)} != target ${liveAt(1L)}")
+  }
+
   test("vacuum reclaims only files no retained version needs; log survives") {
     // run on a COPY of the staged table — the cached original serves
     // the query test above and future JVMs
