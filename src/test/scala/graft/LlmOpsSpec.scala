@@ -900,6 +900,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(q("q_dedup_winnow").count() > 0)
   }
 
+  test("er_blocked: emitted pairs exact-subset of brute truth; blocking recall floored") {
+    def ed(a: String, b: String): Int = {
+      val (x, y) = (a.take(80), b.take(80))
+      val prev = Array.range(0, y.length + 1)
+      for (i <- 1 to x.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to y.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(y.length)
+    }
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute ground truth: ALL same-lang pairs at prefix-ed <= 20 —
+    // feasible only at spec scale, which is the point of blocking
+    val truth = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      if docs(i)._3 == docs(j)._3
+      d = ed(docs(i)._2, docs(j)._2) if d <= 20
+    } yield {
+      val (a, b) = (docs(i)._1, docs(j)._1)
+      (math.min(a, b), math.max(a, b), d)
+    }).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup prefixes")
+    val got = q("q_er_blocked").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    // the verifier is exact, so emitted pairs can never be wrong
+    assert(got.subsetOf(truth), s"false matches: ${got -- truth}")
+    // blocking recall: the single-pass key keeps >= 90% of true pairs
+    // on this fixture (missed pairs straddle a band edge or differ in
+    // the first token — the documented multi-pass lever)
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"blocking recall $recall (${got.size}/${truth.size})")
+  }
+
   test("rp: projection replays exactly from md5 signs; JL preserves distances") {
     val (k, d) = (16, 64)
     val md = java.security.MessageDigest.getInstance("MD5")
