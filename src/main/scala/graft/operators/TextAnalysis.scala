@@ -893,6 +893,76 @@ object TextAnalysis {
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // North star — tokenizer FERTILITY per language: subword tokens
+    // per word, chars per token, and OOV rate, split by lang — the
+    // tokenizer-equity report every multilingual pipeline publishes
+    // (a tokenizer trained lopsidedly fragments low-resource languages
+    // into more tokens per word, inflating their effective cost; the
+    // XLM-R/alpha-rule mixing in q_mix_temperature is the upstream
+    // fix, this is the downstream measurement). Same broadcast shape
+    // as q_text_bpe_encode: the trained (word → n-subwords) table is
+    // KBs and broadcasts to the exploded token stream; the per-lang
+    // rollup is one map-combined aggregate over exact integer sums,
+    // with the three ratios rounded at the very end. |langs| output
+    // rows at any corpus size.
+    QueryDef(
+      "q_text_fertility",
+      (s, dir) => {
+        val trained = bpeTrain(s, dir)
+          .select(col("word"),
+            size(split(trim(col("seq")), " ")).cast(LongType).as("nt"))
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"),
+            explode(TextFns.tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z]{2,20}$"))
+        toks.join(broadcast(trained), Seq("word"), "left_outer")
+          .select(col("lang"),
+            coalesce(col("nt"), length(col("word")).cast(LongType))
+              .as("toklen"),
+            length(col("word")).cast(LongType).as("wlen"),
+            when(col("nt").isNull, 1L).otherwise(0L).as("oov"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("toklen")).as("n_tokens"),
+            sum(col("wlen")).as("n_chars"),
+            sum(col("oov")).as("n_oov"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6)
+              .as("fertility"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 6)
+              .as("chars_per_token"),
+            round(col("n_oov").cast("double") / col("n_words"), 6)
+              .as("oov_rate"))
+          .orderBy(col("lang"))
+      },
+      Some(BpeOracleCtes +
+        """,
+          |ltoks AS (
+          |  SELECT lang, word FROM (
+          |    SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+          |    FROM documents)
+          |  WHERE regexp_matches(word, '^[a-z]{2,20}$')),
+          |enc AS (
+          |  SELECT t.lang,
+          |         coalesce(len(string_split(trim(v.seq), ' ')),
+          |                  length(t.word)) AS toklen,
+          |         length(t.word) AS wlen,
+          |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+          |  FROM ltoks t LEFT JOIN seq6 v ON t.word = v.word),
+          |agg AS (
+          |  SELECT lang, count(*) AS n_words,
+          |         CAST(sum(toklen) AS BIGINT) AS n_tokens,
+          |         CAST(sum(wlen) AS BIGINT) AS n_chars,
+          |         CAST(sum(oov) AS BIGINT) AS n_oov
+          |  FROM enc GROUP BY lang)
+          |SELECT lang, n_words, n_tokens,
+          |       round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+          |       round(CAST(n_chars AS DOUBLE) / n_tokens, 6)
+          |         AS chars_per_token,
+          |       round(CAST(n_oov AS DOUBLE) / n_words, 6) AS oov_rate
+          |FROM agg ORDER BY lang""".stripMargin)
+    ),
+
     // North star — cross-source overlap (leakage) matrix: for every
     // ordered source pair (a, b), the fraction of a's docs sharing at
     // least one rare 3-shingle with ANY doc of b — the provenance /

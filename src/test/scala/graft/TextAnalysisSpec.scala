@@ -149,6 +149,41 @@ class TextAnalysisSpec extends SparkSpec {
       .exists(_.matches("^[a-z]{2,20}$"))))
   }
 
+  test("fertility: per-lang ratios replay from the per-doc encode rollup") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val langOf = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // per-doc rollup from the sibling query (same token filter, same
+    // trained table) — fertility must be its per-lang telescoping
+    val perDoc = q("q_text_bpe_encode").collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val docsAll = sources.Tables.documents(spark, sf)
+      .select(col("lang"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val charsByLang = docsAll.groupBy(_._1).map { case (l, ds) =>
+      l -> ds.flatMap(_._2.split(" "))
+        .filter(_.matches("^[a-z]{2,20}$")).map(_.length.toLong).sum
+    }
+    val byLang = perDoc.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+    }
+    val rows = q("q_text_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet == byLang.keySet, "one row per language")
+    rows.foreach { case (l, nw, nt, fert, cpt, oov) =>
+      val (ew, et, eo) = byLang(l)
+      assert(nw == ew && nt == et, s"$l counts must telescope from docs")
+      assert(fert == r6(et.toDouble / ew), s"$l fertility")
+      assert(cpt == r6(charsByLang(l).toDouble / et), s"$l chars/token")
+      assert(oov == r6(eo.toDouble / ew), s"$l oov rate")
+      assert(fert >= 1.0 && oov >= 0.0 && oov <= 1.0)
+    }
+  }
+
   test("pmi: top-50 under total order, min count honored, scores replay") {
     val rows = q("q_text_pmi").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
