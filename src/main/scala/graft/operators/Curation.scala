@@ -1102,6 +1102,85 @@ object Curation {
           |             6) AS kept_frac
           |FROM marked GROUP BY lang, n_docs, total, q_share, rate
           |ORDER BY lang""".stripMargin)
+    ),
+
+    // North star — repetition-aware mixing plan (the data-constrained
+    // scaling recipe, Muennighoff et al. 2023 arXiv:2305.16264): given
+    // a token budget of 2× the corpus and temperature-scaled target
+    // shares (α = 0.5 over per-source TOKENS, the q_mix_temperature
+    // rule), compute how many EPOCHS of each source the plan needs —
+    // needed_l = q_l·B, epochs_l = needed_l / available_l — and flag
+    // sources pushed past 4 epochs, where repeated data's value decays
+    // to ~zero per the paper. This is the planning table a training
+    // run signs off on before any shuffling of actual data.
+    //
+    // Float discipline: per-source token counts are exact BIGINT sums
+    // of per-doc token counts; sqrt weights are round(·1e9) micro-ints
+    // summed exactly; shares/epochs are one shared double expression
+    // over those exact integers, rounded 6 dp at the end. The 4-epoch
+    // flag compares the ROUNDED value so both engines branch on the
+    // same number.
+    //
+    // Scale shape: ONE map-combined (source → docs, tokens) aggregate
+    // over the corpus scan; everything after runs on the |sources|-row
+    // table with a 1-row totals attach (allowlisted broadcast scalar,
+    // as q_mix_temperature). |sources| output rows at any corpus size.
+    QueryDef(
+      "q_mix_epochs",
+      (s, dir) => {
+        val perSrc = Tables.documents(s, dir)
+          .select(col("source"),
+            size(TextFns.tokens(col("text"))).cast(LongType).as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .withColumn("w_micro",
+            round(sqrt(col("n_tokens").cast(DoubleType)) * 1e9)
+              .cast(LongType))
+        val tot = perSrc.agg(
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("w_micro")).as("sumw"))
+        perSrc.crossJoin(broadcast(tot))
+          .withColumn("budget", col("total_tokens") * 2)
+          .withColumn("natural_share",
+            round(col("n_tokens").cast(DoubleType) /
+              col("total_tokens"), 6))
+          .withColumn("target_share",
+            round(col("w_micro").cast(DoubleType) / col("sumw"), 6))
+          .withColumn("epochs",
+            round(col("budget").cast(DoubleType) *
+              col("w_micro").cast(DoubleType) / col("sumw") /
+              col("n_tokens"), 6))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("natural_share"), col("target_share"), col("epochs"),
+            (col("epochs") > 4.0).as("over_cap"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH per_src AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         CAST(sum(len(string_split(lower(text), ' ')))
+          |           AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |w AS (
+          |  SELECT source, n_docs, n_tokens,
+          |         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e9)
+          |           AS BIGINT) AS w_micro
+          |  FROM per_src),
+          |tot AS (
+          |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |         CAST(sum(w_micro) AS BIGINT) AS sumw FROM w)
+          |SELECT source, n_docs, n_tokens,
+          |       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+          |         AS natural_share,
+          |       round(CAST(w_micro AS DOUBLE) / sumw, 6) AS target_share,
+          |       round(CAST(total_tokens * 2 AS DOUBLE)
+          |         * CAST(w_micro AS DOUBLE) / sumw / n_tokens, 6)
+          |         AS epochs,
+          |       round(CAST(total_tokens * 2 AS DOUBLE)
+          |         * CAST(w_micro AS DOUBLE) / sumw / n_tokens, 6) > 4.0
+          |         AS over_cap
+          |FROM w CROSS JOIN tot
+          |ORDER BY source""".stripMargin)
     )
   )
 }

@@ -416,4 +416,44 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
   }
+
+  test("epoch plan: replays from doc token counts; needed tokens sum to the budget") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("source"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val bySrc = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val totalTok = bySrc.values.map(_._2).sum
+    val sumw = bySrc.values
+      .map(v => math.round(math.sqrt(v._2.toDouble) * 1e9)).sum
+    val rows = q("q_mix_epochs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    rows.foreach { case (src, nd, nt, nat, tgt, ep, cap) =>
+      val (ed, et) = bySrc(src)
+      assert(nd == ed && nt == et, s"$src counts")
+      val w = math.round(math.sqrt(et.toDouble) * 1e9)
+      assert(nat == r6(et.toDouble / totalTok), s"$src natural share")
+      assert(tgt == r6(w.toDouble / sumw), s"$src target share")
+      assert(ep == r6((totalTok * 2).toDouble * w / sumw / et), s"$src epochs")
+      assert(cap == (ep > 4.0), s"$src over_cap")
+      assert(ep > 0.0)
+    }
+    // the plan spends exactly the budget: Σ needed = Σ epochs·available
+    // = 2× the corpus (up to the 6-dp rounding of each term)
+    val spent = rows.map(r => r._6 * r._3).sum // epochs × tokens, scaled
+    val needed = rows.map(r => r._6 * bySrc(r._1)._2).sum
+    assert(math.abs(needed - 2.0 * totalTok) < 1e-3 * totalTok,
+      s"plan spends $needed of ${2L * totalTok}")
+    assert(spent > 0)
+    // temperature damping: the largest source's epochs < the smallest's
+    val maxSrc = rows.maxBy(r => r._3)
+    val minSrc = rows.minBy(r => r._3)
+    assert(maxSrc._6 < minSrc._6,
+      "sqrt-damping must repeat small sources more than large ones")
+  }
 }

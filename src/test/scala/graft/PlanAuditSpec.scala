@@ -94,6 +94,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_market_basket",    // 1-row broadcast (basket-count scalar attach)
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_mix_temperature",  // 1-row broadcast (total/sum-sqrt-weights attach)
+      "q_mix_epochs",       // 1-row broadcast (total-tokens/sum-weights
+                            // attach onto the |sources|-row plan table)
       "q_sample_stratified", // 1-row broadcast (min-stratum scalar attach)
       "q_ts_interpolate",   // keys x broadcast spine (bounded by the
                             // TIME RANGE, not the row count)
