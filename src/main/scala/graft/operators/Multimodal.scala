@@ -736,14 +736,31 @@ object Multimodal {
         def be(o: org.apache.spark.sql.Column, len: Int) =
           conv(hex(col("content").substr(o, lit(len))), 16, 10)
             .cast(LongType)
-        // bounded segment walk: offset of the first SOF0 marker
-        var off: org.apache.spark.sql.Column = lit(3L)
-        var sofOff: org.apache.spark.sql.Column = lit(null).cast(LongType)
-        for (_ <- 0 until 8) {
-          sofOff = coalesce(sofOff, when(be(off, 2) === 0xFFC0L, off))
-          off = off + 2 + be(off + 2, 2)
-        }
-        // bounded IFD entry search for the Orientation tag
+        // bounded segment walk, each hop STAGED as a column: the naive
+        // compounding form (off_{k+1} = off_k + 2 + be(off_k + 2, 2)
+        // built as one nested Column) embeds the previous hop's tree
+        // TWICE per step — 2^hops substring/conv nodes per row,
+        // measured ~4-5 s for 5 000 files; staged attributes are
+        // multi-referenced and non-cheap, so CollapseProject keeps
+        // each hop single-eval (the q_embed_rp / CollapseProject
+        // lambda lesson, expression-tree edition)
+        var walked = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.jpg")
+          .load(jpegDir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.jpg", 1)
+              .cast(LongType).as("doc_id"),
+            col("content"))
+          .withColumn("off0", lit(3L))
+        for (k <- 0 until 8)
+          walked = walked
+            .withColumn(s"mark$k", be(col(s"off$k"), 2))
+            .withColumn(s"off${k + 1}",
+              col(s"off$k") + 2 + be(col(s"off$k") + 2, 2))
+        val sofOff = coalesce((0 until 8).map(k =>
+          when(col(s"mark$k") === 0xFFC0L, col(s"off$k"))): _*)
+        // bounded IFD entry search for the Orientation tag (fixed
+        // offsets — no compounding, safe to inline)
         val tiff = lit(13L) // SOI(2) FF E1 len(2) 'Exif\0\0'(6) → TIFF
         var orient: org.apache.spark.sql.Column = lit(null).cast(LongType)
         for (k <- 0 until 4) {
@@ -751,20 +768,15 @@ object Multimodal {
           orient = coalesce(orient,
             when(be(e, 2) === 0x0112L, be(e + 8, 2)))
         }
-        s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.jpg")
-          .load(jpegDir)
-          .select(
-            regexp_extract(col("path"), "doc_(\\d+)\\.jpg", 1)
-              .cast(LongType).as("doc_id"),
-            col("content"))
+        walked
+          .withColumn("sof", sofOff)
           .select(col("doc_id"),
             (hex(substring(col("content"), 1, 2)) === "FFD8").as("sig_ok"),
             (col("content").substr(lit(7L), lit(4)).cast("string") === "Exif")
               .as("exif_ok"),
             orient.as("orientation"),
-            be(sofOff + 5, 2).as("height"),
-            be(sofOff + 7, 2).as("width"))
+            be(col("sof") + 5, 2).as("height"),
+            be(col("sof") + 7, 2).as("width"))
           .orderBy(col("doc_id"))
       },
       Some(
