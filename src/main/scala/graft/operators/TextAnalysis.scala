@@ -232,6 +232,51 @@ object TextAnalysis {
     (head +: roundCtes).mkString(",\n")
   }
 
+  /** BM25 top-`topk` per query for the fixed query set doc_id ≡ `qres`
+    * (mod 100) below 5000, scored against the rest of the corpus —
+    * the q_text_bm25 pipeline, parameterized so hybrid fusion
+    * (q_rank_fusion) can rank the SAME query set it fuses. Scores
+    * rounded 4 dp BEFORE the rank (cross-engine-stable order); the
+    * row_number top-k lowers to the bounded TopKPerKey operator. */
+  private[graft] def bm25Ranking(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, qres: Long,
+                                 topk: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+    val isQuery = pmod(col("doc_id"), lit(100L)) === qres &&
+      col("doc_id") < 5000L
+    val qTerms = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("ts"))).as("term"))
+    val corpus = docs.filter(!isQuery)
+    val tf = corpus
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = corpus.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
+    val stats = corpus.agg(count(lit(1)).as("n"),
+      avg(size(col("ts"))).as("avgdl"))
+    val contrib = qTerms
+      .join(dfq, "term")
+      .crossJoin(broadcast(stats))
+      .join(tf, "term")
+      .join(dl.hint("shuffle_hash"), "doc_id")
+      .withColumn("c",
+        log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
+          (col("df").cast(DoubleType) + 0.5)) *
+          col("tf").cast(DoubleType) * 2.2 /
+          (col("tf").cast(DoubleType) +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // North star — token counting: whitespace tokens + a BPE-ish regex
@@ -654,43 +699,8 @@ object TextAnalysis {
     // row_number top-k lowers to the bounded TopKPerKey operator.
     QueryDef(
       "q_text_bm25",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-        val isQuery = pmod(col("doc_id"), lit(100L)) === 0L &&
-          col("doc_id") < 5000L
-        val qTerms = docs.filter(isQuery)
-          .select(col("doc_id").as("query_id"),
-            explode(array_distinct(col("ts"))).as("term"))
-        val corpus = docs.filter(!isQuery)
-        val tf = corpus
-          .select(col("doc_id"), explode(col("ts")).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val dl = corpus.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
-        val stats = corpus.agg(count(lit(1)).as("n"),
-          avg(size(col("ts"))).as("avgdl"))
-        val contrib = qTerms
-          .join(dfq, "term")
-          .crossJoin(broadcast(stats))
-          .join(tf, "term")
-          .join(dl.hint("shuffle_hash"), "doc_id")
-          .withColumn("c",
-            log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
-              (col("df").cast(DoubleType) + 0.5)) *
-              col("tf").cast(DoubleType) * 2.2 /
-              (col("tf").cast(DoubleType) +
-                lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
-        val scores = contrib.groupBy(col("query_id"), col("doc_id"))
-          .agg(round(sum(col("c")), 4).as("score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-        scores.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
-          .orderBy(col("query_id"), col("rnk"))
-      },
+      (s, dir) => bm25Ranking(s, dir, qres = 0L, topk = 10)
+        .orderBy(col("query_id"), col("rnk")),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),

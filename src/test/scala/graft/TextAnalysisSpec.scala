@@ -149,6 +149,50 @@ class TextAnalysisSpec extends SparkSpec {
       .exists(_.matches("^[a-z]{2,20}$"))))
   }
 
+  test("rank fusion: RRF replays exactly from the two retrieval legs") {
+    val bm25 = operators.TextAnalysis.bm25Ranking(spark, sf, 7L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val cos = operators.TextSimilarity.cosineRanking(spark, sf, 7L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    def c(rnk: Long) = math.round(1e6 / (60.0 + rnk))
+    val expected = (bm25.keySet ++ cos.keySet).map { k =>
+      k -> (bm25.get(k).map(c).getOrElse(0L) + cos.get(k).map(c).getOrElse(0L),
+        bm25.contains(k) && cos.contains(k))
+    }.toMap
+    val rows = q("q_rank_fusion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      // dense ranks from 1, ordered by fused score then doc_id
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"query $qid fusion order")
+        case _ =>
+      }
+      sorted.foreach { case (_, _, doc, micro, both) =>
+        val (em, eb) = expected((qid, doc))
+        assert(micro == em, s"query $qid doc $doc fused score")
+        assert(both == eb, s"query $qid doc $doc in_both")
+      }
+      // the fused top-10 is exactly the 10 best fused candidates
+      // NB: .toSeq first — Map#collect returning pairs would rebuild a
+      // Map keyed by the fused score and silently drop tied scores
+      val bestTen = expected.toSeq.collect { case ((q2, d), (m, _))
+        if q2 == qid => (m, d) }.sortBy { case (m, d) => (-m, d) }
+        .take(rs.length)
+      assert(sorted.map(r => (r._4, r._3)).toSeq == bestTen,
+        s"query $qid top-k selection")
+    }
+    // consensus exists somewhere (both systems retrieve from the same
+    // corpus with correlated signals) and single-system hits exist too
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "fixture must exercise both consensus and single-system hits")
+  }
+
   test("fertility: per-lang ratios replay from the per-doc encode rollup") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
