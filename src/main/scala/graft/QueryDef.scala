@@ -48,7 +48,8 @@ object Registry {
       operators.Curation.defs ++
       operators.Maintenance.defs ++
       operators.Graph.defs ++
-      operators.SeriesOps.defs
+      operators.SeriesOps.defs ++
+      operators.TypedOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -19,6 +19,31 @@ class PlanAuditSpec extends SparkSpec {
       "projection must prune unused columns from the scan")
   }
 
+  test("q_typed_pipeline: scan pruned below the typed boundary; result matches untyped") {
+    val p = plan("q_typed_pipeline")
+    // the select(...).as[OrderSlim] boundary keeps pruning alive: the
+    // parquet scan reads the 3 needed columns, not the full order row
+    assert(p.contains("o_orderstatus") && p.contains("o_custkey"),
+      "scan must read the needed columns")
+    assert(!p.contains("o_comment") && !p.contains("o_orderpriority"),
+      "typed boundary must not widen the scan to the full row")
+    // and the typed path agrees exactly with the untyped equivalent
+    val typed = q("q_typed_pipeline").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val untyped = sources.Tables.orders(spark, sf)
+      .select(col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_custkey"))
+      .filter(col("cents") > 100000L)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        max(col("o_custkey")).as("m"))
+      .orderBy(col("status")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(typed.toSeq == untyped.toSeq,
+      "typed Aggregator must agree with the relational aggregation")
+  }
+
   test("dimension joins broadcast (fact side never shuffles for the join)") {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
     assert(plan("q_join_inner").contains("BroadcastHashJoin"),
