@@ -112,6 +112,9 @@ class PlanAuditSpec extends SparkSpec {
                             // assignment is staged, never re-ranked)
       "q_text_tfidf",       // 1-row broadcast (corpus-size scalar attach)
       "q_text_bm25",        // 1-row broadcast (corpus stats attach)
+      "q_rank_fusion",      // inherits the legs' 1-row stat attaches
+                            // (bm25 corpus stats + docsim n_docs);
+                            // the fusion layer itself is hash-agg only
       "q_text_vocab_encode", // join-rank over the vocab-sized term table
       "q_text_bpe",         // 1-row broadcast per merge round (argmax
                             // pair attach), over the bounded vocab
