@@ -844,6 +844,95 @@ object Analytics {
           |  AND l_shipdate < TIMESTAMP '1997-01-01'
           |  AND l_discount >= 0.05 AND l_discount <= 0.07
           |  AND l_quantity < 24""".stripMargin)
+    ),
+
+    // SPATIAL radius join via grid-cell bucketing — the standard
+    // decomposition every distributed spatial engine uses (bin points
+    // into cells sized to the radius, join on cell, refine exactly):
+    // candidates meet ONLY inside a shared cell, so the join is a hash
+    // equi-join on the cell key, never a distance theta-join. Each
+    // center covers its 3×3 cell neighborhood (a point within r of a
+    // center cannot sit farther than one cell away when the cell edge
+    // equals r), so per-center candidate volume is 9 cells × density —
+    // independent of the domain size, linear in the point count.
+    //
+    // Coordinates are md5-derived integers on a 1000×1000 grid (the
+    // cross-engine deterministic draw, as q_mix_temperature) and the
+    // refine predicate is EXACT integer arithmetic (dx² + dy² ≤ r²) —
+    // no floats anywhere, so the result is hash-stable by
+    // construction. Euclidean-on-flat-grid is the honest exemplar:
+    // haversine refines identically in shape but sin/cos are not
+    // correctly-rounded cross-engine (the documented reason this
+    // fixture stays integer).
+    QueryDef(
+      "q_join_spatial",
+      (s, dir) => {
+        val r = 50L
+        def coord(salt: String, id: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(concat(lit(salt), id.cast("string"))),
+            1, 6), 16, 10).cast(LongType), lit(1000L))
+        val pts = Tables.events(s, dir)
+          .select(col("event_id"),
+            coord("px:", col("event_id")).as("x"),
+            coord("py:", col("event_id")).as("y"))
+          .withColumn("cell",
+            expr(s"(x div $r) * 1024 + (y div $r)"))
+        val centers = s.range(20)
+          .select(col("id").as("center_id"),
+            coord("cx:", col("id")).as("cx"),
+            coord("cy:", col("id")).as("cy"))
+        // each center expands to its 9 covering cells; the join is a
+        // plain hash equi-join on the cell id
+        val covered = centers.select(col("center_id"), col("cx"), col("cy"),
+          explode(expr(
+            s"""flatten(transform(sequence(-1, 1), dx ->
+               |  transform(sequence(-1, 1), dy ->
+               |    (cx div $r + dx) * 1024 + (cy div $r + dy))))"""
+              .stripMargin.replaceAll("\n", " "))).as("cell"))
+        pts.join(covered, "cell")
+          .filter(
+            (col("x") - col("cx")) * (col("x") - col("cx")) +
+              (col("y") - col("cy")) * (col("y") - col("cy")) <= r * r)
+          .groupBy(col("center_id"))
+          .agg(count(lit(1)).as("n_within"),
+            min((col("x") - col("cx")) * (col("x") - col("cx")) +
+              (col("y") - col("cy")) * (col("y") - col("cy")))
+              .as("min_d2"),
+            sum((col("x") - col("cx")) * (col("x") - col("cx")) +
+              (col("y") - col("cy")) * (col("y") - col("cy")))
+              .as("sum_d2"))
+          .orderBy(col("center_id"))
+      },
+      Some(
+        """WITH pts AS (
+          |  SELECT event_id,
+          |         CAST(('0x' || substr(md5('px:' ||
+          |             CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          |           % 1000 AS x,
+          |         CAST(('0x' || substr(md5('py:' ||
+          |             CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          |           % 1000 AS y
+          |  FROM events),
+          |centers AS (
+          |  SELECT i AS center_id,
+          |         CAST(('0x' || substr(md5('cx:' ||
+          |             CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+          |           % 1000 AS cx,
+          |         CAST(('0x' || substr(md5('cy:' ||
+          |             CAST(i AS VARCHAR)), 1, 6)) AS BIGINT)
+          |           % 1000 AS cy
+          |  FROM range(20) t(i)),
+          |hits AS (
+          |  SELECT c.center_id,
+          |         (p.x - c.cx) * (p.x - c.cx) +
+          |         (p.y - c.cy) * (p.y - c.cy) AS d2
+          |  FROM pts p JOIN centers c
+          |    ON (p.x - c.cx) * (p.x - c.cx) +
+          |       (p.y - c.cy) * (p.y - c.cy) <= 2500)
+          |SELECT center_id, count(*) AS n_within,
+          |       CAST(min(d2) AS BIGINT) AS min_d2,
+          |       CAST(sum(d2) AS BIGINT) AS sum_d2
+          |FROM hits GROUP BY center_id ORDER BY center_id""".stripMargin)
     )
   )
 }

@@ -19,6 +19,38 @@ class PlanAuditSpec extends SparkSpec {
       "projection must prune unused columns from the scan")
   }
 
+  test("q_join_spatial: cell-bucketed radius join is hash-equi, never a distance theta-join") {
+    val p = plan("q_join_spatial")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "spatial join must bucket into cells, not nested-loop on distance:\n" + p)
+    assert(p.contains("cell"), "join key must be the grid cell id")
+    // emit-once: a point sits in exactly one cell and each center's 9
+    // covering cells are distinct, so no pair dedup exists in the plan
+    assert(!p.contains("HashAggregate(keys=[center_id") ||
+      !p.contains("Deduplicate"), "no pair-dedup stage expected")
+    // and the cell decomposition loses nothing vs the naive distance
+    // scan (driver replay at spec scale)
+    val got = q("q_join_spatial").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def coord(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$salt$id".getBytes("UTF-8"))
+      val hex = h.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val pts = sources.Tables.events(spark, sf).select(col("event_id"))
+      .collect().map(_.getLong(0))
+      .map(id => (coord("px:", id), coord("py:", id)))
+    val expected = (0L until 20L).map { c =>
+      val (cx, cy) = (coord("cx:", c), coord("cy:", c))
+      val d2s = pts.map { case (x, y) =>
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) }.filter(_ <= 2500L)
+      (c, d2s.length.toLong, if (d2s.isEmpty) -1L else d2s.min, d2s.sum)
+    }.filter(_._2 > 0)
+    assert(got.toSeq == expected,
+      "cell-bucketed result must equal the naive distance scan")
+  }
+
   test("q_typed_pipeline: scan pruned below the typed boundary; result matches untyped") {
     val p = plan("q_typed_pipeline")
     // the select(...).as[OrderSlim] boundary keeps pruning alive: the
