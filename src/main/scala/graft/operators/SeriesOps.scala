@@ -675,6 +675,100 @@ object SeriesOps {
           |FROM agg ORDER BY event_type, lag""".stripMargin)
     ),
 
+    // CROSS-correlation lead-lag matrix between event-type series —
+    // the companion of q_ts_autocorr for the question monitoring
+    // actually asks ("do purchases FOLLOW clicks, and by how many
+    // hours?"): Pearson r between series a at t and series b at t+L
+    // for L ∈ −3..+3, for every ordered type pair a < b (negative lags
+    // cover b-leads-a, so the half-matrix carries the full
+    // information). Same cross-engine discipline as autocorr: exact
+    // integer moment sums carried as DECIMAL(19,0) (mirrors DuckDB's
+    // HUGEINT widening — no ANSI overflow cliff), one shared double
+    // Pearson expression, 6 dp.
+    //
+    // Scale shape: grid-first — the fact table collapses to the
+    // bounded (type × hour) grid once; the lag join is hash-equi on
+    // the hour index with the pair restriction as a post-filter, and
+    // its volume is |grid| × |types| × |lags| — bounded by the TIME
+    // RANGE and the (small, fixed) type domain, flat in event volume.
+    QueryDef(
+      "q_ts_crosscorr",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val lo = hourly.agg(min(col("hr"))).head().getTimestamp(0)
+        val loMicros = lo.getTime * 1000L
+        val grid = hourly.select(col("event_type")).distinct()
+          .crossJoin(hourly.select(col("hr")).distinct())
+        val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"),
+            ((unix_micros(col("hr")) - lit(loMicros)) / lit(3600000000L))
+              .cast(LongType).as("idx"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .localCheckpoint() // both sides of every lag join
+        val lags = List(-3, -2, -1, 0, 1, 2, 3)
+        val a = dense.select(col("event_type").as("type_a"),
+            col("idx"), col("c"))
+          .withColumn("lag", explode(typedLit(lags)))
+          .withColumn("lag", col("lag").cast(LongType))
+        val b = dense.select(col("event_type").as("type_b"),
+          col("idx").as("idx_b"), col("c").as("cb"))
+        val cD = col("c").cast(DecimalType(19, 0))
+        val cbD = col("cb").cast(DecimalType(19, 0))
+        val agg = a.join(b,
+            col("idx_b") === col("idx") + col("lag") &&
+              col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"), col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(cD).as("sx"), sum(cbD).as("sy"),
+            sum(cD * cbD).as("sxy"),
+            sum(cD * cD).as("sxx"),
+            sum(cbD * cbD).as("syy"))
+        agg.select(col("type_a"), col("type_b"), col("lag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType) *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast(DoubleType)), 6).as("xcf"))
+          .orderBy(col("type_a"), col("type_b"), col("lag"))
+      },
+      Some(
+        """WITH hourly AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS hr,
+          |         count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |b0 AS (SELECT min(hr) AS lo FROM hourly),
+          |grid AS (
+          |  SELECT t.event_type, h.hr
+          |  FROM (SELECT DISTINCT event_type FROM hourly) t
+          |  CROSS JOIN (SELECT DISTINCT hr FROM hourly) h),
+          |dense AS (
+          |  SELECT g.event_type,
+          |         CAST((epoch_us(g.hr) - epoch_us(b0.lo)) / 3600000000
+          |           AS BIGINT) AS idx,
+          |         coalesce(c, 0) AS c
+          |  FROM grid g LEFT JOIN hourly USING (event_type, hr), b0),
+          |lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+          |agg AS (
+          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |         CAST(l.lag AS BIGINT) AS lag,
+          |         count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+          |         sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx,
+          |         sum(b.c * b.c) AS syy
+          |  FROM dense a CROSS JOIN lags l
+          |  JOIN dense b ON b.idx = a.idx + l.lag
+          |    AND a.event_type < b.event_type
+          |  GROUP BY 1, 2, 3)
+          |SELECT type_a, type_b, lag, n,
+          |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+          |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS xcf
+          |FROM agg ORDER BY type_a, type_b, lag""".stripMargin)
+    ),
+
     // Robust outlier detection via the modified z-score
     // 0.6745·(x−median)/MAD (Iglewicz–Hoaglin, |rz| ≥ 3.5) — the
     // MAD-based complement to q_ts_anomaly's rolling mean/σ: a level

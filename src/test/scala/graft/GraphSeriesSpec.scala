@@ -231,6 +231,33 @@ class GraphSeriesSpec extends SparkSpec {
     }
   }
 
+  test("crosscorr: lag 0 equals the corr matrix; lags shift consistently") {
+    val xrows = q("q_ts_crosscorr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val types = xrows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    val nPairs = types.length * (types.length - 1) / 2
+    assert(xrows.length == nPairs * 7, "7 lags per unordered pair")
+    // lag 0 must agree with q_ts_corr_matrix (same grid, same pair)
+    val mat = q("q_ts_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    xrows.filter(_._3 == 0L).foreach { case (a, b, _, _, xcf) =>
+      assert(math.abs(xcf - mat((a, b))) < 2e-6,
+        s"($a,$b) lag-0 xcf $xcf != corr ${mat((a, b))}")
+    }
+    xrows.foreach { case (a, b, lag, n, xcf) =>
+      assert(a < b && math.abs(xcf) <= 1.0)
+      // the grid is the set of OBSERVED hours (gaps allowed, as
+      // autocorr) — so the overlap size is |S ∩ (S+L)|, which is
+      // symmetric in the lag sign and bounded by the lag-0 grid size
+      val n0 = xrows.find(r => r._1 == a && r._2 == b && r._3 == 0L).get._4
+      val nNeg = xrows.find(r => r._1 == a && r._2 == b && r._3 == -lag)
+        .get._4
+      assert(n <= n0 && n > 0, s"($a,$b,$lag) overlap $n vs grid $n0")
+      assert(n == nNeg, s"($a,$b) overlap must be lag-sign symmetric")
+    }
+  }
+
   test("corr matrix: all pairs over the full grid, one pair recomputed from raw events") {
     val rows = q("q_ts_corr_matrix").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
