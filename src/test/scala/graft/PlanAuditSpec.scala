@@ -51,6 +51,35 @@ class PlanAuditSpec extends SparkSpec {
       "cell-bucketed result must equal the naive distance scan")
   }
 
+  test("q_join_spatial_knn: ring-bounded search equals unbounded kNN; margin holds") {
+    def coord(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"$salt$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(3).map("%02x".format(_)).mkString, 16) % 1000L
+    }
+    val pts = sources.Tables.events(spark, sf).select(col("event_id"))
+      .collect().map(_.getLong(0))
+      .map(id => (id, coord("px:", id), coord("py:", id)))
+    val expected = (0L until 20L).flatMap { c =>
+      val (cx, cy) = (coord("cx:", c), coord("cy:", c))
+      pts.map { case (id, x, y) =>
+        (c, id, (x - cx) * (x - cx) + (y - cy) * (y - cy)) }
+        .sortBy { case (_, id, d2) => (d2, id) }.take(5).zipWithIndex
+        .map { case ((cc, id, d2), i) => (cc, i + 1L, id, d2) }
+    }
+    val got = q("q_join_spatial_knn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected,
+      "ring-bounded kNN must equal the UNBOUNDED naive search")
+    // the exhaustiveness contract: every 5th neighbor sits inside the
+    // 5x5 ring's 2r guarantee with real margin (measured 3341 vs the
+    // 10000 bound at spec scale — ~3x; a shrinking margin means the
+    // fixture density dropped and the ring needs to widen)
+    val worst5 = expected.filter(_._2 == 5L).map(_._4).max
+    assert(worst5 <= 10000L / 2L,
+      s"5th-neighbor d2 $worst5 eats the ring margin")
+  }
+
   test("q_typed_pipeline: scan pruned below the typed boundary; result matches untyped") {
     val p = plan("q_typed_pipeline")
     // the select(...).as[OrderSlim] boundary keeps pruning alive: the
