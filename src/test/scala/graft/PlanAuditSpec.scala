@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
       "cell-bucketed result must equal the naive distance scan")
   }
 
+  test("nested schema pruning: one struct field read prunes siblings from the scan") {
+    q("q_nested_roundtrip").collect() // stages the nested parquet
+    val out = Staging.dir("q_nested_roundtrip")
+    val pruned = spark.read.parquet(out).select(col("meta.lbl"))
+    val p = pruned.queryExecution.executedPlan.toString
+    // Catalyst's nested-schema pruning rewrites the ReadSchema to the
+    // touched leaf only — at 100 TB this is the difference between
+    // reading a 4-byte column chunk and decoding the whole struct
+    assert(p.contains("lbl"), "read must include the touched leaf")
+    assert(!p.contains("head4"),
+      "untouched struct sibling must be pruned from the parquet scan:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("q_join_spatial_knn: ring-bounded search equals unbounded kNN; margin holds") {
     def coord(salt: String, id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
