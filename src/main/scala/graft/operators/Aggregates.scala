@@ -414,6 +414,59 @@ object Aggregates {
           |  FROM c)
           |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
           |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // EXACT mergeable distinct counting via bitmap aggregation — the
+    // precise counterpart of the HLL rollup (q_sketch_rollup): for a
+    // dense integer key domain, per-segment BITMAPS are an exact,
+    // mergeable distinct index. The two-level shape is the production
+    // pattern: level 1 builds one bitmap per (group, segment, bucket)
+    // — the per-ingest-day artifact a pipeline persists; level 2
+    // OR-merges bitmaps across segments per (group, bucket) and sums
+    // bucket cardinalities — an exact cross-segment distinct WITHOUT
+    // rescanning any segment's raw data. bitmap_bucket_number caps
+    // each bitmap at 32 KB regardless of the key domain, so state per
+    // (group, bucket) is bounded and the merge shuffle carries
+    // bitmaps, not keys. Spark's bitmap_* functions (3.5+) are the
+    // engine primitives; the oracle is plain COUNT(DISTINCT) — bitmaps
+    // are exact, so they must agree to the last key.
+    QueryDef(
+      "q_agg_bitmap",
+      (s, dir) => {
+        // level 1: per-(flag, ship-year segment, bucket) bitmaps
+        val seg = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            year(col("l_shipdate")).as("segment"), col("l_partkey"))
+          .groupBy(col("l_returnflag"), col("segment"),
+            expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+            .as("bm"))
+        // level 2: OR-merge across segments, then count — no rescan
+        val merged = seg.groupBy(col("l_returnflag"), col("bucket"))
+          .agg(expr("bitmap_or_agg(bm)").as("merged"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(expr("bitmap_count(merged)")).as("n_distinct_parts"))
+        val nSegs = seg.select(col("l_returnflag"), col("segment"))
+          .distinct()
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_segments_merged"))
+        merged.join(nSegs, "l_returnflag")
+          .select(col("l_returnflag"), col("n_distinct_parts"),
+            col("n_segments_merged"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        """WITH seg AS (
+          |  SELECT l_returnflag, year(l_shipdate) AS segment, l_partkey
+          |  FROM lineitem),
+          |segs AS (
+          |  SELECT l_returnflag, count(DISTINCT segment) AS n_seg
+          |  FROM seg GROUP BY 1)
+          |SELECT s.l_returnflag,
+          |       count(DISTINCT s.l_partkey) AS n_distinct_parts,
+          |       CAST(max(g.n_seg) AS BIGINT) AS n_segments_merged
+          |FROM seg s JOIN segs g ON s.l_returnflag = g.l_returnflag
+          |GROUP BY s.l_returnflag ORDER BY s.l_returnflag""".stripMargin)
     )
   )
 }

@@ -58,6 +58,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct: exact to the last key and the merge really spans segments") {
+    val rows = q("q_agg_bitmap").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"),
+        countDistinct(year(col("l_shipdate"))).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.nonEmpty && rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (flag, n, segs) =>
+      // bitmaps are EXACT — unlike the HLL rollup above, equality is
+      // to the last key, not within tolerance
+      assert(n == exact(flag)._1, s"$flag bitmap distinct $n")
+      assert(segs == exact(flag)._2 && segs >= 2L,
+        s"$flag must OR-merge across >= 2 real segments, got $segs")
+    }
+  }
+
   test("hll sketch rollup: per-source and merged-union estimates within 5% of exact") {
     val docs = sources.Tables.documents(spark, sf)
     val est = q("q_sketch_rollup").collect()
