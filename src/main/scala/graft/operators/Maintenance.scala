@@ -842,6 +842,73 @@ object Maintenance {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Sequence-GAP audit (gaps-and-islands, the id-space complement of
+    // q_dq_audit): which id ranges are MISSING from a derived table vs
+    // its expected contiguous domain — the backfill/replay check a
+    // pipeline runs after any filter, dedup, or failed-partition
+    // rewrite. The fixture derives a sparse key set two ways at once —
+    // a deterministic md5 draw drops ~3% of orders (scattered
+    // single-key holes) and the contiguous range [1000, 1055] drops
+    // entirely (the lost-file scenario; it spans the 1024 bucket
+    // boundary, so the cross-bucket leg is exercised at every SF) —
+    // and the audit reports the 20 largest missing ranges.
+    //
+    // Scale shape: NO global window over the keys. Keys bucket by
+    // id div 1024; within-bucket neighbor gaps use a window
+    // PARTITIONED by bucket (parallel at any scale), and cross-bucket
+    // gaps come from the per-bucket (min, max) aggregate — a table
+    // 1024× smaller than the keys — windowed by bucket order. The
+    // union is exactly the set of consecutive-pair gaps (each pair is
+    // either intra-bucket or spans a bucket boundary, never both), so
+    // the decomposition is provably equal to the global-window form
+    // the oracle runs (cheap at DuckDB's scale).
+    QueryDef(
+      "q_seq_gaps",
+      (s, dir) => {
+        val b = 1024L
+        val keys = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"))
+          .filter(conv(substring(
+            md5(concat(lit("gap:"), col("k").cast("string"))), 1, 4),
+            16, 10).cast(LongType) % 32L =!= 0L)
+          .filter(!col("k").between(1000L, 1055L))
+          .withColumn("bkt", expr(s"k div $b"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt")).orderBy(col("k"))
+        val intra = keys
+          .withColumn("nk", lead(col("k"), 1).over(wIn))
+          .filter(col("nk") - col("k") > 1)
+          .select((col("k") + 1).as("gap_start"),
+            (col("nk") - 1).as("gap_end"))
+        val bounds = keys.groupBy(col("bkt"))
+          .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+        val cross = bounds
+          .withColumn("next_lo", lead(col("lo"), 1).over(wB))
+          .filter(col("next_lo") - col("hi") > 1)
+          .select((col("hi") + 1).as("gap_start"),
+            (col("next_lo") - 1).as("gap_end"))
+        intra.unionByName(cross)
+          .select(col("gap_start"), col("gap_end"),
+            (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+          .orderBy(col("n_missing").desc, col("gap_start"))
+          .limit(20)
+      },
+      Some(
+        """WITH keys AS (
+          |  SELECT o_orderkey AS k FROM orders
+          |  WHERE CAST(('0x' || substr(md5('gap:' ||
+          |      CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+          |    % 32 <> 0
+          |    AND o_orderkey NOT BETWEEN 1000 AND 1055),
+          |g AS (
+          |  SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM keys)
+          |SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+          |       nk - k - 1 AS n_missing
+          |FROM g WHERE nk - k > 1
+          |ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin)
+    ),
+
     // ANALYZE-TABLE statistics pass (the CBO input every warehouse
     // maintains): per-column row count, null count, exact NDV, and
     // min/max over the fact table, as ONE aggregate pass — adding a

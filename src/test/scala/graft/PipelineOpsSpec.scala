@@ -91,4 +91,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got._4 == vals.distinct.length.toLong, "exact NDV")
     assert(got._5 == vals.min && got._6 == vals.max)
   }
+
+  test("seq gaps: bucket decomposition equals the naive global scan") {
+    def draw(k: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"gap:$k".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        h.take(2).map("%02x".format(_)).mkString, 16)
+      v % 32L != 0L
+    }
+    val keys = sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .filter(k => draw(k) && !(k >= 1000L && k <= 1055L)).sorted
+    assert(keys.length < 15000, "the md5 draw must actually drop keys")
+    val naive = keys.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+    }.toSeq.sortBy { case (s0, _, m) => (-m, s0) }.take(20)
+    val got = q("q_seq_gaps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == naive,
+      "intra-bucket + boundary gaps must equal the global neighbor scan")
+    // the fixture must exercise BOTH legs: some gap crosses a 1024
+    // bucket boundary or the boundary path went untested
+    assert(naive.nonEmpty)
+    val allGaps = keys.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => (a + 1, b - 1) }.toSeq
+    assert(allGaps.exists { case (s0, e) => s0 / 1024 != e / 1024 } ||
+      keys.sliding(2).exists { case Array(a, b) =>
+        b - a > 1 && a / 1024 != b / 1024
+      case _ => false },
+      "no gap spans a bucket boundary — the cross-bucket leg is untested")
+  }
 }
