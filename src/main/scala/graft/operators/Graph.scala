@@ -926,6 +926,70 @@ object Graph {
           |         round(CAST(a AS DOUBLE) * an.n / an.tot, 6)
           |  FROM a3, an)
           |ORDER BY node""".stripMargin)
+    ),
+
+    // Minimum spanning forest by BORŮVKA rounds — the parallel MST
+    // algorithm (each component picks its minimum incident edge; all
+    // picks join the forest at once; components at least halve per
+    // round, so O(log V) rounds). Weights are 48-bit md5 draws — spec
+    // asserts they are DISTINCT on this fixture, which makes the MSF
+    // unique, so the Spark Borůvka and the spec's driver-side Kruskal
+    // must produce the identical edge set. Components are recomputed
+    // each round with the hardened CC ([[Dedup.connectedComponents]]:
+    // pointer doubling + capped-stats checkpoints), so the composed
+    // loop is O(log V) Borůvka rounds × O(log V) CC rounds — every
+    // step an equi-join or combine-agg on node/component ids, nothing
+    // ever materializes a component's member list. No SQL oracle (MST
+    // needs iteration DuckDB's recursive CTEs can't aggregate over);
+    // the exact Kruskal replay in GraphSeriesSpec is the gate, the
+    // q_sketch_rollup precedent.
+    //
+    // Output: the 50 heaviest forest edges (the bottleneck links a
+    // network analyst reads first) — deterministic under the unique
+    // weights.
+    QueryDef(
+      "q_graph_mst",
+      (s, dir) => {
+        val edges = coPurchaseEdges(s, dir)
+          .withColumn("w", conv(substring(md5(concat(
+            lit("w:"), col("u").cast("string"),
+            lit(":"), col("v").cast("string"))), 1, 12), 16, 10)
+            .cast(LongType))
+          .localCheckpoint()
+        val nodes = edges.select(col("u").as("id"))
+          .unionAll(edges.select(col("v").as("id")))
+          .distinct().localCheckpoint()
+        var msf = edges.limit(0).localCheckpoint()
+        var done = false
+        var round = 0
+        while (!done) {
+          round += 1
+          require(round <= 16,
+            "Borůvka must converge in log2(V) rounds — logic bug")
+          val comp = Dedup.connectedComponents(nodes, "id", msf, "u", "v")
+            .select(col("id"), col("label").as("comp"))
+            .localCheckpoint()
+          val cand = edges
+            .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
+            .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
+            .filter(col("cu") =!= col("cv"))
+          val inc = cand
+            .select(col("cu").as("c"), col("w"), col("u"), col("v"))
+            .unionAll(cand
+              .select(col("cv").as("c"), col("w"), col("u"), col("v")))
+          val picks = inc.groupBy(col("c"))
+            .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+            .select(col("m.u").as("u"), col("m.v").as("v"),
+              col("m.w").as("w"))
+            .distinct()
+            .localCheckpoint()
+          if (picks.isEmpty) done = true
+          else msf = msf.unionAll(picks).localCheckpoint()
+        }
+        msf.orderBy(col("w").desc, col("u"), col("v")).limit(50)
+          .select(col("u"), col("v"), col("w"))
+      },
+      None
     )
   )
 }

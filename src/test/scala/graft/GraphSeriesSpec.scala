@@ -231,6 +231,46 @@ class GraphSeriesSpec extends SparkSpec {
     }
   }
 
+  test("mst: Boruvka forest equals a driver-side Kruskal exactly") {
+    // rebuild the weighted co-purchase edge list driver-side
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet.toSeq
+    def w(u: Long, v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"w:$u:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val weighted = edges.map { case (u, v) => (u, v, w(u, v)) }
+    // unique weights => unique MSF => exact equality is well-defined
+    assert(weighted.map(_._3).distinct.length == weighted.length,
+      "fixture weights must be distinct for the uniqueness premise")
+    // Kruskal with union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = weighted.sortBy(_._3).filter { case (u, v, _) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) false else { parent(ru) = rv; true }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val nComp = nodes.map(find).distinct.length
+    assert(kruskal.length == nodes.length - nComp,
+      "forest size must be V - #components")
+    val got = q("q_graph_mst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expTop = kruskal.sortBy { case (u, v, wt) => (-wt, u, v) }.take(50)
+    assert(got.toSeq == expTop,
+      "Boruvka's 50 heaviest forest edges must equal Kruskal's")
+    assert(got.forall { case (u, v, wt) => wt == w(u, v) && u < v })
+  }
+
   test("crosscorr: lag 0 equals the corr matrix; lags shift consistently") {
     val xrows = q("q_ts_crosscorr").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
