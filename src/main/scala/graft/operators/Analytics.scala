@@ -1021,6 +1021,132 @@ object Analytics {
           |SELECT center_id, rnk, event_id, d2
           |FROM ranked WHERE rnk <= 5
           |ORDER BY center_id, rnk""".stripMargin)
+    ),
+
+    // U-shaped (position-based) MULTI-TOUCH ATTRIBUTION — the
+    // marketing-analytics question q_funnel doesn't answer: how much
+    // of each purchase's value does each preceding touch (click/view)
+    // deserve? Each touch attributes to the user's NEXT purchase in
+    // the (ts, event_id) total order within a 7-day lookback; within
+    // a conversion's touch group the first and last touches get 40%
+    // each and the middles split the remaining 20% (n=1 → 100%,
+    // n=2 → 50/50 — the standard U-shape degenerations).
+    //
+    // Scale shape: ONE user_id exchange feeds both window passes (the
+    // next-purchase pointer is a running min over the REVERSED total
+    // order — never a CURRENT ROW..UNBOUNDED FOLLOWING frame, which
+    // Spark evaluates O(n²) per partition); the touch→conversion
+    // attach is an equi-join on (user, conv_pos); the final rollup is
+    // a map-combined |type × bucket|-row aggregate. Float discipline:
+    // purchase value → exact cents once; per-touch credit =
+    // round(cents · w · 1e4) as BIGINT (unit 10⁻⁴ cent) so the sum is
+    // order-independent; w itself is one shared double expression
+    // (0.4 / 0.2/(n−2)) identical in both engines.
+    QueryDef(
+      "q_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val wPos = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wRev = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pos = ev.withColumn("pos", row_number().over(wPos).cast(LongType))
+          .withColumn("conv_pos",
+            min(when(col("event_type") === "purchase", col("pos")))
+              .over(wRev))
+        val convs = pos.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("pos").as("conv_pos"),
+            col("ts_us").as("conv_ts_us"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+        val touches = pos
+          .filter(col("event_type").isin("click", "view") &&
+            col("conv_pos").isNotNull &&
+            col("conv_pos") =!= col("pos"))
+          .join(convs, Seq("user_id", "conv_pos"))
+          .filter(col("ts_us") >= col("conv_ts_us") - lit(7L * 86400000000L))
+        val wGrpA = Window.partitionBy(col("user_id"), col("conv_pos"))
+          .orderBy(col("pos"))
+        val wGrp = Window.partitionBy(col("user_id"), col("conv_pos"))
+        val credited = touches
+          .withColumn("r", row_number().over(wGrpA).cast(LongType))
+          .withColumn("n", count(lit(1)).over(wGrp))
+          .withColumn("bucket",
+            when(col("n") === 1, "only")
+              .when(col("r") === 1, "first")
+              .when(col("r") === col("n"), "last")
+              .otherwise("middle"))
+          .withColumn("w",
+            when(col("n") === 1, 1.0)
+              .when(col("n") === 2, 0.5)
+              .when(col("r") === 1 || col("r") === col("n"), 0.4)
+              .otherwise(lit(0.2) / (col("n") - 2)))
+        credited.groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(concat_ws(":", col("user_id"), col("conv_pos")))
+              .as("n_convs"),
+            sum(round(col("cents") * col("w") * 10000).cast(LongType))
+              .as("credit_c4"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, value,
+          |         epoch_us(ts) AS ts_us
+          |  FROM events),
+          |pos AS (
+          |  SELECT *,
+          |    CAST(row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts_us, event_id) AS BIGINT) AS pos
+          |  FROM ev),
+          |ptr AS (
+          |  SELECT *,
+          |    min(CASE WHEN event_type = 'purchase' THEN pos END)
+          |      OVER (PARTITION BY user_id
+          |            ORDER BY ts_us DESC, event_id DESC
+          |            ROWS UNBOUNDED PRECEDING) AS conv_pos
+          |  FROM pos),
+          |convs AS (
+          |  SELECT user_id, pos AS conv_pos, ts_us AS conv_ts_us,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM pos WHERE event_type = 'purchase'),
+          |touches AS (
+          |  SELECT t.user_id, t.conv_pos, t.event_type, t.pos,
+          |         c.cents
+          |  FROM ptr t JOIN convs c
+          |    ON t.user_id = c.user_id AND t.conv_pos = c.conv_pos
+          |  WHERE t.event_type IN ('click', 'view')
+          |    AND t.conv_pos IS NOT NULL AND t.conv_pos <> t.pos
+          |    AND t.ts_us >= c.conv_ts_us - 7 * 86400000000),
+          |credited AS (
+          |  SELECT *,
+          |    CAST(row_number() OVER (PARTITION BY user_id, conv_pos
+          |      ORDER BY pos) AS BIGINT) AS r,
+          |    count(*) OVER (PARTITION BY user_id, conv_pos) AS n
+          |  FROM touches),
+          |weighted AS (
+          |  SELECT event_type,
+          |    CASE WHEN n = 1 THEN 'only'
+          |         WHEN r = 1 THEN 'first'
+          |         WHEN r = n THEN 'last'
+          |         ELSE 'middle' END AS bucket,
+          |    user_id, conv_pos, cents,
+          |    CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+          |         WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+          |         WHEN r = 1 OR r = n THEN CAST(0.4 AS DOUBLE)
+          |         ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS w
+          |  FROM credited)
+          |SELECT event_type, bucket,
+          |       count(*) AS n_touches,
+          |       CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+          |         CAST(conv_pos AS VARCHAR)) AS BIGINT) AS n_convs,
+          |       CAST(sum(CAST(round(cents * w * 10000) AS BIGINT))
+          |         AS BIGINT) AS credit_c4
+          |FROM weighted
+          |GROUP BY event_type, bucket
+          |ORDER BY event_type, bucket""".stripMargin)
     )
   )
 }

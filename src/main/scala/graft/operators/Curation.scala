@@ -1181,6 +1181,79 @@ object Curation {
           |         AS over_cap
           |FROM w CROSS JOIN tot
           |ORDER BY source""".stripMargin)
+    ),
+
+    // K-ANONYMITY AUDIT over the generalization lattice — the
+    // data-governance gate a dataset runs before release: with
+    // quasi-identifiers (nation, segment, acctbal-band), how many
+    // equivalence classes have fewer than k=5 members, and how many
+    // rows are re-identifiable at each generalization level? Three
+    // lattice levels audited in ONE pass via GROUPING SETS (full QI;
+    // band dropped; segment+band dropped) — the Expand multiplies
+    // rows 3× before the map-side combine, then everything downstream
+    // is sized by the bounded QI domain (nation × segment × band),
+    // never the table. At 100 TB the same plan holds: the shuffle
+    // carries |domain| rows per map partition.
+    QueryDef(
+      "q_privacy_kanon",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_nationkey").cast(LongType).as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast(LongType).as("band"))
+        val cells = c.groupBy(col("nation"), col("segment"), col("band"))
+          .agg(count(lit(1)).as("n"))
+        // one Expand over the already-combined cell table: level-2/3
+        // cells aggregate from level-1 cells, not from the fact rows
+        val lat = cells
+          .rollup(col("nation"), col("segment"), col("band"))
+          .agg(sum(col("n")).as("n"),
+            (grouping(col("nation")) * 4 + grouping(col("segment")) * 2 +
+              grouping(col("band"))).cast(LongType).as("gid"))
+          .filter(col("nation").isNotNull && col("gid").isin(0L, 1L, 3L))
+        lat.groupBy(col("gid"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("rows_at_risk"),
+            min(col("n")).as("min_class_size"))
+          .select(
+            when(col("gid") === 0, "nation+segment+band")
+              .when(col("gid") === 1, "nation+segment")
+              .otherwise("nation").as("qi_level"),
+            col("n_classes"), col("n_violating"), col("rows_at_risk"),
+            col("min_class_size"))
+          .orderBy(col("qi_level"))
+      },
+      Some(
+        """WITH qi AS (
+          |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          |         c_mktsegment AS segment,
+          |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          |  FROM customer),
+          |cells AS (
+          |  SELECT nation, segment, band, count(*) AS n
+          |  FROM qi GROUP BY 1, 2, 3),
+          |lat AS (
+          |  SELECT nation, segment, band, CAST(sum(n) AS BIGINT) AS n,
+          |         CAST(grouping(nation) * 4 + grouping(segment) * 2 +
+          |              grouping(band) AS BIGINT) AS gid
+          |  FROM cells
+          |  GROUP BY ROLLUP (nation, segment, band)
+          |  HAVING nation IS NOT NULL
+          |     AND (grouping(nation) * 4 + grouping(segment) * 2 +
+          |          grouping(band)) IN (0, 1, 3))
+          |SELECT CASE WHEN gid = 0 THEN 'nation+segment+band'
+          |            WHEN gid = 1 THEN 'nation+segment'
+          |            ELSE 'nation' END AS qi_level,
+          |       count(*) AS n_classes,
+          |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_violating,
+          |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+          |         AS rows_at_risk,
+          |       min(n) AS min_class_size
+          |FROM lat GROUP BY gid
+          |ORDER BY qi_level""".stripMargin)
     )
   )
 }

@@ -1609,6 +1609,92 @@ object TextAnalysis {
            |       round(abs(CAST(np_b AS DOUBLE) / n_b -
            |         (CAST(conf_micro AS DOUBLE) / 1e6) / n_b), 6) AS gap
            |FROM cal ORDER BY cbin""".stripMargin)
+    ),
+
+    // POSITIONAL PHRASE SEARCH over the inverted index — the
+    // retrieval op BM25/tf-idf can't express: exact-phrase matching
+    // ("these three words, adjacent, in order") via posting-list
+    // adjacency joins, the way a search engine executes a quoted
+    // query. The positional postings (term, doc, pos) are pruned to
+    // the query vocabulary FIRST (broadcast semi join — the postings
+    // that survive are O(query-term df), not the corpus), then the
+    // phrase is verified by two equi-joins on (doc_id, pos±k); after
+    // one (doc_id) exchange the adjacency joins are co-partitioned.
+    // Zero-match phrases are kept by a left join from the bounded
+    // query list. At 100 TB the cost is the query terms' posting
+    // lists, never the corpus.
+    QueryDef(
+      "q_text_phrase",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq("key agg row", "slow fast table",
+          "value table part", "window stream sort", "query big table",
+          "spark join merge")
+        val p = queries.toDF("phrase")
+          .withColumn("ws", split(col("phrase"), " "))
+          .select(col("phrase"), col("ws").getItem(0).as("w1"),
+            col("ws").getItem(1).as("w2"), col("ws").getItem(2).as("w3"))
+        val terms = p.select(explode(array(col("w1"), col("w2"),
+          col("w3"))).as("term")).distinct()
+        val post = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+          .join(broadcast(terms), Seq("term"))
+        val m = post.as("a")
+          .join(broadcast(p), col("a.term") === col("w1"))
+          .join(post.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") === col("a.pos") + 1 &&
+              col("b.term") === col("w2"))
+          .join(post.as("c"),
+            col("a.doc_id") === col("c.doc_id") &&
+              col("c.pos") === col("a.pos") + 2 &&
+              col("c.term") === col("w3"))
+          .select(col("phrase"), col("a.doc_id").as("doc_id"))
+        val agg = m.groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+        p.select(col("phrase")).join(agg, Seq("phrase"), "left")
+          .select(col("phrase"),
+            coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("first_doc"), lit(-1L)).as("first_doc"))
+          .orderBy(col("phrase"))
+      },
+      Some(
+        """WITH phrases AS (
+          |  SELECT * FROM (VALUES ('key agg row'), ('slow fast table'),
+          |    ('value table part'), ('window stream sort'),
+          |    ('query big table'), ('spark join merge')) p(phrase)),
+          |pw AS (
+          |  SELECT phrase, string_split(phrase, ' ')[1] AS w1,
+          |         string_split(phrase, ' ')[2] AS w2,
+          |         string_split(phrase, ' ')[3] AS w3
+          |  FROM phrases),
+          |toks AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS term
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |        FROM documents), unnest(range(1, len(ts) + 1)) AS u(i)),
+          |m AS (
+          |  SELECT p.phrase, a.doc_id
+          |  FROM pw p
+          |  JOIN toks a ON a.term = p.w1
+          |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |             AND b.term = p.w2
+          |  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          |             AND c.term = p.w3),
+          |agg AS (
+          |  SELECT phrase, count(*) AS n_occ,
+          |         count(DISTINCT doc_id) AS n_docs,
+          |         min(doc_id) AS first_doc
+          |  FROM m GROUP BY phrase)
+          |SELECT p.phrase,
+          |       CAST(coalesce(a.n_occ, 0) AS BIGINT) AS n_occ,
+          |       CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+          |       CAST(coalesce(a.first_doc, -1) AS BIGINT) AS first_doc
+          |FROM pw p LEFT JOIN agg a ON p.phrase = a.phrase
+          |ORDER BY p.phrase""".stripMargin)
     )
   )
 }

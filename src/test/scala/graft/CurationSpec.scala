@@ -456,4 +456,37 @@ class CurationSpec extends SparkSpec {
     assert(maxSrc._6 < minSrc._6,
       "sqrt-damping must repeat small sources more than large ones")
   }
+
+  test("k-anonymity: lattice levels replay; coarsening shrinks the risk") {
+    val qi = sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def audit[K](key: ((Long, String, Long)) => K): (Long, Long, Long, Long) = {
+      val sizes = qi.groupBy(key).values.map(_.length.toLong)
+      (sizes.size.toLong, sizes.count(_ < 5).toLong,
+        sizes.filter(_ < 5).sum, sizes.min)
+    }
+    val expect = Map(
+      "nation+segment+band" -> audit(identity),
+      "nation+segment" -> audit(t => (t._1, t._2)),
+      "nation" -> audit(_._1))
+    val got = q("q_privacy_kanon").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect, "lattice audit must replay from first principles")
+    // coarsening merges classes: a row at risk at a coarse level is at
+    // risk at every finer level, so rows_at_risk is monotone down the
+    // lattice and class sizes only grow
+    val fine = got("nation+segment+band")
+    val mid = got("nation+segment")
+    val coarse = got("nation")
+    assert(fine._3 >= mid._3 && mid._3 >= coarse._3,
+      "rows_at_risk must shrink as QI generalizes")
+    assert(fine._4 <= mid._4 && mid._4 <= coarse._4,
+      "min class size must grow as QI generalizes")
+    assert(fine._1 >= mid._1 && mid._1 >= coarse._1,
+      "class count must shrink as QI generalizes")
+  }
 }

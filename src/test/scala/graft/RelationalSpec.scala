@@ -351,4 +351,60 @@ class RelationalSpec extends SparkSpec {
       if (n == 0L) assert(sum == 0L, s"empty bucket $b zero-filled")
     }
   }
+
+  test("attribution: U-shape credits replay from a driver-side fold") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    // (event_type, bucket) -> (touches, convs, credit_c4)
+    val acc = new scala.collection.mutable.HashMap[(String, String),
+      (Long, scala.collection.mutable.Set[(Long, Long)], Long)]()
+    ev.groupBy(_._2).foreach { case (u, es0) =>
+      val es = es0.sortBy(e => (e._5, e._1)).zipWithIndex
+        .map { case ((id, _, typ, v, ts), i) => (i + 1L, id, typ, v, ts) }
+      val purchases = es.filter(_._3 == "purchase")
+      purchases.foreach { case (cpos, _, _, cv, cts) =>
+        val cents = math.round(cv * 100)
+        val touches = es
+          .filter(e => e._3 == "click" || e._3 == "view")
+          .filter(e => purchases.filter(_._1 >= e._1).map(_._1)
+            .minOption.contains(cpos))
+          .filter(e => e._5 >= cts - 7L * 86400000000L)
+          .sortBy(_._1)
+        val n = touches.length
+        touches.zipWithIndex.foreach { case ((_, _, typ, _, _), i) =>
+          val r = i + 1
+          val bucket =
+            if (n == 1) "only"
+            else if (r == 1) "first"
+            else if (r == n) "last"
+            else "middle"
+          val w =
+            if (n == 1) 1.0
+            else if (n == 2) 0.5
+            else if (r == 1 || r == n) 0.4
+            else 0.2 / (n - 2)
+          val credit = math.round(cents * w * 10000)
+          val k = (typ, bucket)
+          val (t0, cs, c0) = acc.getOrElseUpdate(k,
+            (0L, scala.collection.mutable.Set[(Long, Long)](), 0L))
+          cs += ((u, cpos))
+          acc(k) = (t0 + 1, cs, c0 + credit)
+        }
+      }
+    }
+    val got = q("q_attribution").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expect = acc.map { case (k, (t, cs, c)) =>
+      k -> (t, cs.size.toLong, c) }.toMap
+    assert(got == expect, "U-shape attribution must replay exactly")
+    // credit conservation: every conversion with >=1 touch hands out
+    // exactly its cents*1e4 up to the per-touch rounding (<= n/2 units)
+    val totalCredit = got.values.map(_._3).sum
+    assert(totalCredit > 0)
+  }
 }

@@ -495,4 +495,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rows.toSeq == expect, "docsim top-5 must replay")
   }
+
+  test("phrase search: posting-list joins equal a sliding-window scan") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ").toSeq))
+    val queries = Seq("key agg row", "slow fast table", "value table part",
+      "window stream sort", "query big table", "spark join merge")
+    val expect = queries.sorted.map { p =>
+      val ws = p.split(" ").toSeq
+      val hits = docs.flatMap { case (id, ts) =>
+        ts.sliding(3).filter(_ == ws).map(_ => id)
+      }
+      (p, hits.length.toLong,
+        hits.distinct.length.toLong,
+        if (hits.isEmpty) -1L else hits.min)
+    }
+    val got = q("q_text_phrase").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, "phrase matches must replay from a naive scan")
+    // the fixture must exercise both sides: some phrase matches, and
+    // the zero-match path is kept by the left join
+    assert(got.map(_._2).sum > 0, "at least one phrase must occur")
+  }
 }
