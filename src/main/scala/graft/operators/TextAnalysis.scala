@@ -238,9 +238,24 @@ object TextAnalysis {
     * (q_rank_fusion) can rank the SAME query set it fuses. Scores
     * rounded 4 dp BEFORE the rank (cross-engine-stable order); the
     * row_number top-k lowers to the bounded TopKPerKey operator. */
+  /** The full-corpus (doc_id, term, tf) term-frequency table — the
+    * one expensive explode+combine every inverted-index retrieval leg
+    * starts from. Hybrid fusion stages it ONCE (localCheckpoint) and
+    * hands it to both legs; everything each leg needs (corpus tf,
+    * query terms, document lengths, corpus stats) is an EXACT integer
+    * derivation of this table, so sharing is bit-identical to
+    * recomputing. */
+  private[graft] def termFrequencies(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   private[graft] def bm25Ranking(s: org.apache.spark.sql.SparkSession,
-                                 dir: String, qres: Long,
-                                 topk: Int): org.apache.spark.sql.DataFrame = {
+                                 dir: String, qres: Long, topk: Int,
+                                 tfAll: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
     val isQuery = pmod(col("doc_id"), lit(100L)) === qres &&
@@ -249,10 +264,15 @@ object TextAnalysis {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ts"))).as("term"))
     val corpus = docs.filter(!isQuery)
-    val tf = corpus
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the heavy explode+combine: when fusion staged the full-corpus
+    // tf table, restrict it (tf rows of query docs drop out — an
+    // exact integer derivation, bit-identical to recomputing); the
+    // cheap per-doc lengths/stats stay on the 2-column parquet scan
+    val tf = tfAll.map(_.filter(!isQuery)).getOrElse(
+      corpus
+        .select(col("doc_id"), explode(col("ts")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = corpus.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
     val stats = corpus.agg(count(lit(1)).as("n"),

@@ -20,16 +20,12 @@ object TextSimilarity {
     * (q_rank_fusion) can rank the SAME query set it fuses. Dot/norm
     * sums frozen to micro-ints; cosine rounded 6 dp BEFORE the rank. */
   private[graft] def cosineRanking(s: org.apache.spark.sql.SparkSession,
-                                   dir: String, qres: Long,
-                                   topk: Int): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
-    val tf = docs
-      .select(col("doc_id"), explode(col("ts")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+                                   dir: String, qres: Long, topk: Int,
+                                   tfAll: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = tfAll.getOrElse(TextAnalysis.termFrequencies(s, dir))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     // tf-idf weight per (doc, term); the raw double is a pure
     // scalar function of exact integers — identical on both engines
     val weights = tf.join(dfq, "term")
@@ -67,6 +63,39 @@ object TextSimilarity {
     cos.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= topk)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine"))
+  }
+
+  /** The RRF fusion of the BM25 and tf-idf-cosine top-10 lists for
+    * query residue 7. With `shareTf` the full-corpus (doc, term, tf)
+    * table is staged once (localCheckpoint) and handed to both legs —
+    * every leg-side quantity is an exact integer derivation of it, so
+    * both paths emit identical rows (FusionSpec pins this). */
+  private[graft] def fusedTopK(s: org.apache.spark.sql.SparkSession,
+                               dir: String, shareTf: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val tfAll =
+      if (shareTf) Some(TextAnalysis.termFrequencies(s, dir).localCheckpoint())
+      else None
+    val contrib = TextAnalysis
+      .bm25Ranking(s, dir, qres = 7L, topk = 10, tfAll = tfAll)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+      .unionByName(
+        cosineRanking(s, dir, qres = 7L, topk = 10, tfAll = tfAll)
+          .select(col("query_id"), col("doc_id"), col("rnk")))
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1e6) / (lit(60.0) + col("rnk")))
+          .cast(LongType).as("c"))
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_micro"),
+        count(lit(1)).as("n_systems"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rrf_micro"), (col("n_systems") === 2L).as("in_both"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -157,27 +186,15 @@ object TextSimilarity {
     // hits, the signal hybrid stacks use for calibration.
     QueryDef(
       "q_rank_fusion",
-      (s, dir) => {
-        val contrib = TextAnalysis.bm25Ranking(s, dir, qres = 7L, topk = 10)
-          .select(col("query_id"), col("doc_id"), col("rnk"))
-          .unionByName(
-            cosineRanking(s, dir, qres = 7L, topk = 10)
-              .select(col("query_id"), col("doc_id"), col("rnk")))
-          .select(col("query_id"), col("doc_id"),
-            round(lit(1e6) / (lit(60.0) + col("rnk")))
-              .cast(LongType).as("c"))
-        val fused = contrib.groupBy(col("query_id"), col("doc_id"))
-          .agg(sum(col("c")).as("rrf_micro"),
-            count(lit(1)).as("n_systems"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("rrf_micro").desc, col("doc_id"))
-        fused.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 10)
-          .select(col("query_id"), col("rnk"), col("doc_id"),
-            col("rrf_micro"), (col("n_systems") === 2L).as("in_both"))
-          .orderBy(col("query_id"), col("rnk"))
-      },
+      (s, dir) => fusedTopK(s, dir,
+        // corpus-size auto-switch (the ivfProbeAssign/cluster-edges
+        // pattern): above ~1e5 docs the corpus tokenize+combine the
+        // two legs share dominates, so stage the (doc, term, tf)
+        // table once; below, the staging barrier costs more than the
+        // duplicated explode saves (A/B'd at sf0.1 — SCALEPROBE r8).
+        // FusionSpec pins both paths row-identical, so the switch can
+        // never change results.
+        shareTf = Tables.documents(s, dir).count() > 100000L),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ts

@@ -519,4 +519,17 @@ class TextAnalysisSpec extends SparkSpec {
     // the zero-match path is kept by the left join
     assert(got.map(_._2).sum > 0, "at least one phrase must occur")
   }
+
+  test("rank fusion: staged-tf and per-leg paths emit identical rows") {
+    // the corpus-size auto-switch must be invisible to results: every
+    // leg quantity is an exact integer derivation of the shared
+    // (doc, term, tf) table, so both paths are row-identical
+    val shared = operators.TextSimilarity
+      .fusedTopK(spark, sf, shareTf = true).collect().toSeq
+    val perLeg = operators.TextSimilarity
+      .fusedTopK(spark, sf, shareTf = false).collect().toSeq
+    assert(shared == perLeg,
+      "shareTf staging must be bit-identical to per-leg recompute")
+    assert(shared.nonEmpty)
+  }
 }
