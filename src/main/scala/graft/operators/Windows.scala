@@ -164,6 +164,59 @@ object Windows {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
           |ORDER BY event_id""".stripMargin)
+    ),
+
+    // DAU / trailing-7-day WAU / stickiness — the active-users rollup
+    // every product-analytics stack runs, and the canonical "distinct
+    // count over a sliding window" problem. COUNT(DISTINCT) does not
+    // slide: re-counting each day's trailing week re-reads 7× the
+    // fact table. The scale form: collapse events to the DISTINCT
+    // (day, user) pair grid FIRST (one map-combined shuffle, the
+    // grid-first discipline), then each pair CONTRIBUTES ITSELF to
+    // the 7 target days via a map-side sequence+explode — no range
+    // join, no window over the fact table — and a second pair-dedup
+    // counts the union per day. Cost: 7×|pairs|, flat in event
+    // volume; every step is an exchange on (day[, user]). Silent days
+    // (no DAU row) are definitionally absent; trailing windows
+    // starting before the range are partial, as reported.
+    QueryDef(
+      "q_active_users",
+      (s, dir) => {
+        val pairs = Tables.events(s, dir)
+          .select(
+            floor(unix_micros(col("ts")).cast("double") / 86400000000.0)
+              .cast(LongType).as("day"),
+            col("user_id"))
+          .distinct()
+        val dau = pairs.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"))
+        val wau = pairs
+          .select(explode(sequence(col("day"), col("day") + 6))
+            .as("day"), col("user_id"))
+          .distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6)
+              .as("stickiness"))
+          .orderBy(col("day"))
+      },
+      Some(
+        """WITH pairs AS (
+          |  SELECT DISTINCT
+          |         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000)
+          |           AS BIGINT) AS day,
+          |         user_id
+          |  FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY 1),
+          |expanded AS (
+          |  SELECT DISTINCT day + i AS day, user_id
+          |  FROM pairs, range(0, 7) t(i)),
+          |wau AS (SELECT day, count(*) AS wau FROM expanded GROUP BY 1)
+          |SELECT d.day, d.dau, w.wau,
+          |       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+          |FROM dau d JOIN wau w ON d.day = w.day
+          |ORDER BY d.day""".stripMargin)
     )
   )
 }

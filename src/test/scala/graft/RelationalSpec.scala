@@ -407,4 +407,29 @@ class RelationalSpec extends SparkSpec {
     val totalCredit = got.values.map(_._3).sum
     assert(totalCredit > 0)
   }
+
+  test("active users: DAU/WAU replay; trailing union dominates the day") {
+    val pairs = sources.Tables.events(spark, sf)
+      .select(floor(unix_micros(col("ts")).cast("double") / 86400000000.0)
+        .cast("long").as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val days = pairs.map(_._1)
+    val expect = days.toSeq.sorted.map { d =>
+      val dau = pairs.count(_._1 == d).toLong
+      val wau = pairs.filter(p => p._1 >= d - 6 && p._1 <= d)
+        .map(_._2).size.toLong
+      (d, dau, wau,
+        BigDecimal(dau.toDouble / wau)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = q("q_active_users").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect, "DAU/WAU rollup must replay from the pair grid")
+    got.foreach { case (d, dau, wau, s) =>
+      assert(dau <= wau, s"day $d: the trailing union contains the day")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
 }
