@@ -197,7 +197,7 @@ object Dedup {
     * resulting `LogicalRDD`, so reclaim there (else an iterative loop's
     * storage grows linearly with round count until GC gets around to
     * it). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -226,7 +226,7 @@ object Dedup {
     * (id, label) rows per consumer, noise next to the round's join
     * shuffles. Returns (wrapped, checkpoint handle): compute with the
     * first, pass the SECOND to [[freeCheckpoint]]. */
-  private def checkpointCappedStats(df: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def checkpointCappedStats(df: DataFrame): (DataFrame, DataFrame) = {
     val ck = df.localCheckpoint()
     (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), ck)
   }

@@ -66,7 +66,7 @@ object Graph {
   /** Co-purchase edges (two parts sharing an order, u < v), staged once
     * per corpus — consumed by triangle counting; the basket self-join +
     * distinct is the expensive derivation, paid at first use only. */
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val path = graft.Staging.cached(
       s"copurchase_edges_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
@@ -929,20 +929,33 @@ object Graph {
     ),
 
     // Minimum spanning forest by BORŮVKA rounds — the parallel MST
-    // algorithm (each component picks its minimum incident edge; all
-    // picks join the forest at once; components at least halve per
-    // round, so O(log V) rounds). Weights are 48-bit md5 draws — spec
+    // algorithm: each component picks its minimum incident edge, all
+    // picks join the forest at once, components at least halve per
+    // round → O(log V) rounds. Weights are 48-bit md5 draws — the spec
     // asserts they are DISTINCT on this fixture, which makes the MSF
     // unique, so the Spark Borůvka and the spec's driver-side Kruskal
-    // must produce the identical edge set. Components are recomputed
-    // each round with the hardened CC ([[Dedup.connectedComponents]]:
-    // pointer doubling + capped-stats checkpoints), so the composed
-    // loop is O(log V) Borůvka rounds × O(log V) CC rounds — every
-    // step an equi-join or combine-agg on node/component ids, nothing
-    // ever materializes a component's member list. No SQL oracle (MST
-    // needs iteration DuckDB's recursive CTEs can't aggregate over);
-    // the exact Kruskal replay in GraphSeriesSpec is the gate, the
-    // q_sketch_rollup precedent.
+    // must produce the identical edge set.
+    //
+    // Contraction is the textbook pick-graph pointer chase, NOT a
+    // full-graph CC per round: with distinct weights the per-round
+    // "component → component it picked toward" map is a functional
+    // graph whose only cycles are 2-cycles (a longer cycle would need
+    // strictly decreasing weights around a loop), so breaking each
+    // 2-cycle toward the smaller id yields rooted trees, and TRUE
+    // pointer doubling on those parent pointers (p := p∘p, which
+    // compounds 2^r per jump round) contracts them in O(log chain).
+    // Recomputing min-LABEL CC over the growing forest instead was
+    // measured non-compounding on deep spanning trees (coverage grows
+    // ~r² — 31 rounds for a 2 000-node tree at sf0.01, >64 at sf0.1):
+    // label-of-label chains follow id order, not tree distance. The
+    // loop state is the component-labeled edge list itself, relabeled
+    // per round through the |components|-row contraction map and
+    // shrunk as intra-component edges drop out, so no step ever
+    // materializes a component's member list and every step is an
+    // equi-join or combine-agg on ids. No SQL
+    // oracle (MST needs iteration DuckDB's recursive CTEs can't
+    // aggregate over); the exact Kruskal replay in GraphSeriesSpec is
+    // the gate, the q_sketch_rollup precedent.
     //
     // Output: the 50 heaviest forest edges (the bottleneck links a
     // network analyst reads first) — deterministic under the unique
@@ -950,43 +963,99 @@ object Graph {
     QueryDef(
       "q_graph_mst",
       (s, dir) => {
-        val edges = coPurchaseEdges(s, dir)
+        // the loop state is the COMPONENT-LABELED edge list (cu, cv,
+        // w, u, v) with intra-component edges dropped — it SHRINKS
+        // every round, and relabeling it needs only the ≤|components|-
+        // row contraction map p (broadcast-sized), never a node-level
+        // comp table ⋈ edges join. Every loop-carried table is
+        // checkpointed STATS-CAPPED (the CC post-mortem in CLAUDE.md:
+        // a plain localCheckpoint keeps the child plan's estimated
+        // Statistics, and a table joined into its own successor
+        // compounds the estimate per round until the driver melts in
+        // BigInteger stats arithmetic).
+        var eComp = coPurchaseEdges(s, dir)
           .withColumn("w", conv(substring(md5(concat(
             lit("w:"), col("u").cast("string"),
             lit(":"), col("v").cast("string"))), 1, 12), 16, 10)
             .cast(LongType))
+          .select(col("u").as("cu"), col("v").as("cv"),
+            col("w"), col("u"), col("v"))
           .localCheckpoint()
-        val nodes = edges.select(col("u").as("id"))
-          .unionAll(edges.select(col("v").as("id")))
-          .distinct().localCheckpoint()
-        var msf = edges.limit(0).localCheckpoint()
+        // forest edges accumulate as the per-round (already
+        // checkpointed) pick tables; the union is assembled ONCE at
+        // the end instead of re-materializing a growing msf per round
+        val forest = scala.collection.mutable.ArrayBuffer(
+          eComp.limit(0).select(col("u"), col("v"), col("w")))
         var done = false
         var round = 0
         while (!done) {
           round += 1
-          require(round <= 16,
+          require(round <= 20,
             "Borůvka must converge in log2(V) rounds — logic bug")
-          val comp = Dedup.connectedComponents(nodes, "id", msf, "u", "v")
-            .select(col("id"), col("label").as("comp"))
-            .localCheckpoint()
-          val cand = edges
-            .join(comp.select(col("id").as("u"), col("comp").as("cu")), "u")
-            .join(comp.select(col("id").as("v"), col("comp").as("cv")), "v")
-            .filter(col("cu") =!= col("cv"))
-          val inc = cand
-            .select(col("cu").as("c"), col("w"), col("u"), col("v"))
-            .unionAll(cand
-              .select(col("cv").as("c"), col("w"), col("u"), col("v")))
-          val picks = inc.groupBy(col("c"))
-            .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-            .select(col("m.u").as("u"), col("m.v").as("v"),
-              col("m.w").as("w"))
-            .distinct()
-            .localCheckpoint()
+          // every component with an external edge picks its min; the
+          // struct-min carries the far component so the pick IS the
+          // pointer edge of the contraction graph
+          val picks = Dedup.checkpointCappedStats(eComp
+            .select(col("cu").as("c"), struct(col("w"), col("u"),
+              col("v"), col("cv").as("q")).as("m"))
+            .unionAll(eComp.select(col("cv").as("c"), struct(col("w"),
+              col("u"), col("v"), col("cu").as("q")).as("m")))
+            .groupBy(col("c")).agg(min(col("m")).as("m"))
+            .select(col("c"), col("m.u").as("u"), col("m.v").as("v"),
+              col("m.w").as("w"), col("m.q").as("q")))._1
           if (picks.isEmpty) done = true
-          else msf = msf.unionAll(picks).localCheckpoint()
+          else {
+            forest += picks.select(col("u"), col("v"), col("w")).distinct()
+            // break the 2-cycles (q∘q = id ⇔ both sides picked the
+            // same edge — each merge tree's unique global-min edge):
+            // the smaller id becomes the root
+            val qmap = picks.select(col("c"), col("q"))
+            var p = Dedup.checkpointCappedStats(qmap.as("a")
+              .join(qmap.select(col("c").as("q"), col("q").as("qq")),
+                Seq("q"), "left")
+              .select(col("c"),
+                when(coalesce(col("qq"), col("c")) === col("c"),
+                  least(col("c"), col("q"))).otherwise(col("q")).as("p")))._1
+            // true pointer doubling to the roots (p := p∘p compounds
+            // 2^r per jump — O(log chain) rounds)
+            var stable = false
+            var jumps = 0
+            while (!stable) {
+              jumps += 1
+              require(jumps <= 40, "pointer doubling must be O(log V)")
+              // the moved? flag rides the jump itself, so stability
+              // costs one tiny aggregate over the already-materialized
+              // table instead of a join against the previous round
+              val pp = Dedup.checkpointCappedStats(p.as("x")
+                .join(p.select(col("c").as("p"), col("p").as("ppv")),
+                  Seq("p"), "left")
+                .select(col("c"),
+                  coalesce(col("ppv"), col("p")).as("np"),
+                  (coalesce(col("ppv"), col("p")) =!= col("p"))
+                    .cast("int").as("moved")))._1
+              stable = pp.agg(coalesce(max(col("moved")), lit(0)))
+                .first().getInt(0) == 0
+              p = pp.select(col("c"), col("np").as("p"))
+            }
+            // relabel the surviving edges with the contraction map —
+            // p is |components|-sized (NOT force-broadcast: round 1 it
+            // can be |V| rows; AQE converts to broadcast at runtime
+            // once it shrinks); merged-away internal edges (new cu =
+            // new cv) leave the loop here, so the dominant table
+            // shrinks monotonically
+            eComp = Dedup.checkpointCappedStats(eComp
+              .join(p.select(col("c").as("cu"),
+                col("p").as("ncu")), Seq("cu"), "left")
+              .join(p.select(col("c").as("cv"),
+                col("p").as("ncv")), Seq("cv"), "left")
+              .select(coalesce(col("ncu"), col("cu")).as("cu"),
+                coalesce(col("ncv"), col("cv")).as("cv"),
+                col("w"), col("u"), col("v"))
+              .filter(col("cu") =!= col("cv")))._1
+          }
         }
-        msf.orderBy(col("w").desc, col("u"), col("v")).limit(50)
+        forest.reduce(_ unionAll _)
+          .orderBy(col("w").desc, col("u"), col("v")).limit(50)
           .select(col("u"), col("v"), col("w"))
       },
       None
