@@ -44,6 +44,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.TextSimilarity.defs ++
+      operators.Retrieval.defs ++
       operators.Multimodal.defs ++
       operators.Curation.defs ++
       operators.Maintenance.defs ++

@@ -220,6 +220,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_pmi",         // 1-row broadcast (corpus totals attach)
       "q_text_llr",         // 1-row broadcast (bigram total attach)
       "q_snapshot_cdc",     // 1x1 per-commit insert/delete stat join
+      "q_rank_prf",         // 1-row broadcast (corpus stats attach,
+                            // the q_text_bm25 shape, in both passes)
+      "q_rank_mmr",         // corpus x broadcast 8-query set (the
+                            // q_similarity_topk candidate stage; the
+                            // greedy rounds are bounded |Q|x12 joins)
       "q_eval_retrieval",   // corpus x broadcast 25-query eval set
                             // (the bounded-query brute ranking the
                             // metrics are DEFINED over)
