@@ -1254,6 +1254,70 @@ object Curation {
           |       min(n) AS min_class_size
           |FROM lat GROUP BY gid
           |ORDER BY qi_level""".stripMargin)
+    ),
+
+    // DIFFERENTIAL-PRIVACY count release — the governance companion
+    // of q_privacy_kanon: publish the (event_type × day) activity
+    // grid with Laplace(1/ε) noise (ε = 0.5 per release, sensitivity
+    // 1 for counting queries) plus the per-type epsilon ledger
+    // (releases × ε — sequential composition), the bookkeeping a DP
+    // release pipeline must carry. The noise draw is DETERMINISTIC
+    // (md5 of the cell key → 48-bit uniform → inverse-CDF Laplace),
+    // which is what makes the release oracle-able AND is the
+    // production-reproducibility shape (a keyed PRF draw, so re-runs
+    // release identical noise instead of burning fresh ε).
+    //
+    // Scale: the fact table collapses to the bounded
+    // (event_type × day) grid FIRST via a map-combined count — the
+    // series-ops grid-first rule — so the draw, the noise math, and
+    // the ledger all run on |domain| rows regardless of event volume.
+    // Float discipline: the uniform (u48+0.5)/2^48 and the ±0.5
+    // shifts are all exact-in-double (power-of-two divisors); the
+    // only libm op is one ln per cell, rounded 6 dp on both engines;
+    // sign(t) is a CASE on the exact t (t = 0 is impossible: u48+0.5
+    // is never an integer multiple of 2^47).
+    QueryDef(
+      "q_privacy_dp",
+      (s, dir) => {
+        val grid = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val ledger = grid.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_releases"))
+        val t = (conv(substring(md5(concat(lit("dp:"), col("event_type"),
+            lit(":"), col("day"))), 1, 12), 16, 10).cast(DoubleType) + 0.5) /
+          lit(281474976710656.0) - 0.5
+        grid.withColumn("t", t)
+          .join(broadcast(ledger), "event_type")
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("n").cast(DoubleType) +
+              lit(-2.0) * when(col("t") < 0, -1.0).otherwise(1.0) *
+                log(lit(1.0) - lit(2.0) * abs(col("t"))), 6).as("noisy"),
+            col("n_releases"),
+            round(col("n_releases").cast(DoubleType) * 0.5, 2).as("eps_spent"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(
+        """WITH grid AS (
+          |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+          |         count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |led AS (
+          |  SELECT event_type, count(*) AS n_releases FROM grid GROUP BY 1),
+          |drawn AS (
+          |  SELECT event_type, day, n,
+          |         (CAST(('0x' || substr(md5('dp:' || event_type || ':' || day),
+          |            1, 12)) AS BIGINT) + 0.5) / 281474976710656.0 - 0.5 AS t
+          |  FROM grid)
+          |SELECT d.event_type, d.day, d.n,
+          |       round(CAST(d.n AS DOUBLE) +
+          |         -2.0 * (CASE WHEN t < 0 THEN -1.0 ELSE 1.0 END) *
+          |         ln(1.0 - 2.0 * abs(t)), 6) AS noisy,
+          |       l.n_releases,
+          |       round(CAST(l.n_releases AS DOUBLE) * 0.5, 2) AS eps_spent
+          |FROM drawn d JOIN led l USING (event_type)
+          |ORDER BY event_type, day""".stripMargin)
     )
   )
 }

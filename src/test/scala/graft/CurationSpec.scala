@@ -489,4 +489,36 @@ class CurationSpec extends SparkSpec {
     assert(fine._1 >= mid._1 && mid._1 >= coarse._1,
       "class count must shrink as QI generalizes")
   }
+
+  test("dp release: keyed Laplace draws replay; noise is two-sided and ledgered") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val grid = sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val releases = grid.keys.groupBy(_._1).map { case (t, g) => t -> g.size.toLong }
+    def r(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = grid.toSeq.map { case ((typ, day), n) =>
+      val u48 = java.lang.Long.parseLong(
+        md5hex(s"dp:$typ:$day").take(12), 16)
+      val t = (u48 + 0.5) / 281474976710656.0 - 0.5
+      val noise = -2.0 * (if (t < 0) -1.0 else 1.0) * math.log(1.0 - 2.0 * math.abs(t))
+      (typ, day, n, r(n.toDouble + noise, 6),
+        releases(typ), r(releases(typ).toDouble * 0.5, 2))
+    }.sortBy(t => (t._1, t._2))
+    val rows = q("q_privacy_dp").collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2),
+        row.getDouble(3), row.getLong(4), row.getDouble(5))).toSeq
+    assert(rows.nonEmpty && rows == expect)
+    // the draw must actually perturb (noise ~never exactly 0) and be
+    // two-sided; the ledger must count every released cell once
+    assert(rows.forall(row => row._4 != row._3.toDouble))
+    assert(rows.exists(row => row._4 > row._3) &&
+      rows.exists(row => row._4 < row._3),
+      "Laplace noise must land on both sides across the grid")
+    assert(rows.map(_._1).distinct.map(t => releases(t)).sum == rows.length)
+  }
 }
