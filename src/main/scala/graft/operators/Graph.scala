@@ -1059,6 +1059,92 @@ object Graph {
           .select(col("u"), col("v"), col("w"))
       },
       None
+    ),
+
+    // DETERMINISTIC RANDOM WALKS over the co-purchase graph — the
+    // DeepWalk/node2vec corpus-generation stage: one length-4 walk per
+    // node, the next hop drawn by a keyed PRF (md5 of
+    // walk-start × step × current node → 48-bit uniform → index into
+    // the SORTED neighbor array). Keyed draws make the walk corpus
+    // exactly reproducible across runs/retries (the q_privacy_dp
+    // rule) and exactly oracle-able; including the walk's START in
+    // the key means two walks meeting at the same node on the same
+    // step still diverge.
+    //
+    // Scale shape: the loop state is the |V|-row walk table, advanced
+    // per hop by ONE equi-join against the staged adjacency table —
+    // cost is hops × |V|, linear in the graph, never materializing
+    // paths beyond the walk length. The adjacency build
+    // (sort_array(collect_list)) is the jaccard representation; its
+    // hub-array caveat (a power-law hub's array must fit a row) and
+    // the degree-cap lever documented there apply unchanged. The walk
+    // chain is linear (each state consumed exactly once), so no
+    // per-round checkpoint is needed — only the 4-times-consumed
+    // adjacency is staged.
+    QueryDef(
+      "q_graph_walks",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val und = e.select(col("u").as("node"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("node"), col("u").as("dst")))
+        val adj = und.groupBy(col("node"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+            count(lit(1)).as("deg"))
+          .localCheckpoint() // consumed by the seed and all 4 hops
+        var w = adj.select(col("node").as("start"),
+          col("node").as("cur"), col("node").cast("string").as("path"))
+        for (r <- 1 to 4) {
+          w = w
+            .join(adj.select(col("node").as("cur"), col("nbrs"),
+              col("deg")), "cur")
+            .withColumn("h", conv(substring(md5(concat(
+              lit("walk:"), col("start").cast("string"),
+              lit(s":$r:"), col("cur").cast("string"))), 1, 12), 16, 10)
+              .cast(LongType))
+            // single-element array access stays inlined (the HOF-
+            // re-execution trap does not apply to element_at)
+            .withColumn("nxt",
+              element_at(col("nbrs"), pmod(col("h"), col("deg"))
+                .cast("int") + 1))
+            .select(col("start"), col("nxt").as("cur"),
+              concat(col("path"), lit(","), col("nxt").cast("string"))
+                .as("path"))
+        }
+        w.select(col("start"), col("path"), col("cur").as("end_node"))
+          .orderBy(col("start"))
+      },
+      Some {
+        val hops = (1 to 4).map { r =>
+          s"""w$r AS MATERIALIZED (
+             |  SELECT start, nxt AS cur,
+             |         path || ',' || CAST(nxt AS VARCHAR) AS path
+             |  FROM (
+             |    SELECT w.start, w.path,
+             |           a.nbrs[CAST(CAST(('0x' || substr(md5('walk:' ||
+             |             CAST(w.start AS VARCHAR) || ':$r:' ||
+             |             CAST(w.cur AS VARCHAR)), 1, 12)) AS BIGINT)
+             |             % a.deg AS INT) + 1] AS nxt
+             |    FROM w${r - 1} w JOIN adj a ON a.node = w.cur))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH op AS (
+           |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+           |  FROM lineitem),
+           |e AS (
+           |  SELECT DISTINCT a.pk AS u, b.pk AS v
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+           |und AS (
+           |  SELECT u AS node, v AS dst FROM e
+           |  UNION ALL SELECT v AS node, u AS dst FROM e),
+           |adj AS MATERIALIZED (
+           |  SELECT node, list_sort(list(dst)) AS nbrs, count(*) AS deg
+           |  FROM und GROUP BY node),
+           |w0 AS (
+           |  SELECT node AS start, node AS cur, CAST(node AS VARCHAR) AS path
+           |  FROM adj),
+           |$hops
+           |SELECT start, path, cur AS end_node FROM w4
+           |ORDER BY start""".stripMargin
+      }
     )
   )
 }

@@ -799,4 +799,48 @@ class GraphSeriesSpec extends SparkSpec {
       assert(mae >= 0.0 && maeNaive >= 0.0)
     }
   }
+
+  test("walks: keyed-PRF hops replay exactly; every hop is a real edge") {
+    val op = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).sorted.toIndexedSeq }
+    def u48(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = adj.keys.toSeq.sorted.map { start =>
+      var cur = start
+      val path = new StringBuilder(cur.toString)
+      for (r <- 1 to 4) {
+        val nbrs = adj(cur)
+        cur = nbrs((u48(s"walk:$start:$r:$cur") % nbrs.length).toInt)
+        path ++= s",$cur"
+      }
+      (start, path.toString, cur)
+    }
+    val rows = q("q_graph_walks").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows == expected)
+    // structural sanity independent of the replay: every consecutive
+    // pair in every path is an edge of the graph, and the walk corpus
+    // covers every node exactly once as a start
+    rows.foreach { case (_, path, end) =>
+      val hops = path.split(",").map(_.toLong)
+      assert(hops.length == 5 && hops.last == end)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(edges(math.min(a, b) -> math.max(a, b)), s"non-edge $a->$b")
+      }
+    }
+    assert(rows.map(_._1).distinct.length == adj.size)
+    // the PRF must actually branch: not all walks may stay on one
+    // neighbor index (else the draw is degenerate)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
 }
