@@ -63,10 +63,15 @@ object Retrieval {
           .agg(count(lit(1)).as("tf"))
           .localCheckpoint()
         val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val dl = corpus.select(col("doc_id"),
-          size(col("ts")).cast(LongType).as("dl"))
-        val stats = corpus.agg(count(lit(1)).as("n"),
-          avg(size(col("ts"))).as("avgdl"))
+        // dl and the corpus stats are DERIVED from the staged tf
+        // (Σ_term tf ≡ token count) instead of re-tokenizing the
+        // corpus — one tokenize pass feeds everything; docs that
+        // tokenize empty carry no posting and score 0 on every
+        // engine, so defining n/avgdl over posting-bearing docs is
+        // the IR-standard choice and the oracle derives identically
+        val dl = tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
         // weighted BM25 micro-contributions for a (query_id, term, wq)
         // query table — multiplication order wq·idf·tf·2.2/den matches
         // the oracle SQL text exactly (double · is order-sensitive)
@@ -134,9 +139,9 @@ object Retrieval {
           |  FROM (SELECT doc_id, unnest(ts) AS term FROM corpus)
           |  GROUP BY 1, 2),
           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          |dl AS (SELECT doc_id, len(ts) AS dl FROM corpus),
-          |stats AS (
-          |  SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM corpus),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+          |       FROM tf GROUP BY 1),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
           |c1 AS (
           |  SELECT q.query_id, tf.doc_id,
           |         CAST(round(1.0 *
