@@ -329,13 +329,17 @@ object Maintenance {
         s.read.option("mergeSchema", "true")
           .parquet(s"$landing/batch1", s"$landing/batch2")
           .groupBy(coalesce(col("etype"), lit("pre_evolution")).as("etype"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            // exact cents, order-independent (the money-sum rule)
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
           .orderBy(col("etype"))
       },
       Some(
         """SELECT CASE WHEN event_id % 2 = 1 THEN event_type
           |            ELSE 'pre_evolution' END AS etype,
-          |       count(*) AS n, round(sum(value), 2) AS total
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
@@ -400,11 +404,15 @@ object Maintenance {
         }
         s.read.parquet(out)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            // exact cents, order-independent (the money-sum rule)
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
           |FROM events WHERE user_id % 7 <> 3
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
@@ -457,11 +465,15 @@ object Maintenance {
           .filter(col("positions").isNull ||
             !array_contains(col("positions"), col("row_index")))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            // exact cents, order-independent (the money-sum rule)
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
           |FROM events WHERE user_id % 5 <> 2
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
@@ -499,11 +511,15 @@ object Maintenance {
           .filter(col("user_id").between(4, 7) &&
             dayofmonth(col("ts")).between(8, 15))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            // exact cents, order-independent (the money-sum rule)
+            sum(round(col("value") * 100).cast("long")).as("total_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS total_cents
           |FROM events
           |WHERE user_id BETWEEN 4 AND 7 AND day(ts) BETWEEN 8 AND 15
           |GROUP BY event_type ORDER BY event_type""".stripMargin)

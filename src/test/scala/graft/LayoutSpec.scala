@@ -176,7 +176,8 @@ class LayoutSpec extends SparkSpec {
       .filter(col("user_id") % 5 =!= 2)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(org.apache.spark.sql.functions.sum(col("value")), 2).as("total"))
+        org.apache.spark.sql.functions.sum(
+          round(col("value") * 100).cast("long")).as("total_cents"))
       .orderBy(col("event_type")).collect()
     assert(rows.toSeq == expect.toSeq, "MOR read must equal table-minus-tombstones")
   }
