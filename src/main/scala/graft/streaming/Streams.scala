@@ -186,7 +186,7 @@ object Streams {
             del.setString(1, k); del.executeUpdate()
             ins.setString(1, k)
             ins.setLong(2, r.getLong(1))
-            ins.setDouble(3, r.getDouble(2))
+            ins.setLong(3, r.getLong(2))
             ins.executeUpdate()
           }
         } finally { del.close(); ins.close() }
@@ -218,12 +218,12 @@ object Streams {
             unix_micros(col("ts")).as("ts_us"))
         val stream = stageAndStream(s, src, "q_stream_ingest", eventsJsonSchema, dir)
         val agg = stream.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_ingest_sink"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -239,15 +239,15 @@ object Streams {
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_window_sink"))
           .select(col("window.start").cast("long").as("bucket_s"),
-            col("event_type"), col("n"), col("sum_value"))
+            col("event_type"), col("n"), col("sum_cents"))
           .orderBy(col("bucket_s"), col("event_type"))
       },
       Some(
         """SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS bucket_s,
-          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |       event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
@@ -278,17 +278,17 @@ object Streams {
           val agg = stream
             .groupBy(window(col("ts"), "6 hours"), col("event_type"))
             .agg(count(lit(1)).as("n"),
-              round(sum(col("value")), 2).as("sum_value"))
+              sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           withStatePartitions(s, 8)(
             drainComplete(s, agg, "q_stream_rocksdb_sink"))
             .select(col("window.start").cast("long").as("bucket_s"),
-              col("event_type"), col("n"), col("sum_value"))
+              col("event_type"), col("n"), col("sum_cents"))
             .orderBy(col("bucket_s"), col("event_type"))
         } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
       },
       Some(
         """SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS bucket_s,
-          |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+          |       event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
@@ -308,11 +308,11 @@ object Streams {
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainComplete(s, agg, "q_stream_sliding_sink"))
           .select(col("window.start").cast("long").as("bucket_s"),
-            col("event_type"), col("n"), col("sum_value"))
+            col("event_type"), col("n"), col("sum_cents"))
           .orderBy(col("bucket_s"), col("event_type"))
       },
       Some(
@@ -323,7 +323,7 @@ object Streams {
           |                   - 10800]) AS bucket_s
           |  FROM events)
           |SELECT bucket_s, event_type, count(*) AS n,
-          |       round(sum(value), 2) AS sum_value
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
@@ -345,12 +345,12 @@ object Streams {
         val agg = stream
           .dropDuplicates("event_id")
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(drainComplete(s, agg, "q_stream_dedup_sink"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -414,11 +414,11 @@ object Streams {
           .withWatermark("ts", "10 minutes")
         val agg = stream
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainAppend(s, agg, "q_stream_late_drop_sink"))
           .select(unix_micros(col("window.start")).as("bucket_us"),
-            col("event_type"), col("n"), col("sum_value"))
+            col("event_type"), col("n"), col("sum_cents"))
           .orderBy(col("bucket_us"), col("event_type"))
       },
       Some(
@@ -438,9 +438,9 @@ object Streams {
           |agg AS (
           |  SELECT (us // 3600000000) * 3600000000 AS bucket_us,
           |         event_type, count(*) AS n,
-          |         round(sum(value), 2) AS sum_value, m
+          |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents, m
           |  FROM kept GROUP BY 1, 2, 5)
-          |SELECT bucket_us, event_type, n, sum_value
+          |SELECT bucket_us, event_type, n, sum_cents
           |FROM agg WHERE bucket_us + 3600000000 <= m - 600000000
           |ORDER BY bucket_us, event_type""".stripMargin)
     ),
@@ -469,13 +469,13 @@ object Streams {
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainComplete(s, agg, "q_stream_dedup_wm_sink"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -646,11 +646,11 @@ object Streams {
         // partition column) resolves from directory names against it
         s.read.schema(eventsJsonSchema).json(out)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -767,12 +767,12 @@ object Streams {
           .withColumn("ts", timestamp_micros(col("ts_us")))
         val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainComplete(s, agg, "q_stream_session_sink"))
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
-            col("n"), col("sum_value"))
+            col("n"), col("sum_cents"))
           .orderBy(col("user_id"), col("session_start_us"))
       },
       Some(
@@ -789,7 +789,7 @@ object Streams {
           |           ROWS UNBOUNDED PRECEDING) AS sid
           |  FROM marked)
           |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |       count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM sessions GROUP BY user_id, sid
           |ORDER BY user_id, session_start_us""".stripMargin)
     ),
@@ -823,12 +823,12 @@ object Streams {
           .withWatermark("ts", "10 minutes")
         val agg = stream
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainAppend(s, agg, "q_stream_session_evict_sink"))
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
-            col("n"), col("sum_value"))
+            col("n"), col("sum_cents"))
           .orderBy(col("user_id"), col("session_start_us"))
       },
       Some(
@@ -847,10 +847,10 @@ object Streams {
           |agg AS (
           |  SELECT user_id, epoch_us(min(ts)) AS session_start_us,
           |         epoch_us(max(ts)) + 1800000000 AS session_end_us,
-          |         count(*) AS n, round(sum(value), 2) AS sum_value
+          |         count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |  FROM sessions GROUP BY user_id, sid),
           |wm AS (SELECT max(epoch_us(ts)) - 600000000 AS w FROM events)
-          |SELECT user_id, session_start_us, n, sum_value
+          |SELECT user_id, session_start_us, n, sum_cents
           |FROM agg CROSS JOIN wm WHERE session_end_us < w
           |ORDER BY user_id, session_start_us""".stripMargin)
     ),
@@ -885,7 +885,7 @@ object Streams {
           try st.executeUpdate(
             """CREATE TABLE event_rollup (
               |  event_type VARCHAR(64) PRIMARY KEY,
-              |  n BIGINT, sum_value DOUBLE)""".stripMargin)
+              |  n BIGINT, sum_cents BIGINT)""".stripMargin)
           finally st.close()
         } finally c0.close()
         val src = Tables.events(s, dir)
@@ -894,7 +894,8 @@ object Streams {
         val stream = stageAndStreamParquet(s, src, "q_stream_jdbc",
           eventsJsonSchema, dir)
         val agg = stream.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 4) {
           val q = agg.writeStream
             .outputMode("update")
@@ -918,11 +919,11 @@ object Streams {
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         s.read.jdbc(url, "event_rollup", props)
           .select(col("event_type"), col("n"),
-            round(col("sum_value"), 2).as("sum_value"))
+            col("sum_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -952,14 +953,14 @@ object Streams {
           .join(broadcast(dim), col("user_id") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_events"),
-            round(sum(col("value")), 2).as("sum_value"))
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
         withStatePartitions(s, 8)(
           drainComplete(s, enriched, "q_stream_enrich_sink"))
           .orderBy(col("c_mktsegment"))
       },
       Some(
         """SELECT c_mktsegment, count(*) AS n_events,
-          |       round(sum(value), 2) AS sum_value
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),

@@ -272,33 +272,33 @@ class StreamsSpec extends SparkSpec {
       try st.executeUpdate(
         """CREATE TABLE event_rollup (
           |  event_type VARCHAR(64) PRIMARY KEY,
-          |  n BIGINT, sum_value DOUBLE)""".stripMargin)
+          |  n BIGINT, sum_cents BIGINT)""".stripMargin)
       finally st.close()
     } finally c0.close()
-    def table(): Set[(String, Long, Double)] = {
+    def table(): Set[(String, Long, Long)] = {
       val c = java.sql.DriverManager.getConnection(url)
       try {
         val rs = c.createStatement().executeQuery(
-          "SELECT event_type, n, sum_value FROM event_rollup")
-        val b = Set.newBuilder[(String, Long, Double)]
-        while (rs.next()) b += ((rs.getString(1), rs.getLong(2), rs.getDouble(3)))
+          "SELECT event_type, n, sum_cents FROM event_rollup")
+        val b = Set.newBuilder[(String, Long, Long)]
+        while (rs.next()) b += ((rs.getString(1), rs.getLong(2), rs.getLong(3)))
         b.result()
       } finally c.close()
     }
-    val batch1 = Seq(Row("click", 10L, 1.5), Row("view", 3L, 0.25))
+    val batch1 = Seq(Row("click", 10L, 150L), Row("view", 3L, 25L))
     streaming.Streams.jdbcUpsertPartition(url, batch1.iterator)
     val after1 = table()
-    assert(after1 == Set(("click", 10L, 1.5), ("view", 3L, 0.25)))
+    assert(after1 == Set(("click", 10L, 150L), ("view", 3L, 25L)))
     // at-least-once redelivery of the SAME batch: table unchanged
     streaming.Streams.jdbcUpsertPartition(url, batch1.iterator)
     assert(table() == after1)
     // a later batch updates only its keys (update-mode delta shape)
     streaming.Streams.jdbcUpsertPartition(url,
-      Iterator(Row("click", 12L, 2.0)))
-    assert(table() == Set(("click", 12L, 2.0), ("view", 3L, 0.25)))
+      Iterator(Row("click", 12L, 200L)))
+    assert(table() == Set(("click", 12L, 200L), ("view", 3L, 25L)))
     // empty partition: no connection churn, no change
     streaming.Streams.jdbcUpsertPartition(url, Iterator.empty)
-    assert(table() == Set(("click", 12L, 2.0), ("view", 3L, 0.25)))
+    assert(table() == Set(("click", 12L, 200L), ("view", 3L, 25L)))
   }
 
   test("B41: parquet sink with checkpoint writes exactly the input rows") {
