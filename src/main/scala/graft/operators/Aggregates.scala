@@ -30,8 +30,9 @@ object Aggregates {
             round(avg(col("l_quantity")), 6).as("avg_qty"),
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-              .as("revenue"))
+            // exact cents: per-row round, BIGINT sum (order-independent)
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100).cast("long")).as("revenue_c"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some(
@@ -40,7 +41,8 @@ object Aggregates {
           |       round(avg(l_quantity), 6) AS avg_qty,
           |       min(l_extendedprice) AS min_price,
           |       max(l_extendedprice) AS max_price,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+          |         * 100) AS BIGINT)) AS BIGINT) AS revenue_c
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     ),
@@ -173,7 +175,8 @@ object Aggregates {
           """SELECT coalesce(l_returnflag, 'ALL') AS flag,
             |       coalesce(l_linestatus, 'ALL') AS status,
             |       count(*) AS n,
-            |       round(sum(l_extendedprice), 2) AS sum_price,
+            |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            |         AS BIGINT) AS sum_price_c,
             |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g
             |FROM graft_lineitem
             |GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -183,7 +186,8 @@ object Aggregates {
         """SELECT coalesce(l_returnflag, 'ALL') AS flag,
           |       coalesce(l_linestatus, 'ALL') AS status,
           |       count(*) AS n,
-          |       round(sum(l_extendedprice), 2) AS sum_price,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |         AS BIGINT) AS sum_price_c,
           |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS g
           |FROM lineitem
           |GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -105,14 +105,16 @@ object Analytics {
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
           .agg(
-            round(sum(revenue), 2).as("revenue"),
+            // exact cents (order-independent at any month size)
+            sum(round(revenue * 100).cast("long")).as("revenue_c"),
             round(avg(col("l_discount")), 6).as("avg_discount"),
             count(lit(1)).as("n_items"))
           .orderBy(col("month"))
       },
       Some(
         """SELECT date_trunc('month', o_orderdate) AS month,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+          |         * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
           |       round(avg(l_discount), 6) AS avg_discount,
           |       count(*) AS n_items
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -572,13 +572,17 @@ object Maintenance {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_quantity")), 2).as("qty"),
-            round(sum(col("l_extendedprice")), 2).as("price"))
+            // qty is integer-valued (double sum exact below 2^53);
+            // price is 2dp -> exact cents, order-independent
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("price_c"))
           .orderBy(col("l_returnflag"))
       },
       Some(
         """SELECT l_returnflag, count(*) AS n,
           |       round(sum(l_quantity), 2) AS qty,
-          |       round(sum(l_extendedprice), 2) AS price
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |         AS BIGINT) AS price_c
           |FROM lineitem
           |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
           |                     AND TIMESTAMP '1997-12-31 23:59:59'

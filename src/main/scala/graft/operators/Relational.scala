@@ -190,14 +190,16 @@ object Relational {
         li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-              .as("revenue"),
+            // exact cents (order-independent per-brand sums)
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100).cast("long")).as("revenue_c"),
             count(lit(1)).as("n"))
           .orderBy(col("p_brand"))
       },
       Some(
         """SELECT p_brand,
-          |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+          |         * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
           |       count(*) AS n
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)

@@ -167,11 +167,14 @@ object TierA {
         s.read.schema("event_id LONG, event_type STRING, value DOUBLE")
           .option("header", "true").csv(out)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           .orderBy(col("event_type"))
       },
       Some(
-        """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -191,13 +194,14 @@ object TierA {
           .agg(count(lit(1)).as("n"),
             min(col("value")).as("min_v"),
             max(col("value")).as("max_v"),
-            round(sum(col("value")), 2).as("sum_value"))
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
           .orderBy(col("event_type"))
       },
       Some(
         """SELECT event_type, count(*) AS n,
           |       min(value) AS min_v, max(value) AS max_v,
-          |       round(sum(value), 2) AS sum_value
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+          |         AS sum_cents
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 

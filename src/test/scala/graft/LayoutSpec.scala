@@ -238,7 +238,7 @@ class LayoutSpec extends SparkSpec {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("qty"),
-        round(sum(col("l_extendedprice")), 2).as("price"))
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"))
       .orderBy(col("l_returnflag")).collect().map(_.toString).sorted
     assert(pruned.sameElements(full), "pruned read diverged from full scan")
   }
