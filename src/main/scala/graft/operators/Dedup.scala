@@ -944,6 +944,97 @@ object Dedup {
           |       round(1.0 - CAST(ed AS DOUBLE) / 80.0, 6) AS sim
           |FROM cand WHERE ed <= 20
           |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // EXACT duplicated-SPAN report — the ExactSubstr shape of Lee et
+    // al. 2022 ("Deduplicating Training Data Makes Language Models
+    // Better", arXiv:2107.06499): find every maximal token run that
+    // appears at least twice in the corpus, per document. Their
+    // suffix-array formulation is single-machine; the Spark-shaped
+    // equivalent slides a k=8-token window over every doc (one
+    // tokenize pass, windows ≈ corpus tokens — linear), counts each
+    // window key's corpus frequency in one map-combined aggregate,
+    // keeps positions whose window repeats, and merges the surviving
+    // positions into maximal covered runs per doc by gaps-and-islands
+    // (a per-doc window bounded by doc length — never global). A run
+    // of m ≥ k duplicated tokens yields m−k+1 consecutive surviving
+    // positions and exactly one island of span m, so the report is
+    // EXACT for duplicated runs ≥ k modulo md5 (the full 128-bit hex
+    // string is the key — no truncation, collisions are cryptographic).
+    // No pair join anywhere: cost is one window-key aggregate + one
+    // join back, so boilerplate that squares the q_dedup_ngram pair
+    // join only fattens one posting here.
+    QueryDef(
+      "q_dedup_substring",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val wins = Tables.documents(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= k)
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(1, size(ts) - ${k - 1}),
+               |  p -> struct(p AS pos,
+               |    md5(array_join(slice(ts, p, $k), ' ')) AS wkey))"""
+              .stripMargin.replaceAll("\n", " "))).as("e"))
+          .select(col("doc_id"), col("e.pos").as("pos"),
+            col("e.wkey").as("wkey"))
+        // corpus frequency per window key (map-combined; includes
+        // same-doc repeats — a self-repeated span is a dup span too)
+        val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("wkey"))
+        val pos = wins.join(dup, "wkey").select(col("doc_id"), col("pos"))
+        // gaps-and-islands on surviving positions: coverage of pos p
+        // is [p, p+k-1], so a new island starts when the gap to the
+        // previous surviving position exceeds k
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        pos
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w) > k, 1L)
+              .otherwise(0L))
+          .withColumn("isl", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("pos")).cast("long").as("span_start"),
+            (max(col("pos")) + k - 1).cast("long").as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"),
+            col("n_windows"))
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents
+          |  WHERE len(string_split(lower(text), ' ')) >= 8),
+          |wins AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+          |    p -> struct_pack(pos := p,
+          |      wkey := md5(array_to_string(ts[p:p+7], ' '))))) AS e
+          |  FROM toks),
+          |flat AS (SELECT doc_id, e.pos AS pos, e.wkey AS wkey FROM wins),
+          |dup AS (SELECT wkey FROM flat GROUP BY wkey HAVING count(*) >= 2),
+          |pos AS (
+          |  SELECT f.doc_id, f.pos FROM flat f JOIN dup USING (wkey)),
+          |brks AS (
+          |  SELECT doc_id, pos,
+          |         CASE WHEN pos - lag(pos) OVER
+          |           (PARTITION BY doc_id ORDER BY pos) > 8
+          |           THEN 1 ELSE 0 END AS brk
+          |  FROM pos),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |           ROWS UNBOUNDED PRECEDING) AS isl
+          |  FROM brks)
+          |SELECT doc_id,
+          |       CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+          |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+          |       count(*) AS n_windows
+          |FROM isl GROUP BY doc_id, isl
+          |ORDER BY doc_id, span_start""".stripMargin)
     )
   )
 }

@@ -992,4 +992,47 @@ class LlmOpsSpec extends SparkSpec {
         s"pair distance distortion ${dy / dx}")
     }
   }
+
+  test("dedup_substring: spans replay exactly; maximal, disjoint, >= k tokens") {
+    val k = 8
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toIndexedSeq))
+      .filter(_._2.length >= k)
+    // first-principles: every k-window keyed by its joined text (no
+    // hash at all -- proves md5 keying in the query changed nothing)
+    val wins = docs.flatMap { case (id, ts) =>
+      (0 to ts.length - k).map(p => (id, p + 1, ts.slice(p, p + k).mkString(" ")))
+    }
+    val dupKeys = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = docs.flatMap { case (id, _) =>
+      val ps = wins.filter(w => w._1 == id && dupKeys(w._3)).map(_._2).sorted
+      if (ps.isEmpty) Nil
+      else {
+        val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+          if (p - acc.head.head > k) List(p) :: acc
+          else (p :: acc.head) :: acc.tail
+        }.map(_.reverse).reverse
+        islands.map { isl =>
+          (id, isl.head.toLong, (isl.last + k - 1).toLong,
+            (isl.last + k - isl.head).toLong, isl.size.toLong)
+        }
+      }
+    }.sortBy(r => (r._1, r._2))
+    val rows = q("q_dedup_substring").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.nonEmpty && rows.toList == expected.toList)
+    // structural guarantees: spans are >= k tokens, disjoint and
+    // non-adjacent per doc (maximality: mergeable spans were merged)
+    rows.groupBy(_._1).values.foreach { spans =>
+      spans.foreach { case (_, s0, e0, len, nw) =>
+        assert(len == e0 - s0 + 1 && len >= k && nw >= 1)
+      }
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1 + 1)
+        case _ =>
+      }
+    }
+  }
 }
