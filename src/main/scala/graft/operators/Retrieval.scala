@@ -33,10 +33,10 @@ object Retrieval {
     // as the first — cost Σ_q Σ_{t∈q∪exp} df(t), still bounded by the
     // fixed query set — so expansion multiplies per-query work by
     // ~|exp|/|q|, never touches corpus scale. The full-corpus
-    // (doc, term, tf) table is staged once (localCheckpoint) and
-    // feeds both passes plus the feedback weights — every consumer is
-    // an exact integer derivation of it (the q_rank_fusion sharing
-    // rule).
+    // (doc, term, tf) table is staged once (persistent tf-index
+    // parquet, TextAnalysis.tfIndex) and feeds both passes plus the
+    // feedback weights — every consumer is an exact integer
+    // derivation of it (the q_rank_fusion sharing rule).
     //
     // Cross-engine float discipline: every BM25 contribution and
     // every feedback weight is frozen per row to a micro-int
@@ -54,14 +54,15 @@ object Retrieval {
         val qTerms = docs.filter(isQuery)
           .select(col("doc_id").as("query_id"),
             explode(array_distinct(col("ts"))).as("term"))
-        val corpus = docs.filter(!isQuery)
-        // staged once: pass-1 contributions, feedback weights, and
-        // pass-2 contributions all read it (3 consumers)
-        val tf = corpus
-          .select(col("doc_id"), explode(col("ts")).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+        // staged once as the persistent tf-index parquet artifact:
+        // pass-1 contributions, feedback weights, and pass-2
+        // contributions all read it (3 consumers). r8 used a
+        // localCheckpoint here; suite storage pressure evicted the
+        // blocks and all three consumers re-read cold (41.2 s driver
+        // entry vs 6.2 s isolated — VERDICT r8 item 1). Restricting
+        // the full-corpus index to non-query docs is an exact integer
+        // derivation, bit-identical to building tf from the corpus.
+        val tf = TextAnalysis.tfIndex(s, dir).filter(!isQuery)
         val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         // dl and the corpus stats are DERIVED from the staged tf
         // (Σ_term tf ≡ token count) instead of re-tokenizing the

@@ -23,7 +23,7 @@ object TextSimilarity {
                                    dir: String, qres: Long, topk: Int,
                                    tfAll: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val tf = tfAll.getOrElse(TextAnalysis.termFrequencies(s, dir))
+    val tf = tfAll.getOrElse(TextAnalysis.tfIndex(s, dir))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     // tf-idf weight per (doc, term); the raw double is a pure
@@ -67,14 +67,15 @@ object TextSimilarity {
 
   /** The RRF fusion of the BM25 and tf-idf-cosine top-10 lists for
     * query residue 7. With `shareTf` the full-corpus (doc, term, tf)
-    * table is staged once (localCheckpoint) and handed to both legs —
-    * every leg-side quantity is an exact integer derivation of it, so
-    * both paths emit identical rows (FusionSpec pins this). */
+    * table is staged once (the persistent tf-index parquet) and handed
+    * to both legs — every leg-side quantity is an exact integer
+    * derivation of it, so both paths emit identical rows (FusionSpec
+    * pins this). */
   private[graft] def fusedTopK(s: org.apache.spark.sql.SparkSession,
                                dir: String, shareTf: Boolean)
       : org.apache.spark.sql.DataFrame = {
     val tfAll =
-      if (shareTf) Some(TextAnalysis.termFrequencies(s, dir).localCheckpoint())
+      if (shareTf) Some(TextAnalysis.tfIndex(s, dir))
       else None
     val contrib = TextAnalysis
       .bm25Ranking(s, dir, qres = 7L, topk = 10, tfAll = tfAll)
