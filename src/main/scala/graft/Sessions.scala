@@ -33,8 +33,8 @@ object Sessions {
   /** Object-store (s3a) posture for a 100 TB deployment. Local test runs
     * never touch S3, so these are NOT applied by [[build]] — they are the
     * documented, reviewed config a cluster submit adds via `--conf`, or
-    * programmatically with `s3aDefaults.foreach { case (k, v) =>
-    * builder.config(k, v) }`. Values are public Hadoop/Spark s3a guidance:
+    * programmatically with [[applyS3a]]. Values are public Hadoop/Spark
+    * s3a guidance:
     *
     *  - magic committer: S3 has no atomic rename; the classic
     *    FileOutputCommitter either double-copies (v1) or is unsafe under
@@ -54,16 +54,64 @@ object Sessions {
   val s3aDefaults: Map[String, String] = Map(
     "spark.hadoop.fs.s3a.committer.name" -> "magic",
     "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
-    "spark.sql.sources.commitProtocolClass" ->
-      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
-    "spark.sql.parquet.output.committer.class" ->
-      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
     "spark.hadoop.fs.s3a.directory.marker.retention" -> "keep",
     "spark.hadoop.fs.s3a.block.size" -> "128M",
     "spark.hadoop.fs.s3a.readahead.range" -> "1M",
     "spark.hadoop.fs.s3a.connection.maximum" -> "200",
     "spark.hadoop.fs.s3a.fast.upload" -> "true",
     "spark.sql.files.maxPartitionBytes" -> "134217728")
+
+  /** The two committer-binding classes the magic committer needs on the
+    * SQL side. They ship in Spark's OPTIONAL `spark-hadoop-cloud` module
+    * (with `hadoop-aws` providing the s3a filesystem itself) — neither
+    * is in the core distribution's jars dir, so they are a DEPLOY
+    * PREREQUISITE: an S3 cluster submit must add
+    * `spark-hadoop-cloud_2.13` and the Hadoop-matched `hadoop-aws` +
+    * `bundle` jars (or build Spark with `-Phadoop-cloud`). */
+  val s3aCommitterClasses: Seq[String] = Seq(
+    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+
+  /** SQL-side bindings that route DataFrame file commits through the
+    * Hadoop PathOutputCommitter factory (⇒ the magic committer on s3a).
+    * Split from [[s3aDefaults]] because they name classes from the
+    * optional cloud module: binding them on a classpath without that
+    * module fails EVERY file write with ClassNotFoundException instead
+    * of degrading gracefully. */
+  val s3aCommitterBindings: Map[String, String] = Map(
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+
+  /** True when the optional cloud-committer module is on the classpath. */
+  def cloudCommitterAvailable: Boolean = s3aCommitterClasses.forall { c =>
+    try { Class.forName(c); true }
+    catch { case _: ClassNotFoundException => false }
+  }
+
+  /** The s3a config set a session should actually apply: IO/committer
+    * tuning always, the committer CLASS bindings only when the cloud
+    * module resolves — guarded so a misassembled classpath degrades to
+    * the (S3-unsafe but functional) default committer with the magic
+    * committer flags inert, rather than failing every write.
+    * S3aPostureSpec pins both branches and runs a query + write green
+    * under the applied config. */
+  def s3aConf: Map[String, String] =
+    if (cloudCommitterAvailable) s3aDefaults ++ s3aCommitterBindings
+    else s3aDefaults
+
+  /** Apply [[s3aConf]] to a LIVE session — the programmatic equivalent
+    * of passing it via `--conf` at submit: `spark.hadoop.*` keys land on
+    * the shared hadoopConfiguration (read by s3a streams at open time),
+    * the rest are runtime-settable SQLConfs. */
+  def applyS3a(spark: SparkSession): Unit =
+    s3aConf.foreach {
+      case (k, v) if k.startsWith("spark.hadoop.") =>
+        spark.sparkContext.hadoopConfiguration
+          .set(k.stripPrefix("spark.hadoop."), v)
+      case (k, v) => spark.conf.set(k, v)
+    }
 
   /** Idempotent per-session setup that also works on sessions built
     * OUTSIDE this library (e.g. a test harness's own SparkSession):
