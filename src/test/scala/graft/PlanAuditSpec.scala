@@ -606,4 +606,48 @@ class PlanAuditSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("AQE OptimizeSkewedJoin splits a genuinely skewed SMJ partition at runtime") {
+    // q_join_skew_salted pins the PLANNED fix (manual salting); a
+    // 100 TB deploy also leans on the AUTOMATIC mechanism — AQE
+    // detecting a skewed shuffle partition from runtime stats and
+    // splitting it. Staged here: 90% of the fact lands on one key, the
+    // dim is too big to broadcast under the test thresholds, and the
+    // skew thresholds are scaled to fixture size (defaults trigger at
+    // 256 MB — the FACTOR x median rule is what's under test, not the
+    // absolute cutoff).
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(0, 200000).select(
+        when(pmod(col("id"), lit(10L)) =!= 0L, lit(0L))
+          .otherwise(pmod(col("id"), lit(97L))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 97).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      // terminal GLOBAL aggregate: tiny result, and its partial/final
+      // split has no hash-partitioning requirement on k — a keyed agg
+      // downstream would let AQE veto the split as introducing an
+      // extra shuffle (a filter won't do: it gets pushed below the
+      // join and deflates the skew)
+      val j = fact.join(dim, "k").agg(sum(col("v") + col("w")).as("t"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        "fixture must force a shuffle join (broadcast disabled):\n" + p)
+      assert(p.contains("skew=true"),
+        "AQE must mark the skewed partition split (skew=true):\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
