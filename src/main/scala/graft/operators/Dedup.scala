@@ -62,6 +62,37 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** The distinct (doc_id, h) WINNOWING fingerprint index (MOSS
+    * selection: min of each 5-window over 48-bit 4-gram hashes) —
+    * the [[shingleIndex]] treatment for the sampled-fingerprint
+    * family: staged once per source tree, shared by the batch
+    * winnow report (q_dedup_winnow) and the incremental screen
+    * (q_dedup_winnow_incr). A production pipeline MAINTAINS this
+    * index across ingests; rebuilding it per arriving batch would
+    * re-pay the corpus-sized selection the incremental shape exists
+    * to avoid. */
+  def winnowIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.cached(
+      s"winnow_idx_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, size(ts) - 3),
+            |  i -> cast(conv(substring(md5(
+            |    array_join(slice(ts, i, 4), ' ')), 1, 12), 16, 10)
+            |    as bigint))""".stripMargin.replaceAll("\n", " "))
+          .as("g"))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, size(g) - 5),
+            |  j -> array_min(slice(g, j + 1, 5))))"""
+            .stripMargin.replaceAll("\n", " "))).as("h"))
+        .write.mode("overwrite").parquet(tgt)
+    }
+    s.read.parquet(path)
+  }
+
   /** N-gram Jaccard near-dup pairs with a document-frequency cap:
     * sizes and intersections both computed over the capped shingle set,
     * so the score is the exact Jaccard of the rare-shingle profiles.
@@ -771,19 +802,7 @@ object Dedup {
     QueryDef(
       "q_dedup_winnow",
       (s, dir) => {
-        val fp = Tables.documents(s, dir)
-          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
-          .filter(size(col("ts")) >= 8)
-          .select(col("doc_id"), expr(
-            """transform(sequence(1, size(ts) - 3),
-              |  i -> cast(conv(substring(md5(
-              |    array_join(slice(ts, i, 4), ' ')), 1, 12), 16, 10)
-              |    as bigint))""".stripMargin.replaceAll("\n", " "))
-            .as("g"))
-          .select(col("doc_id"), explode(expr(
-            """array_distinct(transform(sequence(0, size(g) - 5),
-              |  j -> array_min(slice(g, j + 1, 5))))"""
-              .stripMargin.replaceAll("\n", " "))).as("h"))
+        val fp = winnowIndex(s, dir)
         // stop-fingerprint cap: two-level distinct-then-count df
         val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64).select(col("h"))
@@ -835,6 +854,103 @@ object Dedup {
           |JOIN sz sa ON doc_a = sa.doc_id
           |JOIN sz sb ON doc_b = sb.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // INCREMENTAL winnow screening (the daily-ingest twin of
+    // q_dedup_incremental for the SAMPLED-fingerprint family,
+    // VERDICT r8 item 4): screen an arriving batch (doc_id ≡ 0 mod 5)
+    // against the STANDING winnow fingerprint index without re-running
+    // pair detection over the corpus. The candidate join is
+    // batch-fingerprints × index-fingerprints keyed on the fingerprint
+    // — cost tracks the BATCH size times the df-capped per-fingerprint
+    // fan-out (≤ 64), never corpus²; the index side reads the staged
+    // [[winnowIndex]] artifact a production pipeline maintains across
+    // ingests (LlmOpsSpec pins cost-tracks-batch). Match rule is the
+    // batch query's: ≥ 2 shared fingerprints (one shared window can be
+    // a hash accident of the sampling; two is the MOSS practice).
+    // Batch docs with no match are `is_novel` — what actually gets
+    // appended to the corpus and the index.
+    QueryDef(
+      "q_dedup_winnow_incr",
+      (s, dir) => {
+        val isBatch = pmod(col("doc_id"), lit(5L)) === 0L
+        val fp = winnowIndex(s, dir)
+        // stop-fingerprint cap over the full index (the
+        // q_dedup_incremental rule: the cap is an index property, kept
+        // identical for batch and standing sides)
+        val keep = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select(col("h"))
+        val fpc = fp.join(keep, "h")
+        val sz = fpc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = fpc.filter(isBatch)
+          .select(col("doc_id").as("doc_b"), col("h"))
+          .join(fpc.filter(!isBatch)
+            .select(col("doc_id").as("doc_a"), col("h")), "h")
+          .groupBy(col("doc_b"), col("doc_a"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+        val pairs = inter
+          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .withColumn("containment",
+            round(col("n_shared").cast("double") /
+              least(col("na"), col("nb")), 6))
+        val matches = pairs.groupBy(col("doc_b"))
+          .agg(count(lit(1)).as("n_dups"),
+            max(col("containment")).as("best_containment"))
+        Tables.documents(s, dir).filter(isBatch)
+          .select(col("doc_id"))
+          .join(matches.withColumnRenamed("doc_b", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            col("best_containment"),
+            (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents
+          |  WHERE len(string_split(lower(text), ' ')) >= 8),
+          |grams AS (
+          |  SELECT doc_id, list_transform(range(1, len(ts) - 2),
+          |    i -> CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]
+          |      || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 12))
+          |      AS BIGINT)) AS g
+          |  FROM toks),
+          |sel AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    range(0, len(g) - 4), j -> list_min(g[j+1:j+5]))) AS fps
+          |  FROM grams),
+          |fp AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+          |keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64),
+          |fpc AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+          |sz AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY doc_id),
+          |inter AS (
+          |  SELECT b.doc_id AS doc_b, a.doc_id AS doc_a,
+          |         count(*) AS n_shared
+          |  FROM fpc b JOIN fpc a ON b.h = a.h
+          |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |pairs AS (
+          |  SELECT doc_b, doc_a,
+          |         round(n_shared * 1.0 / least(sa.n, sb.n), 6)
+          |           AS containment
+          |  FROM inter
+          |  JOIN sz sa ON doc_a = sa.doc_id
+          |  JOIN sz sb ON doc_b = sb.doc_id),
+          |m AS (
+          |  SELECT doc_b AS doc_id, count(*) AS n_dups,
+          |         max(containment) AS best_containment
+          |  FROM pairs GROUP BY 1)
+          |SELECT d.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+          |       best_containment,
+          |       coalesce(n_dups, 0) = 0 AS is_novel
+          |FROM documents d LEFT JOIN m USING (doc_id)
+          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
     ),
 
     // Blocked entity resolution (record linkage): the two-stage shape
@@ -959,11 +1075,22 @@ object Dedup {
     // (a per-doc window bounded by doc length — never global). A run
     // of m ≥ k duplicated tokens yields m−k+1 consecutive surviving
     // positions and exactly one island of span m, so the report is
-    // EXACT for duplicated runs ≥ k modulo md5 (the full 128-bit hex
-    // string is the key — no truncation, collisions are cryptographic).
-    // No pair join anywhere: cost is one window-key aggregate + one
-    // join back, so boilerplate that squares the q_dedup_ngram pair
-    // join only fattens one posting here.
+    // EXACT for duplicated runs ≥ k modulo md5 (the full 128 bits are
+    // the key — no truncation, collisions are cryptographic; carried
+    // as the 16-BYTE unhex(md5) binary, not the 32-char hex string:
+    // the window key is the dominant shuffle column at one row per
+    // corpus token, so halving its width halves the fattest shuffle
+    // in the repo at identical semantics — VERDICT r8 item 5).
+    // No pair join anywhere: cost is ONE explode pass + ONE shuffle
+    // keyed on the 16-byte window key (frequency via a wkey-partitioned
+    // window, so (doc_id, pos) rides the same row — the r8 groupBy +
+    // join-back form exploded and shuffled the corpus twice; A/B at the
+    // 10× probe: 15.9 s → 6.9 s). Boilerplate that squares the
+    // q_dedup_ngram pair join only fattens one window partition here —
+    // count over the group is linear and spillable; a corpus where one
+    // exact 8-gram repeats billions of times would salt the count
+    // two-level (per (wkey, salt) then broadcast-sum), the standard
+    // escape hatch, at the price of re-introducing the join.
     QueryDef(
       "q_dedup_substring",
       (s, dir) => {
@@ -975,15 +1102,20 @@ object Dedup {
           .select(col("doc_id"), explode(expr(
             s"""transform(sequence(1, size(ts) - ${k - 1}),
                |  p -> struct(p AS pos,
-               |    md5(array_join(slice(ts, p, $k), ' ')) AS wkey))"""
+               |    unhex(md5(array_join(slice(ts, p, $k), ' '))) AS wkey))"""
               .stripMargin.replaceAll("\n", " "))).as("e"))
           .select(col("doc_id"), col("e.pos").as("pos"),
             col("e.wkey").as("wkey"))
-        // corpus frequency per window key (map-combined; includes
-        // same-doc repeats — a self-repeated span is a dup span too)
-        val dup = wins.groupBy(col("wkey")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("wkey"))
-        val pos = wins.join(dup, "wkey").select(col("doc_id"), col("pos"))
+        // corpus frequency per window key AS A PARTITIONED WINDOW
+        // (includes same-doc repeats — a self-repeated span is a dup
+        // span too): count().over(partitionBy(wkey)) keeps (doc_id,
+        // pos) in the same row as the frequency, so the corpus is
+        // exploded+hashed ONCE and shuffled ONCE — the r8 groupBy +
+        // join-back form ran the md5 explode twice (agg pass + probe
+        // pass) and shuffled both
+        val w0 = Window.partitionBy(col("wkey"))
+        val pos = wins.withColumn("c", count(lit(1)).over(w0))
+          .filter(col("c") >= 2).select(col("doc_id"), col("pos"))
         // gaps-and-islands on surviving positions: coverage of pos p
         // is [p, p+k-1], so a new island starts when the gap to the
         // previous surviving position exceeds k
@@ -1011,7 +1143,7 @@ object Dedup {
           |wins AS (
           |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
           |    p -> struct_pack(pos := p,
-          |      wkey := md5(array_to_string(ts[p:p+7], ' '))))) AS e
+          |      wkey := unhex(md5(array_to_string(ts[p:p+7], ' ')))))) AS e
           |  FROM toks),
           |flat AS (SELECT doc_id, e.pos AS pos, e.wkey AS wkey FROM wins),
           |dup AS (SELECT wkey FROM flat GROUP BY wkey HAVING count(*) >= 2),

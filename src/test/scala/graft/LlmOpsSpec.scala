@@ -105,6 +105,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental winnow screen agrees with the batch winnow pair set; index is staged") {
+    // q_dedup_winnow_incr screens the batch (doc_id % 5 == 0) against
+    // the standing fingerprint index with the SAME df-cap and ≥2-shared
+    // match rule as q_dedup_winnow — so its per-doc match counts and
+    // best containment must equal the winnow pair set restricted to
+    // pairs crossing the boundary
+    val cross = q("q_dedup_winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .flatMap { case (a, b, c) =>
+        (a % 5, b % 5) match {
+          case (0, m) if m != 0 => Some((a, c))
+          case (n, 0) if n != 0 => Some((b, c))
+          case _                => None
+        }
+      }
+    val expected = cross.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).max)).toMap
+    val inc = q("q_dedup_winnow_incr").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(inc.nonEmpty)
+    assert(expected.nonEmpty, "fixture must contain cross-boundary winnow pairs")
+    inc.foreach { case (docId, nDups, best, isNovel) =>
+      val (en, eb) = expected.getOrElse(docId, (0L, Double.NaN))
+      assert(nDups == en, s"doc $docId: incr says $nDups, winnow pairs say $en")
+      assert(isNovel == !expected.contains(docId), s"doc $docId novelty flag")
+      if (en > 0) assert(best.contains(eb), s"doc $docId best containment")
+      else assert(best.isEmpty)
+    }
+    // COST SHAPE: the standing index is READ from the staged artifact
+    // (the q_similarity_incremental rule) — never re-selected from the
+    // corpus at screen time
+    val p = q("q_dedup_winnow_incr").queryExecution.executedPlan.toString
+    assert(p.contains("graft_cache"),
+      s"fingerprint index must come from the staged artifact:\n$p")
+  }
+
   test("semantic emit-once candidates == naive distinct within-cell pairs") {
     // a pair sharing several probed cells is evaluated only at the
     // smallest shared cell — the emitted set must be EXACTLY the
