@@ -193,7 +193,13 @@ object Functions {
     ("word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     ("simhash64", classOf[SimHash64],
-      exprs => SimHash64(exprs(0))))
+      exprs => SimHash64(exprs(0))),
+    ("kll_sketch_agg", classOf[KllSketchAgg],
+      exprs => KllSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    ("kll_merge_agg", classOf[KllMergeAgg],
+      exprs => KllMergeAgg(exprs(0))),
+    ("kll_quantile", classOf[KllQuantile],
+      exprs => KllQuantile(exprs(0), exprs(1))))
 
   def registerAll(spark: SparkSession): Unit =
     specs.foreach { case (name, _, builder) =>

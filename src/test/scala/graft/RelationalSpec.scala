@@ -114,6 +114,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("kll quantile sketch: merged estimates within the k=200 rank-error bound") {
+    // the estimate's EXACT rank in the raw data must sit within the
+    // KLL normalized rank error for k=200 (~1.65% at 99% confidence;
+    // 2.5% margin here) of the target rank — the correct acceptance
+    // test for a quantile sketch (value-relative tolerance is
+    // distribution-dependent); plus quantile monotonicity and the
+    // segment/row accounting
+    val rows = q("q_sketch_quantile").collect()
+    assert(rows.nonEmpty)
+    val prices = sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val xs = prices(flag)
+      assert(r.getLong(5) == xs.length, s"$flag n_rows")
+      assert(r.getLong(4) >= 1, s"$flag segments merged")
+      val ests = Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2),
+        0.99 -> r.getDouble(3))
+      assert(ests.map(_._2) == ests.map(_._2).sorted, s"$flag monotone quantiles")
+      ests.foreach { case (tgt, est) =>
+        val rank = xs.count(_ <= est).toDouble / xs.length
+        assert(math.abs(rank - tgt) <= 0.025,
+          s"$flag p$tgt: est=$est has exact rank $rank")
+      }
+    }
+  }
+
   test("approx quantile within 10% of exact percentile") {
     val approx = q("q_agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
