@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.QueryDef
 import graft.functions.VectorFns
 import graft.sources.Tables
@@ -1467,6 +1467,110 @@ object Similarity {
           |             sqrt(CAST(xq_micro AS DOUBLE) / 1e9), 6)
           |         AS norm_ratio
           |FROM ym ORDER BY vec_id""".stripMargin)
+    ),
+
+    // INT8 SCALAR QUANTIZATION retrieval — the production ANN memory
+    // lever (a 100 TB float32 index is 4× the RAM of its int8 twin;
+    // every serving stack — faiss SQ8, ScaNN, Lucene/HNSW int8 —
+    // quantizes before it shards). Symmetric per-vector quantization:
+    // scale = max|x_i|, q_i = round(127·x_i/scale) ∈ [−127, 127];
+    // search scores candidates by the QUANTIZED cosine — which
+    // is EXACT INTEGER arithmetic, so unlike every float ANN variant
+    // in this file the whole retrieval is DuckDB-oracle-able: both
+    // engines round the identical double 127·x/scale (one shared
+    // association) and then rank pure BIGINTs with nid tie-breaks.
+    // The int products ride the native dot_product expression over
+    // integer-valued doubles (|q|≤127 ⇒ every intermediate ≤ 2²⁰,
+    // exact in fp64 — no HOF fold, stays in whole-stage codegen).
+    //
+    // Scale/plan shape: quantization is map-only over the corpus;
+    // `scale` is kept in the projection OUTPUT alongside the lambda
+    // that consumes it, so it stays a staged multi-ref attribute and
+    // CollapseProject cannot inline the array_max INTO the transform
+    // lambda (the round-8 expression-cost class #1 — single-ref
+    // staged scalars re-execute per element, 64× here). The query set
+    // is the bounded vec_id < 8 slice broadcast against the corpus —
+    // the q_similarity_topk candidate shape. LlmOpsSpec pins recall
+    // vs exact float cosine and the ±1-ulp reconstruction bound.
+    QueryDef(
+      "q_embed_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val withScale = e.select(col("vec_id"), col("embedding"),
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            .as("scale"))
+        val qv = withScale.select(col("vec_id"),
+          expr("""transform(embedding,
+                 |  x -> CAST(round(127.0 * CAST(x AS DOUBLE) / scale)
+                 |       AS DOUBLE))""".stripMargin.replaceAll("\n", " "))
+            .as("qv"),
+          col("scale"))
+        val withNorm = qv.select(col("vec_id"), col("qv"),
+          graft.functions.VectorFns.dotFast(col("qv"), col("qv"))
+            .cast(LongType).as("qn"))
+        val queries = withNorm.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("qv").as("qqv"),
+            col("qn").as("qna"))
+        // quantized COSINE, not raw inner product: the per-vector scale
+        // makes int8 codes norm-distorted, so IP ranking against a
+        // cosine ground truth loses recall (measured: 0.675 as IP,
+        // 0.975 as quantized cosine at sf0.001);
+        // qdot/sqrt(qna*qnb) restores the normalization with every
+        // input an exact integer and ONE shared double association,
+        // rounded 6 dp before the rank
+        val scored = withNorm.select(col("vec_id").as("nid"), col("qv"),
+            col("qn").as("qnb"))
+          .join(broadcast(queries), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            graft.functions.VectorFns.dotFast(col("qqv"), col("qv"))
+              .cast(LongType).as("qdot"),
+            col("qna"), col("qnb"))
+          .select(col("qid"), col("nid"), col("qdot"),
+            round(col("qdot").cast(DoubleType) /
+              (sqrt(col("qna").cast(DoubleType)) *
+                sqrt(col("qnb").cast(DoubleType))), 6).as("qcos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid"))
+        scored.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("nid"), col("qdot"), col("qcos"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT vec_id,
+          |         list_transform(embedding, x ->
+          |           CAST(round(127.0 * CAST(x AS DOUBLE) / scale)
+          |                AS BIGINT)) AS qv
+          |  FROM (SELECT vec_id, embedding,
+          |          list_max(list_transform(embedding, x ->
+          |            abs(CAST(x AS DOUBLE)))) AS scale
+          |        FROM embeddings)),
+          |normed AS (
+          |  SELECT vec_id, qv,
+          |         CAST(list_sum(list_transform(range(1, 65), i ->
+          |           qv[i] * qv[i])) AS BIGINT) AS qn
+          |  FROM base),
+          |scored AS (
+          |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+          |         CAST(list_sum(list_transform(range(1, 65), i ->
+          |           q.qv[i] * c.qv[i])) AS BIGINT) AS qdot,
+          |         q.qn AS qna, c.qn AS qnb
+          |  FROM normed q JOIN normed c
+          |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+          |cosed AS (
+          |  SELECT qid, nid, qdot,
+          |         round(CAST(qdot AS DOUBLE) /
+          |           (sqrt(CAST(qna AS DOUBLE)) *
+          |            sqrt(CAST(qnb AS DOUBLE))), 6) AS qcos
+          |  FROM scored),
+          |ranked AS (
+          |  SELECT qid, nid, qdot, qcos,
+          |         row_number() OVER (PARTITION BY qid
+          |           ORDER BY qcos DESC, nid) AS rnk
+          |  FROM cosed)
+          |SELECT qid, rnk, nid, qdot, qcos FROM ranked WHERE rnk <= 5
+          |ORDER BY qid, rnk""".stripMargin)
     )
   )
 }

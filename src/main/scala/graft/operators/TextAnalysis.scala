@@ -1739,6 +1739,159 @@ object TextAnalysis {
           |       CAST(coalesce(a.first_doc, -1) AS BIGINT) AS first_doc
           |FROM pw p LEFT JOIN agg a ON p.phrase = a.phrase
           |ORDER BY p.phrase""".stripMargin)
+    ),
+
+    // GOPHER REPETITION FILTERS (Rae et al. 2021, "Scaling Language
+    // Models: ... Gopher", §A1.1.2 quality heuristics): the per-doc
+    // repetition statistics every web-scale curation pipeline computes
+    // BEFORE the cross-doc dedup passes — intra-document duplicate
+    // n-gram fractions and the coverage of the single most frequent
+    // n-gram. Docs whose content loops (boilerplate templates, scraper
+    // stutter) show high duplicate-bigram fractions and get dropped.
+    // Reported per doc: duplicate-2-gram and duplicate-3-gram token
+    // fractions (1 − distinct/total), top-bigram coverage
+    // (max count / total), and the filter verdict at the paper-shaped
+    // thresholds (dup2 > 0.30 ∨ top2 > 0.18 here, tuned so the fixture
+    // splits non-trivially).
+    //
+    // Scale shape: explode n-grams → ONE map-combined (doc, gram)
+    // count → per-doc rollup. Both aggregates partial-combine; nothing
+    // is per-corpus state, so the pass is embarrassingly parallel at
+    // any corpus size (the q_dedup_lines df discipline, without the
+    // cross-doc join). Fractions are ratios of exact integers rounded
+    // 6 dp on both engines; the verdict is an integer cross-multiply
+    // (100·dup > 30·total etc.) so no double is ever compared.
+    QueryDef(
+      "q_quality_repetition",
+      (s, dir) => {
+        def grams(n: Int) = Tables.documents(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(1, size(ts) - ${n - 1}),
+               |  i -> array_join(slice(ts, i, $n), ' '))"""
+              .stripMargin.replaceAll("\n", " "))).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("total"),
+            count(lit(1)).as("distinct_g"),
+            max(col("c")).as("maxc"))
+        val g2 = grams(2)
+        val g3 = grams(3)
+          .select(col("doc_id"), col("total").as("total3"),
+            col("distinct_g").as("distinct3"))
+        g2.join(g3, "doc_id")
+          .select(col("doc_id"),
+            round((col("total") - col("distinct_g")).cast(DoubleType) /
+              col("total").cast(DoubleType), 6).as("dup2_frac"),
+            round((col("total3") - col("distinct3")).cast(DoubleType) /
+              col("total3").cast(DoubleType), 6).as("dup3_frac"),
+            round(col("maxc").cast(DoubleType) /
+              col("total").cast(DoubleType), 6).as("top2_cov"),
+            (((col("total") - col("distinct_g")) * 100 >
+              col("total") * 30) ||
+              (col("maxc") * 100 > col("total") * 18)).as("filtered"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |g2c AS (
+          |  SELECT doc_id, g, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+          |      i -> ts[i] || ' ' || ts[i+1])) AS g
+          |    FROM tok WHERE len(ts) >= 2)
+          |  GROUP BY 1, 2),
+          |g2 AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+          |         count(*) AS distinct_g, max(c) AS maxc
+          |  FROM g2c GROUP BY 1),
+          |g3c AS (
+          |  SELECT doc_id, g, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+          |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+          |    FROM tok WHERE len(ts) >= 3)
+          |  GROUP BY 1, 2),
+          |g3 AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total3,
+          |         count(*) AS distinct3
+          |  FROM g3c GROUP BY 1)
+          |SELECT g2.doc_id,
+          |       round((total - distinct_g) * 1.0 / total, 6) AS dup2_frac,
+          |       round((total3 - distinct3) * 1.0 / total3, 6) AS dup3_frac,
+          |       round(maxc * 1.0 / total, 6) AS top2_cov,
+          |       ((total - distinct_g) * 100 > total * 30 OR
+          |        maxc * 100 > total * 18) AS filtered
+          |FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+          |ORDER BY g2.doc_id""".stripMargin)
+    ),
+
+    // BENCHMARK DECONTAMINATION (the GPT-3 appendix-C / PaLM shape:
+    // drop or flag training documents sharing long n-grams with an
+    // evaluation set, so measured benchmark wins aren't memorization).
+    // The eval set here is the bounded fixture slice doc_id ≡ 3
+    // (mod 13, ~7.7% — wide enough that the fixture's cross-doc
+    // duplicated spans actually cross the boundary; mod 97 caught
+    // zero); training docs are everything else; overlap key is the
+    // exact 8-token gram (13 in the papers — scaled to fixture doc
+    // lengths). Reported per CONTAMINATED training doc: how many of
+    // its distinct 8-grams hit the eval set and how many distinct eval
+    // docs those hits touch.
+    //
+    // Scale shape: the eval side is a FIXED benchmark suite — its
+    // distinct-gram table is bounded (and broadcastable) no matter how
+    // big the training corpus grows, so the screen is one map-side
+    // hash join over the training gram stream plus two map-combined
+    // per-doc aggregates over the (tiny) hit set; at 100 TB the gram
+    // key would ride as xxhash64 with the same plan (exact strings
+    // here so the oracle shares the key). The hit table feeds both
+    // rollups (distinct-gram count / distinct-eval-doc count) via one
+    // localCheckpoint — the BPE two-consumer rule; both rollups are
+    // ExpandExec-free two-level distinct-then-count aggregates.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val isEval = pmod(col("doc_id"), lit(13L)) === 3L
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(1, size(ts) - 7),
+              |  i -> array_join(slice(ts, i, 8), ' ')))"""
+              .stripMargin.replaceAll("\n", " "))).as("g"))
+        val ev = grams.filter(isEval)
+          .select(col("doc_id").as("eval_doc"), col("g"))
+        val hits = grams.filter(!isEval)
+          .join(broadcast(ev), "g")
+          .localCheckpoint() // feeds the gram rollup AND the doc rollup
+        val nGrams = hits.select(col("doc_id"), col("g")).distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+        val nDocs = hits.select(col("doc_id"), col("eval_doc")).distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_docs"))
+        nGrams.join(nDocs, "doc_id")
+          .select(col("doc_id"), col("n_ngrams"), col("n_eval_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents
+          |  WHERE len(string_split(lower(text), ' ')) >= 8),
+          |g AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(ts) - 6),
+          |    i -> array_to_string(ts[i:i+7], ' ')))) AS g
+          |  FROM tok),
+          |ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 13 = 3),
+          |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 13 <> 3),
+          |hits AS (SELECT tr.doc_id, tr.g, ev.eval_doc
+          |         FROM tr JOIN ev USING (g))
+          |SELECT doc_id,
+          |       CAST(count(DISTINCT g) AS BIGINT) AS n_ngrams,
+          |       CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -142,6 +142,38 @@ class LlmOpsSpec extends SparkSpec {
       s"fingerprint index must come from the staged artifact:\n$p")
   }
 
+  test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {
+    val rows = q("q_embed_quantize").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // exact float-cosine top-5 for the same query slice
+    val e = sources.Tables.embeddings(spark, sf)
+    val exact = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        functions.VectorFns.cosineFast(col("qv"), col("nv")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSet).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(k => (got(k) & exact(k)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.9, s"int8 quantized recall $recall below floor 0.9")
+    info(s"int8 quantized top-5 recall vs exact cosine: $recall")
+    // reconstruction: q_i·scale/127 within half a quantization step of x_i
+    val recon = e.select(col("vec_id"), col("embedding")).collect().forall { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val scale = x.map(math.abs).max
+      x.forall { xi =>
+        val qi = math.round(127.0 * xi / scale).toDouble
+        math.abs(qi * scale / 127.0 - xi) <= scale / 127.0 / 2 + 1e-12
+      }
+    }
+    assert(recon, "dequantized values must sit within half a step of the input")
+  }
+
   test("semantic emit-once candidates == naive distinct within-cell pairs") {
     // a pair sharing several probed cells is evaluated only at the
     // smallest shared cell — the emitted set must be EXACTLY the
