@@ -1469,7 +1469,8 @@ object Similarity {
           |FROM ym ORDER BY vec_id""".stripMargin)
     ),
 
-    // INT8 SCALAR QUANTIZATION retrieval — the production ANN memory
+    // INT8 SCALAR QUANTIZATION retrieval (the search leg on top of the
+    // q_embed_quantize code-building pass) — the production ANN memory
     // lever (a 100 TB float32 index is 4× the RAM of its int8 twin;
     // every serving stack — faiss SQ8, ScaNN, Lucene/HNSW int8 —
     // quantizes before it shards). Symmetric per-vector quantization:
@@ -1493,7 +1494,7 @@ object Similarity {
     // the q_similarity_topk candidate shape. LlmOpsSpec pins recall
     // vs exact float cosine and the ±1-ulp reconstruction bound.
     QueryDef(
-      "q_embed_quantize",
+      "q_similarity_quantized",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val withScale = e.select(col("vec_id"), col("embedding"),

@@ -143,7 +143,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {
-    val rows = q("q_embed_quantize").collect()
+    val rows = q("q_similarity_quantized").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(rows.nonEmpty)
     // exact float-cosine top-5 for the same query slice

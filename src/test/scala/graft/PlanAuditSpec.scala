@@ -231,9 +231,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_embed_clusters",   // brute reference form below the
                             // 10^4-vector auto-switch (scale path =
                             // cell candidates, LlmOpsSpec refinement)
-      "q_embed_standardize") // 1-row broadcast (the 64-dim mean/std
+      "q_embed_standardize", // 1-row broadcast (the 64-dim mean/std
                             // moment arrays attach)
                             // (manifest-sized, 4 commits)
+      "q_similarity_quantized") // corpus x broadcast 8-query set (the
+                            // q_similarity_topk candidate shape over
+                            // int8 codes)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
