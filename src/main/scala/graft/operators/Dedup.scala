@@ -953,6 +953,112 @@ object Dedup {
           |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
     ),
 
+    // LOSSLESS set-similarity self-join via PREFIX FILTERING (the
+    // AllPairs/PPJoin family — Bayardo/Ma/Srikant WWW'07, Xiao et al.
+    // WWW'08): the scale technique when the df-cap's lossy
+    // rare-profile Jaccard (q_dedup_ngram) isn't acceptable. Each
+    // doc's shingle set is ordered by GLOBAL document frequency
+    // ascending (rarest first) and only its PREFIX of n − ⌈t·n⌉ + 1
+    // tokens generates candidates: two sets with true Jaccard ≥ t
+    // must overlap in ≥ ⌈t·n⌉ tokens, so skipping the prefix entirely
+    // is impossible — every qualifying pair shares a prefix token and
+    // the join is COMPLETE (spec-pinned equal to the naive all-pairs
+    // truth). What shuffles is the rare-leaning prefix posting list
+    // (~half the full index at t = 0.5; far less on Zipfian corpora,
+    // where hot tokens rarely make a prefix — the opposite tail from
+    // the df-cap, which drops them). The LENGTH filter rides the
+    // posting join (Jaccard ≥ 0.5 forces na ≤ 2·nb and nb ≤ 2·na —
+    // the family's standard companion prune). Candidate pairs dedup
+    // via one DISTINCT on the slim (doc_a, doc_b) pairs, NOT the
+    // emit-once array-intersect trick: measured multiplicity here is
+    // 1.05 rows/pair (430k → 409k at sf0.1), so emit-once would pay
+    // an O(prefix) intersect per row to save a 5% shuffle — the
+    // opposite trade from the multi-probe pipelines where
+    // multiplicity is the problem (PPJoin's positional filter is the
+    // upstream cure if multiplicity ever grows). Verification then
+    // attaches the full df-sorted arrays ONCE per surviving pair and
+    // computes the TRUE Jaccard in-projection (the triangles
+    // discipline — no second posting shuffle, no arrays shipped
+    // through the posting join).
+    QueryDef(
+      "q_dedup_prefix",
+      (s, dir) => {
+        val sh = shingleIndex(s, dir)
+        val dfh = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val ordered = sh.join(dfh, "h")
+          .groupBy(col("doc_id"))
+          // deterministic df-ascending order via the canonical
+          // sort_array(collect_list(struct)) pattern
+          .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("sv"))
+          .select(col("doc_id"),
+            expr("transform(sv, x -> x.h)").as("fa"),
+            size(col("sv")).as("n"))
+          // prefix length n − ⌈n/2⌉ + 1 in pure integer arithmetic
+          .withColumn("p", expr("n - (n + 1) div 2 + 1"))
+          .withColumn("pa", expr("slice(fa, 1, p)"))
+        val pre = ordered.select(col("doc_id"), col("n"),
+          explode(col("pa")).as("h"))
+        val cand = pre.select(col("doc_id").as("doc_a"),
+            col("n").as("na"), col("h"))
+          .join(pre.select(col("doc_id").as("doc_b"),
+            col("n").as("nb"), col("h")), "h")
+          .filter(col("doc_a") < col("doc_b") &&
+            col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(ordered.select(col("doc_id").as("doc_a"),
+            col("fa").as("faa"), col("n").as("na"))
+            .hint("shuffle_hash"), "doc_a")
+          .join(ordered.select(col("doc_id").as("doc_b"),
+            col("fa").as("fab"), col("n").as("nb"))
+            .hint("shuffle_hash"), "doc_b")
+          .withColumn("i",
+            size(array_intersect(col("faa"), col("fab"))).cast("long"))
+          .withColumn("jaccard", round(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
+            col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |sh0 AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(ts) - 1),
+          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+          |  FROM tok WHERE len(ts) >= 3),
+          |dfh AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+          |ord AS (
+          |  SELECT doc_id, list(s ORDER BY df, s) AS fa,
+          |         count(*) AS n
+          |  FROM sh0 JOIN dfh USING (s) GROUP BY doc_id),
+          |pre AS (
+          |  SELECT doc_id, fa, n,
+          |         fa[1:CAST(n - (n + 1) // 2 + 1 AS BIGINT)] AS pa
+          |  FROM ord),
+          |ex AS (SELECT doc_id, n, unnest(pa) AS h FROM pre),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          |  WHERE a.n <= b.n * 2 AND b.n <= a.n * 2),
+          |scored AS (
+          |  SELECT doc_a, doc_b,
+          |         CAST(len(list_intersect(pa2.fa, pb2.fa)) AS BIGINT) AS i,
+          |         pa2.n AS na, pb2.n AS nb
+          |  FROM cand
+          |  JOIN pre pa2 ON pa2.doc_id = doc_a
+          |  JOIN pre pb2 ON pb2.doc_id = doc_b)
+          |SELECT doc_a, doc_b, i AS n_shared,
+          |       round(i * 1.0 / (na + nb - i), 6) AS jaccard
+          |FROM scored
+          |WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // Blocked entity resolution (record linkage): the two-stage shape
     // every ER system uses at scale — a CHEAP blocking key gathers
     // candidates, an EXPENSIVE verifier (edit distance) scores only

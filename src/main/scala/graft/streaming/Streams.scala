@@ -251,6 +251,42 @@ object Streams {
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // B37/B16 — streaming MERGEABLE QUANTILE sketch: the percentile-
+    // dashboard architecture on a live stream. Per-micro-batch partial
+    // KLL sketches merge INTO the streaming aggregation state through
+    // the same TypedImperativeAggregate partial/merge contract the
+    // batch rollup uses (q_sketch_quantile), so state per group is ONE
+    // bounded sketch image (O(k·log n/k) bytes) — never the value
+    // history — no matter how long the stream runs. The complete-mode
+    // drain reads p50/p95 off each type's merged image. No SQL oracle
+    // (KLL compaction is randomized); StreamsSpec pins every
+    // estimate's exact rank within the k=200 bound against the staged
+    // input and the row accounting.
+    QueryDef(
+      "q_stream_quantile",
+      (s, dir) => {
+        val src = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        val stream = stageAndStreamParquet(s, src, "q_stream_window",
+          eventsJsonSchema, dir)
+        val agg = stream
+          .groupBy(col("event_type"))
+          .agg(graft.functions.KllFns.sketchAgg(col("value"), 200).as("sk"),
+            count(lit(1)).as("n_rows"))
+        withStatePartitions(s, 8)(
+          drainComplete(s, agg, "q_stream_quantile_sink"))
+          .select(col("event_type"),
+            round(graft.functions.KllFns.quantile(col("sk"), 0.5), 2)
+              .as("est_p50"),
+            round(graft.functions.KllFns.quantile(col("sk"), 0.95), 2)
+              .as("est_p95"),
+            col("n_rows"))
+          .orderBy(col("event_type"))
+      },
+      None
+    ),
+
     // B41 at the production state backend — the SAME tumbling-window
     // aggregate run on the RocksDB state store provider: the JVM-heap
     // provider caps streaming state at executor memory, RocksDB keeps

@@ -142,6 +142,34 @@ class LlmOpsSpec extends SparkSpec {
       s"fingerprint index must come from the staged artifact:\n$p")
   }
 
+  test("prefix-filter dedup is LOSSLESS: pairs == naive all-pairs true-Jaccard truth, emit-once") {
+    import operators.Dedup
+    // naive truth: full posting self-join, true Jaccard >= 0.5
+    val sh = Dedup.shingleIndex(spark, sf)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(naive.nonEmpty, "fixture must contain true near-dup pairs")
+    val got = q("q_dedup_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+    // emit-once: no duplicate pairs without any distinct in the plan
+    assert(got.map(_._1).distinct.length == got.length, "pair emitted twice")
+    // lossless: the prefix filter may not miss a single qualifying
+    // pair, and every reported intersection/Jaccard must be the truth
+    assert(got.toMap == naive,
+      s"missed: ${(naive.keySet -- got.map(_._1)).take(3)}; " +
+        s"extra: ${(got.map(_._1).toSet -- naive.keySet).take(3)}")
+  }
+
   test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {
     val rows = q("q_similarity_quantized").collect()
       .map(r => (r.getLong(0), r.getLong(2)))

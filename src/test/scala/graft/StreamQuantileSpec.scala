@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming mergeable-quantile sketch (q_stream_quantile): partial KLL
+  * images merge through the streaming aggregation state; the final
+  * per-type estimate must carry the batch sketch's rank guarantee
+  * against the SAME staged input, and state must be one row per type. */
+class StreamQuantileSpec extends SparkSpec {
+
+  test("streaming KLL: exact rank of each estimate within the k=200 bound; counts exact") {
+    val rows = q("q_stream_quantile").collect()
+    assert(rows.nonEmpty)
+    val vals = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length == vals.size, "one output row per event type")
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = vals(t)
+      assert(r.getLong(3) == xs.length, s"$t n_rows")
+      Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2)).foreach {
+        case (tgt, est) =>
+          val rank = xs.count(_ <= est).toDouble / xs.length
+          assert(math.abs(rank - tgt) <= 0.025,
+            s"$t p$tgt: est=$est has exact rank $rank")
+      }
+    }
+  }
+}
