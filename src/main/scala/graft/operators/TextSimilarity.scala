@@ -188,14 +188,15 @@ object TextSimilarity {
     QueryDef(
       "q_rank_fusion",
       (s, dir) => fusedTopK(s, dir,
-        // corpus-size auto-switch (the ivfProbeAssign/cluster-edges
-        // pattern): above ~1e5 docs the corpus tokenize+combine the
-        // two legs share dominates, so stage the (doc, term, tf)
-        // table once; below, the staging barrier costs more than the
-        // duplicated explode saves (A/B'd at sf0.1 — SCALEPROBE r8).
-        // FusionSpec pins both paths row-identical, so the switch can
+        // always share the staged tf index: the r8 auto-switch
+        // (share only above 1e5 docs) priced the localCheckpoint
+        // staging barrier; with the tf table now a PERSISTENT parquet
+        // artifact (r9) the barrier amortizes across the whole suite
+        // and sharing wins at every probed scale (r9 A/B at sf0.1:
+        // 4.76 s shared vs 5.38 s duplicated-explode, steady-state).
+        // FusionSpec pins both paths row-identical, so the choice can
         // never change results.
-        shareTf = Tables.documents(s, dir).count() > 100000L),
+        shareTf = true),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ts
