@@ -1318,6 +1318,149 @@ object Curation {
           |       round(CAST(l.n_releases AS DOUBLE) * 0.5, 2) AS eps_spent
           |FROM drawn d JOIN led l USING (event_type)
           |ORDER BY event_type, day""".stripMargin)
+    ),
+
+    // BRADLEY-TERRY preference-model fitting (Bradley & Terry 1952;
+    // the batch form of Elo) — the reward-model-prep op an RLHF/
+    // preference pipeline runs over pairwise comparison logs: fit one
+    // strength s_i per item so P(i beats j) = σ(s_i − s_j) matches
+    // the observed win matrix, by 8 full-batch gradient rounds
+    // (∂LL/∂s_i = Σ_pairs (w − p), the per-item sum of observed-minus-
+    // predicted). Comparisons here are the bounded doc_id < 64 item
+    // slice, all pairs, with DETERMINISTIC synthetic outcomes: winner
+    // drawn by the keyed md5 PRF against σ(q_i − q_j) of the latent
+    // skill q = ln(n_chars/100) — so re-runs are identical and the
+    // fit is exactly oracle-able.
+    //
+    // Cross-engine float discipline (the q_quality_train recipe
+    // generalized from 4 weights to |items| ratings): each round's
+    // per-item gradient is a micro-int sum (CAST(round(term·1e9) AS
+    // BIGINT), order-independent); the rating update
+    // s + 2·((gm/1e9)/(n−1)) is one shared association computed
+    // driver-side in Scala ≡ CTE-side in DuckDB (pure +·/ — no libm);
+    // σ itself evaluates ENGINE-side in both (shared exp). The oracle
+    // unrolls all 8 rounds as MATERIALIZED CTEs (the BPE rule).
+    //
+    // Scale shape: the comparison log is the data (a real pipeline
+    // has millions of logged comparisons over a bounded item set);
+    // each round is ONE map-combined aggregate over it plus an
+    // |items|-row driver update — the PageRank |V|-scalar discipline.
+    QueryDef(
+      "q_pref_bradleyterry",
+      (s, dir) => {
+        val eta = 2.0
+        val rounds = 8
+        val items = Tables.documents(s, dir)
+          .filter(col("doc_id") < 64)
+          .select(col("doc_id").as("item"),
+            log(col("n_chars").cast(DoubleType) / 100.0).as("q"))
+        val pairs = items.select(col("item").as("a"), col("q").as("qa"))
+          .join(items.select(col("item").as("b"), col("q").as("qb")),
+            col("a") < col("b"))
+          // keyed PRF draw (the q_privacy_dp discipline): 48-bit md5
+          // uniform / 2^48 is exact in double (power-of-two divisor)
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(concat(cast(a as string), '_', " +
+              "cast(b as string))), 1, 12), 16, 10) as double) / 281474976710656.0"))
+          .withColumn("w",
+            when(col("u") < lit(1.0) /
+              (lit(1.0) + exp(-(col("qa") - col("qb")))), 1.0)
+              .otherwise(0.0))
+          .select(col("a"), col("b"), col("w"))
+          .localCheckpoint() // 8 GD rounds + the final report read it
+        val nItems = items.count()
+        val div = (nItems - 1).toDouble
+        var ratings = Map.empty[Long, Double].withDefaultValue(0.0)
+        for (_ <- 1 to rounds) {
+          val rdf = s.createDataFrame(
+            (0L until nItems).map(i => (i, ratings(i))))
+            .toDF("item", "sv")
+          val scored = pairs
+            .join(broadcast(rdf.select(col("item").as("a"),
+              col("sv").as("sa"))), "a")
+            .join(broadcast(rdf.select(col("item").as("b"),
+              col("sv").as("sb"))), "b")
+            .withColumn("p", lit(1.0) /
+              (lit(1.0) + exp(-(col("sa") - col("sb")))))
+          val grads = scored
+            .select(col("a").as("item"), (col("w") - col("p")).as("term"))
+            .unionByName(scored.select(col("b").as("item"),
+              (col("p") - col("w")).as("term")))
+            .groupBy(col("item"))
+            .agg(sum(round(col("term") * 1e9).cast(LongType)).as("gm"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          ratings = (0L until nItems).map { i =>
+            i -> (ratings(i) +
+              eta * ((grads.getOrElse(i, 0L).toDouble / 1e9) / div))
+          }.toMap.withDefaultValue(0.0)
+        }
+        val rFinal = s.createDataFrame(
+          (0L until nItems).map(i => (i, ratings(i))))
+          .toDF("item", "sv")
+        val wins = pairs
+          .select(col("a").as("item"), col("w"))
+          .unionByName(pairs.select(col("b").as("item"),
+            (lit(1.0) - col("w")).as("w")))
+          .groupBy(col("item"))
+          .agg(sum(col("w")).cast(LongType).as("wins"))
+        broadcast(rFinal).join(wins, "item")
+          .select(col("item"), round(col("sv"), 6).as("rating"),
+            col("wins"), lit(nItems - 1).cast(LongType).as("n_comparisons"))
+          .orderBy(col("item"))
+      },
+      Some {
+        val head =
+          """WITH items AS MATERIALIZED (
+            |  SELECT doc_id AS item, ln(CAST(n_chars AS DOUBLE) / 100.0) AS q
+            |  FROM documents WHERE doc_id < 64),
+            |cnt AS (SELECT count(*) AS n FROM items),
+            |pairs AS MATERIALIZED (
+            |  SELECT a, b,
+            |         CASE WHEN u < 1.0 / (1.0 + exp(-(qa - qb)))
+            |              THEN 1.0 ELSE 0.0 END AS w
+            |  FROM (
+            |    SELECT x.item AS a, y.item AS b, x.q AS qa, y.q AS qb,
+            |           CAST(('0x' || substr(md5(CAST(x.item AS VARCHAR)
+            |             || '_' || CAST(y.item AS VARCHAR)), 1, 12))
+            |             AS BIGINT) / 281474976710656.0 AS u
+            |    FROM items x JOIN items y ON x.item < y.item)),
+            |r0 AS (SELECT item, 0.0 AS s FROM items)""".stripMargin
+        val roundCtes = (1 to 8).map { k =>
+          val prev = s"r${k - 1}"
+          s"""p$k AS MATERIALIZED (
+             |  SELECT pairs.a, pairs.b, pairs.w,
+             |         1.0 / (1.0 + exp(-(ra.s - rb.s))) AS p
+             |  FROM pairs
+             |  JOIN $prev ra ON ra.item = pairs.a
+             |  JOIN $prev rb ON rb.item = pairs.b),
+             |g$k AS (
+             |  SELECT item,
+             |         CAST(sum(CAST(round(term * 1e9) AS BIGINT))
+             |           AS BIGINT) AS gm
+             |  FROM (
+             |    SELECT a AS item, w - p AS term FROM p$k
+             |    UNION ALL
+             |    SELECT b AS item, p - w AS term FROM p$k)
+             |  GROUP BY 1),
+             |r$k AS MATERIALIZED (
+             |  SELECT r.item,
+             |         r.s + 2.0 * ((CAST(coalesce(gm, 0) AS DOUBLE) / 1e9)
+             |           / CAST((SELECT n FROM cnt) - 1 AS DOUBLE)) AS s
+             |  FROM $prev r LEFT JOIN g$k USING (item))""".stripMargin
+        }
+        val tail =
+          """wins AS (
+            |  SELECT item, CAST(sum(w) AS BIGINT) AS wins FROM (
+            |    SELECT a AS item, w FROM pairs
+            |    UNION ALL
+            |    SELECT b AS item, 1.0 - w AS w FROM pairs)
+            |  GROUP BY 1)
+            |SELECT r8.item, round(r8.s, 6) AS rating, wins,
+            |       CAST((SELECT n FROM cnt) - 1 AS BIGINT) AS n_comparisons
+            |FROM r8 JOIN wins USING (item)
+            |ORDER BY r8.item""".stripMargin
+        (Seq(head) ++ roundCtes :+ tail).mkString(",\n")
+      }
     )
   )
 }

@@ -165,7 +165,7 @@ class CurationSpec extends SparkSpec {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP)
     }
     val docs = sources.Tables.documents(spark, sf)
-      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     docs.groupBy(_._1).foreach { case (src, ds) =>
       val expect = ds.map { case (_, id, w) => (key(id, w), id) }
@@ -187,7 +187,7 @@ class CurationSpec extends SparkSpec {
       (java.lang.Integer.parseInt(hex, 16) % 2)
     }
     val docs = sources.Tables.documents(spark, sf)
-      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     rows.foreach { case (src, nA, nB, psi, drifted) =>
       val ds = docs.filter(_._1 == src)
@@ -520,5 +520,35 @@ class CurationSpec extends SparkSpec {
       rows.exists(row => row._4 < row._3),
       "Laplace noise must land on both sides across the grid")
     assert(rows.map(_._1).distinct.map(t => releases(t)).sum == rows.length)
+  }
+
+  test("bradley-terry fit recovers the latent skill order") {
+    val rows = q("q_pref_bradleyterry").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // every item compared against every other exactly once
+    assert(rows.forall(_._4 == n - 1))
+    assert(rows.map(_._3).sum == n.toLong * (n - 1) / 2, "total wins == total pairs")
+    // ratings are zero-sum up to micro rounding (gradient pairs cancel)
+    assert(math.abs(rows.map(_._2).sum) < 1e-3, "BT ratings must be ~zero-sum")
+    // the fit must recover the latent skill q = ln(n_chars/100):
+    // Spearman rank correlation between rating and latent skill
+    val latent = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 64)
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ranks(xs: Seq[(Long, Double)]): Map[Long, Double] =
+      xs.sortBy(_._2).zipWithIndex.map { case ((id, _), i) => id -> i.toDouble }.toMap
+    val rr = ranks(rows.map(r => (r._1, r._2)).toSeq)
+    val lr = ranks(rows.map(r => (r._1, latent(r._1).toDouble)).toSeq)
+    val d2 = rows.map(r => math.pow(rr(r._1) - lr(r._1), 2)).sum
+    val rho = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1))
+    assert(rho > 0.6, s"BT ratings must track latent skill (spearman=$rho)")
+    // and ratings must track the observed win counts even more tightly
+    val wr = ranks(rows.map(r => (r._1, r._3.toDouble)).toSeq)
+    val d2w = rows.map(r => math.pow(rr(r._1) - wr(r._1), 2)).sum
+    val rhoW = 1.0 - 6.0 * d2w / (n.toDouble * (n.toDouble * n - 1))
+    assert(rhoW > 0.9, s"BT ratings must track win counts (spearman=$rhoW)")
   }
 }

@@ -234,9 +234,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_embed_standardize", // 1-row broadcast (the 64-dim mean/std
                             // moment arrays attach)
                             // (manifest-sized, 4 commits)
-      "q_similarity_quantized") // corpus x broadcast 8-query set (the
+      "q_similarity_quantized", // corpus x broadcast 8-query set (the
                             // q_similarity_topk candidate shape over
                             // int8 codes)
+      "q_pref_bradleyterry") // bounded 64-item all-pairs comparison
+                            // build + per-round |items|-row rating
+                            // attaches (the comparison LOG is the
+                            // data; the item set is bounded)
     Registry.all.foreach { qd =>
       val p = qd.fn(spark, sf).queryExecution.executedPlan.toString
       val quad = p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct")
