@@ -199,7 +199,9 @@ object Functions {
     ("kll_merge_agg", classOf[KllMergeAgg],
       exprs => KllMergeAgg(exprs(0))),
     ("kll_quantile", classOf[KllQuantile],
-      exprs => KllQuantile(exprs(0), exprs(1))))
+      exprs => KllQuantile(exprs(0), exprs(1))),
+    ("theta_sketch_agg", classOf[ThetaSketchAgg],
+      exprs => ThetaSketchAgg(exprs(0))))
 
   def registerAll(spark: SparkSession): Unit =
     specs.foreach { case (name, _, builder) =>

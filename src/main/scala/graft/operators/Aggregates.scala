@@ -473,6 +473,49 @@ object Aggregates {
           |GROUP BY s.l_returnflag ORDER BY s.l_returnflag""".stripMargin)
     ),
 
+    // B16 — THETA sketch set algebra (audience overlap): the
+    // INTERSECTION-capable member of the mergeable-sketch family —
+    // HLL images union but cannot intersect; theta's KMV sample
+    // supports union/intersection/difference on the merged images,
+    // which is what cross-segment reach ("how many users did BOTH
+    // purchase and click?") needs without an exact distinct-pair
+    // scan. One map-combined theta sketch per event type (custom
+    // `theta_sketch_agg` TypedImperativeAggregate over the bundled
+    // DataSketches library, bounded ≤4096 retained hashes), then the
+    // pairwise set algebra runs driver-side on the |types|² compact
+    // images — the PCA bounded-collect discipline. Deterministic for
+    // a fixed input set (fixed library seed) but not SQL-expressible:
+    // no oracle; AggregatesSpec pins every estimate within 5% of the
+    // exact distinct/overlap counts (near-exact here: distinct users
+    // sit near the 4096-entry exact threshold).
+    QueryDef(
+      "q_sketch_theta",
+      (s, dir) => {
+        import graft.functions.ThetaFns
+        val per = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(ThetaFns.sketchAgg(col("user_id")).as("sk"))
+          .collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+          .sortBy(_._1)
+        val rows = for {
+          (ta, ba) <- per.toSeq
+          (tb, bb) <- per.toSeq if ta < tb
+        } yield {
+          val (ea, eb, eu, ei) = ThetaFns.overlap(ba, bb)
+          (ta, tb, math.round(ea), math.round(eb), math.round(eu),
+            math.round(ei),
+            BigDecimal(ei / eu).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+        s.createDataFrame(rows)
+          .toDF("type_a", "type_b", "est_a", "est_b", "est_union",
+            "est_overlap", "est_jaccard")
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      None
+    ),
+
     // B16 — MERGEABLE QUANTILE sketch rollup (VERDICT r8 item 6), the
     // fourth mergeable-artifact family after HLL distinct
     // (q_sketch_rollup), frequent-items (q_topk_sketch), and exact

@@ -1149,6 +1149,96 @@ object Analytics {
           |FROM weighted
           |GROUP BY event_type, bucket
           |ORDER BY event_type, bucket""".stripMargin)
+    ),
+
+    // A/B EXPERIMENT READOUT — Welch's unequal-variance t-test per
+    // event type between two md5-split user buckets (the salted-draw
+    // discipline: raw id parity confounds with round-robin source
+    // assignment). The analytics op every experimentation platform
+    // runs at the end of a test: per-arm n / mean, the Welch t
+    // statistic, its Satterthwaite degrees of freedom, and the
+    // two-sided 5% verdict. On a null split (no treatment exists in
+    // the fixture) the verdict column doubles as a false-positive
+    // audit.
+    //
+    // Float discipline: one map-combined aggregate collects EXACT
+    // integer sums (n, Σcents, Σcents² per arm — cents² sums have
+    // ~2000× BIGINT headroom at the 100× probe; DuckDB rides HUGEINT
+    // on the same intermediates); every statistic then derives from
+    // those integers through ONE shared textual formula evaluated by
+    // both engines (t is scale-invariant, so it is computed on cents
+    // and needs no unit conversion), rounded 6 dp. The significance
+    // boolean compares identical doubles, so it is hash-stable.
+    QueryDef(
+      "q_eval_abtest",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .select(col("event_type"),
+            (substring(md5(concat(lit("ab:"),
+              col("user_id").cast("string"))), 1, 1) < "8").as("is_a"),
+            round(col("value") * 100).cast(LongType).as("c"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"),
+            sum(when(col("is_a"), col("c")).otherwise(0L)).as("sa"),
+            sum(when(!col("is_a"), col("c")).otherwise(0L)).as("sb"),
+            sum(when(col("is_a"), col("c") * col("c")).otherwise(0L)).as("qa"),
+            sum(when(!col("is_a"), col("c") * col("c")).otherwise(0L)).as("qb"))
+        g.selectExpr("event_type", "na", "nb",
+            s"round(${AbTestSql.mean("sa", "na")} / 100.0, 6) AS mean_a",
+            s"round(${AbTestSql.mean("sb", "nb")} / 100.0, 6) AS mean_b",
+            s"round(${AbTestSql.t}, 6) AS t_stat",
+            s"round(${AbTestSql.df}, 6) AS df",
+            s"abs(${AbTestSql.t}) > 1.96 AS significant")
+          .orderBy(col("event_type"))
+      },
+      Some(
+        s"""WITH g AS (
+           |  SELECT event_type,
+           |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+           |         CAST(sum(CASE WHEN is_a THEN c ELSE 0 END) AS BIGINT) AS sa,
+           |         CAST(sum(CASE WHEN is_a THEN 0 ELSE c END) AS BIGINT) AS sb,
+           |         CAST(sum(CASE WHEN is_a THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+           |         CAST(sum(CASE WHEN is_a THEN 0 ELSE c * c END) AS BIGINT) AS qb
+           |  FROM (
+           |    SELECT event_type,
+           |           substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)
+           |             < '8' AS is_a,
+           |           CAST(round(value * 100) AS BIGINT) AS c
+           |    FROM events)
+           |  GROUP BY 1)
+           |SELECT event_type, na, nb,
+           |       round(${AbTestSql.mean("sa", "na")} / 100.0, 6) AS mean_a,
+           |       round(${AbTestSql.mean("sb", "nb")} / 100.0, 6) AS mean_b,
+           |       round(${AbTestSql.t}, 6) AS t_stat,
+           |       round(${AbTestSql.df}, 6) AS df,
+           |       abs(${AbTestSql.t}) > 1.96 AS significant
+           |FROM g ORDER BY event_type""".stripMargin)
     )
   )
+
+  /** The Welch-test formulas as SHARED SQL text: Spark evaluates these
+    * via selectExpr and the DuckDB oracle embeds the same strings, so
+    * every double is produced by the identical expression tree over the
+    * same exact integer inputs — the strongest form of the one-shared-
+    * association rule. */
+  private object AbTestSql {
+    def mean(sx: String, n: String): String =
+      s"(CAST($sx AS DOUBLE) / CAST($n AS DOUBLE))"
+    private def variance(q: String, sx: String, n: String): String =
+      s"((CAST($q AS DOUBLE) - ${mean(sx, n)} * CAST($sx AS DOUBLE)) / " +
+        s"CAST($n - 1 AS DOUBLE))"
+    private val va = variance("qa", "sa", "na")
+    private val vb = variance("qb", "sb", "nb")
+    private val sea = s"($va / CAST(na AS DOUBLE))"
+    private val seb = s"($vb / CAST(nb AS DOUBLE))"
+    val t: String =
+      s"((${mean("sa", "na")} - ${mean("sb", "nb")}) / sqrt($sea + $seb))"
+    val df: String =
+      s"((($sea + $seb) * ($sea + $seb)) / " +
+        s"($sea * $sea / CAST(na - 1 AS DOUBLE) + " +
+        s"$seb * $seb / CAST(nb - 1 AS DOUBLE)))"
+  }
 }

@@ -114,6 +114,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("theta sketch set algebra: union/intersection estimates within 5% of exact") {
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = q("q_sketch_theta").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val types = ev.keys.toSeq.sorted
+    assert(rows.length == types.size * (types.size - 1) / 2,
+      "one row per unordered type pair")
+    def within(est: Long, exact: Int, what: String): Unit =
+      assert(math.abs(est - exact) <= math.max(1.0, 0.05 * exact),
+        s"$what: sketch=$est exact=$exact")
+    rows.foreach { case (a, b, ea, eb, eu, ei, j) =>
+      val (sa, sb) = (ev(a), ev(b))
+      within(ea, sa.size, s"$a distinct")
+      within(eb, sb.size, s"$b distinct")
+      within(eu, (sa | sb).size, s"$a∪$b")
+      within(ei, (sa & sb).size, s"$a∩$b")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("kll quantile sketch: merged estimates within the k=200 rank-error bound") {
     // the estimate's EXACT rank in the raw data must sit within the
     // KLL normalized rank error for k=200 (~1.65% at 99% confidence;
