@@ -182,6 +182,43 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** (doc_id, phash) over the staged gradient-PNG corpus: decode with
+    * the real JDK codec in typed mapPartitions (the declared multimodal
+    * exception), emit the 64-char aHash bit string. Shared by the
+    * exact-dup report (q_multimodal_phash) and the hamming-banded
+    * near-dup join (q_multimodal_phash_neardup). */
+  private def phashed(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pngDir = graft.Staging.cached(
+      s"grad_png_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tgt))
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .filter(col("doc_id") % 5 === 0)
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
+              encodeGradientPng(id))
+          }
+        }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(pngDir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+          .cast(LongType).as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, averageHash(bytes)) }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   /** REAL 64-bit average-hash (aHash): decode the image, sum each 2×2
     * pixel block, set bit i iff 64·blocksum_i > Σ_j blocksum_j — the
     * block-above-mean test kept as an EXACT integer cross-
@@ -806,34 +843,7 @@ object Multimodal {
     QueryDef(
       "q_multimodal_phash",
       (s, dir) => {
-        import s.implicits._
-        val pngDir = graft.Staging.cached(
-          s"grad_png_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
-          rev = 1) { tgt =>
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(tgt))
-          Tables.documents(s, dir).select(col("doc_id")).as[Long]
-            .filter(col("doc_id") % 5 === 0)
-            .foreachPartition { (it: Iterator[Long]) =>
-              it.foreach { id =>
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(tgt, f"doc_$id%08d.png"),
-                  encodeGradientPng(id))
-              }
-            }
-        }
-        val hashed = s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.png")
-          .load(pngDir)
-          .select(
-            regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
-              .cast(LongType).as("doc_id"),
-            col("content"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            it.map { case (id, bytes) => (id, averageHash(bytes)) }
-          }
-          .toDF("doc_id", "phash")
+        val hashed = phashed(s, dir)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("phash"))
         hashed
@@ -863,6 +873,104 @@ object Multimodal {
           |       min(doc_id) OVER (PARTITION BY phash) AS canon_id,
           |       doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
           |FROM hashes ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Perceptual NEAR-dup image pairs via HAMMING-BANDED LSH — the
+    // image-level analog of the MinHash band join: the 64-bit aHash
+    // splits into 4×16-bit bands, candidates meet in a hash-equi join
+    // per band (never an all-pairs hamming scan), and survivors verify
+    // exact hamming ≤ 6 by bit_count(xor) over the band ints. The
+    // pigeonhole guarantee: ≤ 3 flipped bits cannot touch all 4 bands,
+    // so every pair within hamming 3 is FOUND (spec-pinned); pairs at
+    // 4-6 are best-effort, the standard banding trade (recall measured
+    // in the spec). Emit-once is PROVABLE, not distinct'd: band k
+    // emits only pairs whose bands 0..k−1 all differ (the q_er_blocked
+    // offset-band rule), so the 4 band unions are disjoint by
+    // construction. The oracle derives the same hash arithmetically
+    // (the q_multimodal_phash ground truth) with band ints as
+    // bit-shift sums — no string-to-int conv needed in DuckDB.
+    QueryDef(
+      "q_multimodal_phash_neardup",
+      (s, dir) => {
+        val bands = phashed(s, dir).select(
+          (col("doc_id") +:
+            (0 until 4).map(k =>
+              conv(substring(col("phash"), 1 + 16 * k, 16), 2, 10)
+                .cast(LongType).as(s"b$k"))): _*)
+        def candidates(k: Int) = bands.as("x").join(bands.as("y"),
+            col(s"x.b$k") === col(s"y.b$k") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              (0 until k).map(j => col(s"x.b$j") =!= col(s"y.b$j"))
+                .foldLeft(lit(true))(_ && _))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            (0 until 4).map(j =>
+              bit_count(col(s"x.b$j").bitwiseXOR(col(s"y.b$j")))
+                .cast(LongType))
+              .reduce(_ + _).as("hamming"))
+        (0 until 4).map(candidates).reduce(_ unionByName _)
+          .filter(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(
+        """WITH ids AS (
+          |  SELECT doc_id, doc_id % 61 AS base, doc_id % 7 + 1 AS stepk
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |blk AS (
+          |  SELECT doc_id, i, (base * 16 + i * stepk) % 256 AS b
+          |  FROM ids CROSS JOIN range(0, 64) t(i)),
+          |tot AS (
+          |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS tot
+          |  FROM blk GROUP BY doc_id),
+          |bits AS (
+          |  SELECT blk.doc_id, blk.i,
+          |         CASE WHEN blk.b * 64 > tot.tot THEN 1 ELSE 0 END AS bit
+          |  FROM blk JOIN tot USING (doc_id)),
+          |bands AS (
+          |  SELECT doc_id,
+          |         CAST(sum(CASE WHEN i // 16 = 0
+          |           THEN bit * (CAST(1 AS BIGINT) << (15 - i % 16))
+          |           ELSE 0 END) AS BIGINT) AS b0,
+          |         CAST(sum(CASE WHEN i // 16 = 1
+          |           THEN bit * (CAST(1 AS BIGINT) << (15 - i % 16))
+          |           ELSE 0 END) AS BIGINT) AS b1,
+          |         CAST(sum(CASE WHEN i // 16 = 2
+          |           THEN bit * (CAST(1 AS BIGINT) << (15 - i % 16))
+          |           ELSE 0 END) AS BIGINT) AS b2,
+          |         CAST(sum(CASE WHEN i // 16 = 3
+          |           THEN bit * (CAST(1 AS BIGINT) << (15 - i % 16))
+          |           ELSE 0 END) AS BIGINT) AS b3
+          |  FROM bits GROUP BY doc_id),
+          |cand AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          |           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          |           AS BIGINT) AS hamming
+          |  FROM bands x JOIN bands y ON x.b0 = y.b0
+          |    AND x.doc_id < y.doc_id
+          |  UNION ALL
+          |  SELECT x.doc_id, y.doc_id,
+          |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          |           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          |           AS BIGINT)
+          |  FROM bands x JOIN bands y ON x.b1 = y.b1
+          |    AND x.doc_id < y.doc_id AND x.b0 <> y.b0
+          |  UNION ALL
+          |  SELECT x.doc_id, y.doc_id,
+          |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          |           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          |           AS BIGINT)
+          |  FROM bands x JOIN bands y ON x.b2 = y.b2
+          |    AND x.doc_id < y.doc_id AND x.b0 <> y.b0 AND x.b1 <> y.b1
+          |  UNION ALL
+          |  SELECT x.doc_id, y.doc_id,
+          |         CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          |           + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          |           AS BIGINT)
+          |  FROM bands x JOIN bands y ON x.b3 = y.b3
+          |    AND x.doc_id < y.doc_id AND x.b0 <> y.b0 AND x.b1 <> y.b1
+          |    AND x.b2 <> y.b2)
+          |SELECT doc_a, doc_b, hamming FROM cand
+          |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -170,6 +170,36 @@ class LlmOpsSpec extends SparkSpec {
         s"extra: ${(got.map(_._1).toSet -- naive.keySet).take(3)}")
   }
 
+  test("phash banded near-dup: pigeonhole guarantee at hamming<=3; subset of brute<=6") {
+    // brute truth from the exact-dup report's per-image hashes
+    val hashes = q("q_multimodal_phash").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = ham(ha, hb) if d <= 6
+    } yield (ia, ib) -> d.toLong).toMap
+    val got = q("q_multimodal_phash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    // emit-once: each pair appears exactly once across the 4 band unions
+    assert(got.map(_._1).distinct.length == got.length)
+    val gotMap = got.toMap
+    // every found pair is a TRUE <=6 pair with the exact hamming
+    gotMap.foreach { case (p, d) =>
+      assert(brute.get(p).contains(d), s"pair $p hamming $d vs ${brute.get(p)}")
+    }
+    // pigeonhole: <=3 flipped bits cannot touch all 4 bands
+    val guaranteed = brute.filter(_._2 <= 3)
+    assert(guaranteed.nonEmpty, "fixture must contain hamming<=3 pairs")
+    guaranteed.foreach { case (p, d) =>
+      assert(gotMap.contains(p), s"guaranteed pair $p (hamming $d) missed")
+    }
+    val recall = gotMap.size.toDouble / brute.size
+    info(s"banded recall on hamming<=6: $recall (${gotMap.size}/${brute.size})")
+    assert(recall >= 0.5, s"banding recall $recall collapsed")
+  }
+
   test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {
     val rows = q("q_similarity_quantized").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
