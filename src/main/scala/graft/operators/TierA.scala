@@ -178,6 +178,71 @@ object TierA {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // B1-B4 — BAD-RECORD QUARANTINE on JSON ingest (the rescue-column
+    // pattern): a real landing zone always carries some malformed
+    // payloads, and a pipeline that FAILFASTs on them loses the batch
+    // while one that silently drops them loses data — the production
+    // answer is permissive parse + quarantine + audit. Staged corpus:
+    // one JSON line per document, with doc_id ≡ 3 (mod 17) lines
+    // truncated mid-object (deterministic, so the oracle derives the
+    // quarantine set arithmetically from the documents table). The
+    // read is text + from_json — the form whose corrupt test
+    // (parsed.doc_id IS NULL) is a plain column predicate; the
+    // `columnNameOfCorruptRecord` reader flag is the spark-submit
+    // equivalent but disallows filtering the corrupt column without a
+    // cache, so the library uses the plan-friendly form. Clean rows
+    // aggregate per source; quarantined rows are audited as the
+    // '__quarantine__' bucket with a digest of the raw payloads (what
+    // an operator replays after the producer fix).
+    QueryDef(
+      "q_scan_rescue",
+      (s, dir) => {
+        val path = graft.Staging.cached(
+          s"rescue_json_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.documents(s, dir)
+            .select(when(pmod(col("doc_id"), lit(17L)) === 3L,
+              // truncated mid-object: unparseable, deterministic
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"n_ch")))
+              .otherwise(to_json(struct(col("doc_id"), col("n_chars"),
+                col("source")))).as("value"))
+            .write.mode("overwrite").text(tgt)
+        }
+        val raw = s.read.text(path)
+          .select(col("value"),
+            from_json(col("value"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "doc_id LONG, n_chars LONG, source STRING")).as("p"))
+        val clean = raw.filter(col("p.doc_id").isNotNull)
+          .groupBy(col("p.source").as("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p.n_chars")).as("sum_chars"),
+            max(col("p.doc_id")).as("max_doc_id"))
+        val quarantined = raw.filter(col("p.doc_id").isNull)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("value"))).as("sum_chars"),
+            lit(null).cast(LongType).as("max_doc_id"))
+          .select(lit("__quarantine__").as("source"), col("n_rows"),
+            col("sum_chars"), col("max_doc_id"))
+        clean.unionByName(quarantined).orderBy(col("source"))
+      },
+      Some(
+        """WITH clean AS (
+          |  SELECT source, count(*) AS n_rows,
+          |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |         max(doc_id) AS max_doc_id
+          |  FROM documents WHERE doc_id % 17 <> 3 GROUP BY source),
+          |quar AS (
+          |  SELECT '__quarantine__' AS source,
+          |         count(*) AS n_rows,
+          |         CAST(sum(10 + len(CAST(doc_id AS VARCHAR)) + 6)
+          |           AS BIGINT) AS sum_chars,
+          |         CAST(NULL AS BIGINT) AS max_doc_id
+          |  FROM documents WHERE doc_id % 17 = 3)
+          |SELECT * FROM clean UNION ALL SELECT * FROM quar
+          |ORDER BY source""".stripMargin)
+    ),
+
     // B1-B3 — ORC round-trip: Spark's second built-in columnar format
     // (same vectorized reader + predicate-pushdown machinery as
     // parquet); write ORC, read back, aggregate; oracle aggregates the
