@@ -84,10 +84,16 @@ object Sessions {
     "spark.sql.parquet.output.committer.class" ->
       "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
 
-  /** True when the optional cloud-committer module is on the classpath. */
+  /** True when the optional cloud-committer module is on the classpath.
+    * Probes the thread-context classloader first (jars shipped via
+    * `--jars`/`spark.jars` land there, not on this library's own
+    * loader) and falls back to this class's loader. */
   def cloudCommitterAvailable: Boolean = s3aCommitterClasses.forall { c =>
-    try { Class.forName(c); true }
-    catch { case _: ClassNotFoundException => false }
+    def resolves(cl: ClassLoader): Boolean =
+      try { Class.forName(c, false, cl); true }
+      catch { case _: ClassNotFoundException => false }
+    Option(Thread.currentThread().getContextClassLoader).exists(resolves) ||
+      resolves(getClass.getClassLoader)
   }
 
   /** The s3a config set a session should actually apply: IO/committer
@@ -99,7 +105,17 @@ object Sessions {
     * under the applied config. */
   def s3aConf: Map[String, String] =
     if (cloudCommitterAvailable) s3aDefaults ++ s3aCommitterBindings
-    else s3aDefaults
+    else {
+      // loud, not silent: without the bindings an s3a write falls back
+      // to the rename-based FileOutputCommitter, which is UNSAFE on S3
+      // under task retry — the degraded branch must be visible in logs
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "spark-hadoop-cloud module not on the classpath: s3aConf omits " +
+          "the PathOutputCommitProtocol bindings; s3a writes would use " +
+          "the rename-based default committer. Add spark-hadoop-cloud_2.13 " +
+          "and hadoop-aws for a safe S3 deploy.")
+      s3aDefaults
+    }
 
   /** Apply [[s3aConf]] to a LIVE session — the programmatic equivalent
     * of passing it via `--conf` at submit: `spark.hadoop.*` keys land on

@@ -197,7 +197,10 @@ object Functions {
     ("kll_sketch_agg", classOf[KllSketchAgg],
       exprs => KllSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     ("kll_merge_agg", classOf[KllMergeAgg],
-      exprs => KllMergeAgg(exprs(0))),
+      exprs =>
+        if (exprs.length > 1)
+          KllMergeAgg(exprs(0), exprs(1).eval().asInstanceOf[Int])
+        else KllMergeAgg(exprs(0))),
     ("kll_quantile", classOf[KllQuantile],
       exprs => KllQuantile(exprs(0), exprs(1))),
     ("theta_sketch_agg", classOf[ThetaSketchAgg],

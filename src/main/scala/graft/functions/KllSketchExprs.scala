@@ -88,11 +88,15 @@ case class KllSketchAgg(
     copy(child = newChild)
 }
 
-/** `kll_merge_agg(sketch)`: merge serialized KLL images WITHOUT touching
-  * the raw data — the cross-segment rollup leg. Accepts sketches of any
-  * k (the merge takes the smaller accuracy, per the KLL contract). */
+/** `kll_merge_agg(sketch[, k])`: merge serialized KLL images WITHOUT
+  * touching the raw data — the cross-segment rollup leg. The merge
+  * takes the SMALLEST k among the inputs AND this buffer (the KLL
+  * contract), so `k` — default 200 — must be at least the inputs' k or
+  * the rollup silently caps their accuracy; pass the build-side k
+  * explicitly when it differs. */
 case class KllMergeAgg(
     child: Expression,
+    k: Int = 200,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
@@ -107,7 +111,7 @@ case class KllMergeAgg(
   override def prettyName: String = "kll_merge_agg"
 
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(200)
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)

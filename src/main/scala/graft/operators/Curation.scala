@@ -1368,12 +1368,16 @@ object Curation {
               .otherwise(0.0))
           .select(col("a"), col("b"), col("w"))
           .localCheckpoint() // 8 GD rounds + the final report read it
-        val nItems = items.count()
-        val div = (nItems - 1).toDouble
+        // rating table keyed by the ACTUAL item ids (collected once,
+        // bounded by the 64-cap) — keying 0..n-1 would silently drop
+        // items on any corpus whose id slice has gaps
+        val itemIds = items.select(col("item")).collect()
+          .map(_.getLong(0)).sorted.toSeq
+        val div = (itemIds.length - 1).toDouble
         var ratings = Map.empty[Long, Double].withDefaultValue(0.0)
         for (_ <- 1 to rounds) {
           val rdf = s.createDataFrame(
-            (0L until nItems).map(i => (i, ratings(i))))
+            itemIds.map(i => (i, ratings(i))))
             .toDF("item", "sv")
           val scored = pairs
             .join(broadcast(rdf.select(col("item").as("a"),
@@ -1389,13 +1393,13 @@ object Curation {
             .groupBy(col("item"))
             .agg(sum(round(col("term") * 1e9).cast(LongType)).as("gm"))
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          ratings = (0L until nItems).map { i =>
+          ratings = itemIds.map { i =>
             i -> (ratings(i) +
               eta * ((grads.getOrElse(i, 0L).toDouble / 1e9) / div))
           }.toMap.withDefaultValue(0.0)
         }
         val rFinal = s.createDataFrame(
-          (0L until nItems).map(i => (i, ratings(i))))
+          itemIds.map(i => (i, ratings(i))))
           .toDF("item", "sv")
         val wins = pairs
           .select(col("a").as("item"), col("w"))
@@ -1405,7 +1409,8 @@ object Curation {
           .agg(sum(col("w")).cast(LongType).as("wins"))
         broadcast(rFinal).join(wins, "item")
           .select(col("item"), round(col("sv"), 6).as("rating"),
-            col("wins"), lit(nItems - 1).cast(LongType).as("n_comparisons"))
+            col("wins"),
+            lit(itemIds.length - 1).cast(LongType).as("n_comparisons"))
           .orderBy(col("item"))
       },
       Some {

@@ -205,18 +205,28 @@ object Multimodal {
           }
         }
     }
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .load(pngDir)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
-          .cast(LongType).as("doc_id"),
-        col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) => (id, averageHash(bytes)) }
-      }
-      .toDF("doc_id", "phash")
+    // the hash table itself is ALSO staged (rev-keyed parquet): the
+    // banded near-dup join consumes it on both sides of 4 band joins
+    // (8 plan subtrees) — without staging, the binaryFile read + JDK
+    // decode would re-execute per subtree
+    val hashDir = graft.Staging.cached(
+      s"grad_phash_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(pngDir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+            .cast(LongType).as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) => (id, averageHash(bytes)) }
+        }
+        .toDF("doc_id", "phash")
+        .write.mode("overwrite").parquet(tgt)
+    }
+    s.read.parquet(hashDir)
   }
 
   /** REAL 64-bit average-hash (aHash): decode the image, sum each 2×2

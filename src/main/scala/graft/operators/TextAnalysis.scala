@@ -240,11 +240,12 @@ object TextAnalysis {
     * row_number top-k lowers to the bounded TopKPerKey operator. */
   /** The full-corpus (doc_id, term, tf) term-frequency table — the
     * one expensive explode+combine every inverted-index retrieval leg
-    * starts from. Hybrid fusion stages it ONCE (localCheckpoint) and
-    * hands it to both legs; everything each leg needs (corpus tf,
-    * query terms, document lengths, corpus stats) is an EXACT integer
-    * derivation of this table, so sharing is bit-identical to
-    * recomputing. */
+    * starts from. Consumers share it through the persistent
+    * [[tfIndex]] parquet artifact (r9 — per-query localCheckpoints
+    * evict under suite storage pressure); everything each leg needs
+    * (corpus tf, query terms, document lengths, corpus stats) is an
+    * EXACT integer derivation of this table, so sharing is
+    * bit-identical to recomputing. */
   private[graft] def termFrequencies(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, dir)
@@ -1831,10 +1832,14 @@ object TextAnalysis {
     // BENCHMARK DECONTAMINATION (the GPT-3 appendix-C / PaLM shape:
     // drop or flag training documents sharing long n-grams with an
     // evaluation set, so measured benchmark wins aren't memorization).
-    // The eval set here is the bounded fixture slice doc_id ≡ 3
-    // (mod 13, ~7.7% — wide enough that the fixture's cross-doc
-    // duplicated spans actually cross the boundary; mod 97 caught
-    // zero); training docs are everything else; overlap key is the
+    // The eval set here is the BOUNDED slice doc_id ≡ 3 (mod 13)
+    // below 5000 — the q_text_bm25 cap rule: the residue alone is a
+    // fixed FRACTION of the corpus, which would grow the broadcast
+    // with the corpus; the id cap fixes the eval set's size at any
+    // scale, exactly like a real benchmark suite. (Mod 13 because the
+    // fixture's cross-doc duplicated spans must actually cross the
+    // boundary; mod 97 caught zero.) Training docs are everything
+    // else; overlap key is the
     // exact 8-token gram (13 in the papers — scaled to fixture doc
     // lengths). Reported per CONTAMINATED training doc: how many of
     // its distinct 8-grams hit the eval set and how many distinct eval
@@ -1853,7 +1858,8 @@ object TextAnalysis {
     QueryDef(
       "q_decontaminate",
       (s, dir) => {
-        val isEval = pmod(col("doc_id"), lit(13L)) === 3L
+        val isEval = pmod(col("doc_id"), lit(13L)) === 3L &&
+          col("doc_id") < 5000L
         val grams = Tables.documents(s, dir)
           .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
           .filter(size(col("ts")) >= 8)
@@ -1884,8 +1890,9 @@ object TextAnalysis {
           |    range(1, len(ts) - 6),
           |    i -> array_to_string(ts[i:i+7], ' ')))) AS g
           |  FROM tok),
-          |ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 13 = 3),
-          |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 13 <> 3),
+          |ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 13 = 3 AND doc_id < 5000),
+          |tr AS (SELECT doc_id, g FROM g
+          |       WHERE NOT (doc_id % 13 = 3 AND doc_id < 5000)),
           |hits AS (SELECT tr.doc_id, tr.g, ev.eval_doc
           |         FROM tr JOIN ev USING (g))
           |SELECT doc_id,
