@@ -287,6 +287,126 @@ object Streams {
       None
     ),
 
+    // B40/B45 — STREAMING incremental dedup against the STANDING
+    // shingle index: the streaming form of q_dedup_incremental (whose
+    // daily-batch shape a stream generalizes to continuous arrival).
+    // Arriving docs stream in micro-batches; each batch is screened
+    // foreachBatch-side against the staged index (full batch semantics
+    // inside the sink — the q_stream_jdbc pattern) and APPENDED.
+    // Cross-batch correctness is structural: every doc arrives exactly
+    // once (checkpointed file log) and the screen target is the STATIC
+    // index, so per-batch results compose to exactly the batch query's
+    // answer — which is why this streaming query is fully DuckDB-
+    // oracled (the q_dedup_incremental oracle verbatim: n_dups,
+    // best_jaccard, is_novel per arriving doc).
+    //
+    // Scale shape: the standing (doc_a, h, na) posting table and the
+    // df-cap key set are staged ONCE outside the batch loop; per batch
+    // the cost is |batch shingles| × capped fan-out — arrival-rate-
+    // bound, never corpus². Batch-side shingles pass the SAME df-64
+    // cap (semi-join against the index's key set), so sizes and
+    // Jaccards are bit-identical to the batch twin's.
+    QueryDef(
+      "q_stream_dedup_index",
+      (s, dir) => {
+        val uniq = sinkSeq.incrementAndGet()
+        val outDir = graft.Staging.dir(s"stream_dedup_idx_out_$uniq")
+        val isBatchDoc = pmod(col("doc_id"), lit(5L)) === 0L
+        val path = graft.Staging.cached(
+          s"q_stream_dedup_idx_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+          rev = 1) { tgt =>
+          Tables.documents(s, dir).filter(isBatchDoc)
+            .select(col("doc_id"), col("text"))
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(tgt)
+        }
+        val shAll = graft.operators.Dedup.dfCapShingles(
+          graft.operators.Dedup.shingleIndex(s, dir), maxDf = 64)
+        val sz = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val standing = shAll.filter(!isBatchDoc)
+          .select(col("doc_id").as("doc_a"), col("h"))
+          .localCheckpoint() // joined by every micro-batch
+        val standingSz = sz.filter(!isBatchDoc)
+          .select(col("doc_id").as("doc_a"), col("n").as("na"))
+          .localCheckpoint()
+        val keep = shAll.select(col("h")).distinct()
+          .localCheckpoint() // the df-cap key set, same rule as the index
+        val stream = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(path)
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            graft.Staging.dir(s"stream_dedup_idx_ck_$uniq"))
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              val bsh = batch.select(col("doc_id"),
+                  explode(graft.functions.ShingleHashes(col("text"), 3))
+                    .as("h"))
+                .dropDuplicates("doc_id", "h")
+                .join(keep, "h")
+              val nb = bsh.groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("nb"))
+              val inter = bsh.select(col("doc_id").as("doc_b"), col("h"))
+                .join(standing, "h")
+                .groupBy(col("doc_b"), col("doc_a"))
+                .agg(count(lit(1)).as("i"))
+              val pairs = inter
+                .join(standingSz, "doc_a")
+                .join(nb.select(col("doc_id").as("doc_b"), col("nb")),
+                  "doc_b")
+                .withColumn("jaccard", round(col("i").cast("double") /
+                  (col("na") + col("nb") - col("i")).cast("double"), 6))
+                .filter(col("jaccard") >= 0.5)
+              val matches = pairs.groupBy(col("doc_b"))
+                .agg(count(lit(1)).as("n_dups"),
+                  max(col("jaccard")).as("best_jaccard"))
+              batch.select(col("doc_id"))
+                .join(matches.withColumnRenamed("doc_b", "doc_id"),
+                  Seq("doc_id"), "left_outer")
+                .select(col("doc_id"),
+                  coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+                  col("best_jaccard"),
+                  (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
+                .write.mode("append").parquet(outDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+          |sh0 AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(ts) - 1),
+          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+          |  FROM tok WHERE len(ts) >= 3),
+          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+          |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
+          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, count(*) AS i
+          |  FROM sh b JOIN sh a ON b.s = a.s
+          |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT doc_b, doc_a,
+          |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          |  FROM inter
+          |  JOIN sz sa ON doc_a = sa.doc_id
+          |  JOIN sz sb ON doc_b = sb.doc_id
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
+          |m AS (
+          |  SELECT doc_b AS doc_id, count(*) AS n_dups,
+          |         max(jaccard) AS best_jaccard
+          |  FROM pairs GROUP BY 1)
+          |SELECT d.doc_id, coalesce(n_dups, 0) AS n_dups, best_jaccard,
+          |       coalesce(n_dups, 0) = 0 AS is_novel
+          |FROM documents d LEFT JOIN m USING (doc_id)
+          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
+    ),
+
     // B41 at the production state backend — the SAME tumbling-window
     // aggregate run on the RocksDB state store provider: the JVM-heap
     // provider caps streaming state at executor memory, RocksDB keeps
