@@ -33,6 +33,12 @@ object KllFns {
   /** Column API: `kll_merge_agg(sketch)` → merged binary sketch image. */
   def mergeAgg(sketch: Column): Column = call_function("kll_merge_agg", sketch)
 
+  /** [[mergeAgg]] with an explicit merge-buffer k — required whenever
+    * the input sketches were built with k > 200, or the rollup silently
+    * caps their accuracy (KLL merges take the smallest k involved). */
+  def mergeAgg(sketch: Column, k: Int): Column =
+    call_function("kll_merge_agg", sketch, lit(k))
+
   /** Column API: `kll_quantile(sketch, q)` → estimated quantile. */
   def quantile(sketch: Column, q: Double): Column =
     call_function("kll_quantile", sketch, lit(q))

@@ -62,6 +62,72 @@ object Dedup {
     s.read.parquet(path)
   }
 
+
+  /** The batch-vs-standing near-dup SCREEN REPORT shared by
+    * q_dedup_incremental and its streaming twin q_stream_dedup_index
+    * (factored so the df-cap / Jaccard-threshold / report shape can
+    * never drift between the two — their "composes to exactly the
+    * batch answer" invariant depends on it). Inputs: df-capped batch
+    * postings (doc_b, h), standing postings (doc_a, h), per-doc capped
+    * set sizes for each side, and the batch doc list. */
+  private[graft] def screenReport(batchSh: DataFrame, standing: DataFrame,
+                                  na: DataFrame, nb: DataFrame,
+                                  batchDocs: DataFrame): DataFrame = {
+    val inter = batchSh.join(standing, "h")
+      .groupBy(col("doc_b"), col("doc_a")).agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(na, "doc_a")
+      .join(nb, "doc_b")
+      .withColumn("jaccard", round(
+        col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+    val matches = pairs.groupBy(col("doc_b"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
+    batchDocs
+      .join(matches.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared DuckDB oracle for the incremental screen (batch AND
+    * streaming form — both produce exactly this). */
+  private[graft] val IncrementalOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+      |  FROM tok WHERE len(ts) >= 3),
+      |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+      |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, count(*) AS i
+      |  FROM sh b JOIN sh a ON b.s = a.s
+      |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_b, doc_a,
+      |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id
+      |  JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
+      |m AS (
+      |  SELECT doc_b AS doc_id, count(*) AS n_dups,
+      |         max(jaccard) AS best_jaccard
+      |  FROM pairs GROUP BY 1)
+      |SELECT d.doc_id, coalesce(n_dups, 0) AS n_dups, best_jaccard,
+      |       coalesce(n_dups, 0) = 0 AS is_novel
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+
   /** The distinct (doc_id, h) WINNOWING fingerprint index (MOSS
     * selection: min of each 5-window over 48-bit 4-gram hashes) —
     * the [[shingleIndex]] treatment for the sampled-fingerprint
@@ -655,61 +721,17 @@ object Dedup {
         val isBatch = pmod(col("doc_id"), lit(5L)) === 0L
         val sh = dfCapShingles(shingleIndex(s, dir), maxDf = 64)
         val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.filter(isBatch)
-          .select(col("doc_id").as("doc_b"), col("h"))
-          .join(sh.filter(!isBatch).select(col("doc_id").as("doc_a"), col("h")),
-            "h")
-          .groupBy(col("doc_b"), col("doc_a")).agg(count(lit(1)).as("i"))
-        val pairs = inter
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard", round(
-            col("i").cast("double") /
-              (col("na") + col("nb") - col("i")).cast("double"), 6))
-          .filter(col("jaccard") >= 0.5)
-        val matches = pairs.groupBy(col("doc_b"))
-          .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
-        Tables.documents(s, dir).filter(isBatch)
-          .select(col("doc_id"))
-          .join(matches.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"),
-            "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-            col("best_jaccard"),
-            (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
-          .orderBy(col("doc_id"))
+        screenReport(
+          batchSh = sh.filter(isBatch)
+            .select(col("doc_id").as("doc_b"), col("h")),
+          standing = sh.filter(!isBatch)
+            .select(col("doc_id").as("doc_a"), col("h")),
+          na = sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          nb = sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          batchDocs = Tables.documents(s, dir).filter(isBatch)
+            .select(col("doc_id")))
       },
-      Some(
-        """WITH tok AS (
-          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-          |sh0 AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    range(1, len(ts) - 1),
-          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
-          |  FROM tok WHERE len(ts) >= 3),
-          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
-          |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
-          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, count(*) AS i
-          |  FROM sh b JOIN sh a ON b.s = a.s
-          |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_b, doc_a,
-          |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-          |  FROM inter
-          |  JOIN sz sa ON doc_a = sa.doc_id
-          |  JOIN sz sb ON doc_b = sb.doc_id
-          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
-          |m AS (
-          |  SELECT doc_b AS doc_id, count(*) AS n_dups,
-          |         max(jaccard) AS best_jaccard
-          |  FROM pairs GROUP BY 1)
-          |SELECT d.doc_id, coalesce(n_dups, 0) AS n_dups, best_jaccard,
-          |       coalesce(n_dups, 0) = 0 AS is_novel
-          |FROM documents d LEFT JOIN m USING (doc_id)
-          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
+      Some(IncrementalOracleSql)
     ),
 
     // North star — INTER-document segment dedup (the line-level pass a

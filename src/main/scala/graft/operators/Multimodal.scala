@@ -209,8 +209,12 @@ object Multimodal {
     // banded near-dup join consumes it on both sides of 4 band joins
     // (8 plan subtrees) — without staging, the binaryFile read + JDK
     // decode would re-execute per subtree
+    // keyed on the UPSTREAM artifact's path (which embeds the png
+    // recipe's rev), not re-derived from dir+stamp — otherwise bumping
+    // grad_png's rev would leave a stale phash cache serving hashes of
+    // the old corpus
     val hashDir = graft.Staging.cached(
-      s"grad_phash_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      s"grad_phash_${graft.Staging.keyOf(pngDir)}",
       rev = 1) { tgt =>
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")

@@ -293,10 +293,11 @@ object Streams {
     // Arriving docs stream in micro-batches; each batch is screened
     // foreachBatch-side against the staged index (full batch semantics
     // inside the sink — the q_stream_jdbc pattern) and APPENDED.
-    // Cross-batch correctness is structural: every doc arrives exactly
-    // once (checkpointed file log) and the screen target is the STATIC
-    // index, so per-batch results compose to exactly the batch query's
-    // answer — which is why this streaming query is fully DuckDB-
+    // Cross-batch correctness is structural: the checkpointed file log
+    // admits every doc in exactly one batch, the sink overwrites its
+    // batch-id-keyed directory (replay-idempotent), and the screen
+    // target is the STATIC index — so per-batch results compose to
+    // exactly the batch query's answer — which is why this streaming query is fully DuckDB-
     // oracled (the q_dedup_incremental oracle verbatim: n_dups,
     // best_jaccard, is_novel per arriving doc).
     //
@@ -320,8 +321,14 @@ object Streams {
             .repartitionByRange(3, col("doc_id"))
             .write.mode("overwrite").parquet(tgt)
         }
-        val shAll = graft.operators.Dedup.dfCapShingles(
-          graft.operators.Dedup.shingleIndex(s, dir), maxDf = 64)
+        val idx = graft.operators.Dedup.shingleIndex(s, dir)
+        // the df-cap KEY SET computed directly from the index (one
+        // aggregate) — re-deriving it as distinct(h) of the capped join
+        // would reshuffle the whole per-doc index to reproduce it
+        val keep = idx.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select(col("h"))
+          .localCheckpoint() // the same df-64 rule the batch twin uses
+        val shAll = idx.join(keep, "h")
         val sz = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val standing = shAll.filter(!isBatchDoc)
           .select(col("doc_id").as("doc_a"), col("h"))
@@ -329,8 +336,6 @@ object Streams {
         val standingSz = sz.filter(!isBatchDoc)
           .select(col("doc_id").as("doc_a"), col("n").as("na"))
           .localCheckpoint()
-        val keep = shAll.select(col("h")).distinct()
-          .localCheckpoint() // the df-cap key set, same rule as the index
         val stream = s.readStream.schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(path)
         val q = stream.writeStream
@@ -339,72 +344,37 @@ object Streams {
             graft.Staging.dir(s"stream_dedup_idx_ck_$uniq"))
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
+             batchId: Long) =>
               val bsh = batch.select(col("doc_id"),
                   explode(graft.functions.ShingleHashes(col("text"), 3))
                     .as("h"))
                 .dropDuplicates("doc_id", "h")
-                .join(keep, "h")
+                .join(keep, "h") // df-cap, same rule as the batch twin
               val nb = bsh.groupBy(col("doc_id"))
                 .agg(count(lit(1)).as("nb"))
-              val inter = bsh.select(col("doc_id").as("doc_b"), col("h"))
-                .join(standing, "h")
-                .groupBy(col("doc_b"), col("doc_a"))
-                .agg(count(lit(1)).as("i"))
-              val pairs = inter
-                .join(standingSz, "doc_a")
-                .join(nb.select(col("doc_id").as("doc_b"), col("nb")),
-                  "doc_b")
-                .withColumn("jaccard", round(col("i").cast("double") /
-                  (col("na") + col("nb") - col("i")).cast("double"), 6))
-                .filter(col("jaccard") >= 0.5)
-              val matches = pairs.groupBy(col("doc_b"))
-                .agg(count(lit(1)).as("n_dups"),
-                  max(col("jaccard")).as("best_jaccard"))
-              batch.select(col("doc_id"))
-                .join(matches.withColumnRenamed("doc_b", "doc_id"),
-                  Seq("doc_id"), "left_outer")
-                .select(col("doc_id"),
-                  coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-                  col("best_jaccard"),
-                  (coalesce(col("n_dups"), lit(0L)) === 0L).as("is_novel"))
-                .write.mode("append").parquet(outDir)
+                .select(col("doc_id").as("doc_b"), col("nb"))
+              // the screen itself is the SHARED pipeline (Dedup
+              // .screenReport) — the batch and streaming twins cannot
+              // drift on cap/threshold/report shape
+              graft.operators.Dedup.screenReport(
+                  batchSh = bsh.select(col("doc_id").as("doc_b"), col("h")),
+                  standing = standing, na = standingSz, nb = nb,
+                  batchDocs = batch.select(col("doc_id")))
+                // idempotent under batch REPLAY: each micro-batch
+                // overwrites its own batch-id-keyed directory, so a
+                // crash between sink commit and the streaming commit
+                // log re-running the batch rewrites the same files
+                // instead of appending duplicates (the q_stream_jdbc
+                // idempotent-sink discipline)
+                .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(outDir).orderBy(col("doc_id"))
+        s.read.option("recursiveFileLookup", "true").parquet(outDir)
+          .orderBy(col("doc_id"))
       },
-      Some(
-        """WITH tok AS (
-          |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-          |sh0 AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    range(1, len(ts) - 1),
-          |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
-          |  FROM tok WHERE len(ts) >= 3),
-          |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
-          |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM rare)),
-          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, count(*) AS i
-          |  FROM sh b JOIN sh a ON b.s = a.s
-          |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT doc_b, doc_a,
-          |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-          |  FROM inter
-          |  JOIN sz sa ON doc_a = sa.doc_id
-          |  JOIN sz sb ON doc_b = sb.doc_id
-          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
-          |m AS (
-          |  SELECT doc_b AS doc_id, count(*) AS n_dups,
-          |         max(jaccard) AS best_jaccard
-          |  FROM pairs GROUP BY 1)
-          |SELECT d.doc_id, coalesce(n_dups, 0) AS n_dups, best_jaccard,
-          |       coalesce(n_dups, 0) = 0 AS is_novel
-          |FROM documents d LEFT JOIN m USING (doc_id)
-          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin)
+      // the batch twin's oracle VERBATIM — shared constant, cannot drift
+      Some(graft.operators.Dedup.IncrementalOracleSql)
     ),
 
     // B41 at the production state backend — the SAME tumbling-window

@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
 class S3aPostureSpec extends SparkSpec {
 
   test("committer bindings are guarded by actual classpath resolution") {
+    // the probe must use the SAME dual-loader resolution as the
+    // production guard (context loader first — --jars land there)
+    def resolves(c: String, cl: ClassLoader): Boolean =
+      try { Class.forName(c, false, cl); true }
+      catch { case _: ClassNotFoundException => false }
     val resolvable = Sessions.s3aCommitterClasses.map { c =>
-      c -> (try { Class.forName(c); true }
-            catch { case _: ClassNotFoundException => false })
+      c -> (Option(Thread.currentThread().getContextClassLoader)
+              .exists(resolves(c, _)) ||
+            resolves(c, getClass.getClassLoader))
     }.toMap
     // the guard must agree with a direct per-class probe
     assert(Sessions.cloudCommitterAvailable === resolvable.values.forall(identity))
