@@ -267,15 +267,17 @@ object TextAnalysis {
     * including the bench's min-of-two second pass — is a plain
     * columnar scan. All three columns are exact integers/strings, so
     * the round-trip is bit-identical to the live plan. */
-  private[graft] def tfIndex(s: org.apache.spark.sql.SparkSession,
-                             dir: String): org.apache.spark.sql.DataFrame = {
-    val path = graft.Staging.cached(
+  private[graft] def tfIndexPath(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    graft.Staging.cached(
       s"tf_idx_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
       rev = 1) { tgt =>
       termFrequencies(s, dir).write.mode("overwrite").parquet(tgt)
     }
-    s.read.parquet(path)
-  }
+
+  private[graft] def tfIndex(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(tfIndexPath(s, dir))
 
   private[graft] def bm25Ranking(s: org.apache.spark.sql.SparkSession,
                                  dir: String, qres: Long, topk: Int,

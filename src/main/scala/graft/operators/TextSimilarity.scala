@@ -23,18 +23,24 @@ object TextSimilarity {
                                    dir: String, qres: Long, topk: Int,
                                    tfAll: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    // tf-idf weight per (doc, term), a pure function of the source
-    // tree (tfAll, when fusion passes it, IS the same tf index) — so
-    // like the tf index itself it is staged as a persistent parquet
-    // artifact rather than a per-query localCheckpoint (the r9 prf
-    // lesson: checkpoint blocks evict under suite storage pressure
-    // and all three consumers re-read cold). The raw double w is one
-    // shared scalar expression over exact integers — identical on
-    // both engines, and parquet round-trips doubles bit-exactly.
+    // tf-idf weight per (doc, term), a pure function of the tf-index
+    // artifact (tfAll, when fusion passes it, IS that artifact's
+    // content) — so like the tf index itself it is staged as a
+    // persistent parquet artifact rather than a per-query
+    // localCheckpoint (the r9 prf lesson: checkpoint blocks evict
+    // under suite storage pressure and all three consumers re-read
+    // cold). The cache keys on the UPSTREAM ARTIFACT'S PATH — which
+    // embeds the tf index's rev and source stamp — not a re-derived
+    // dir+stamp (r9 derived-cache rule: a downstream cache that
+    // re-derives its key goes stale when the upstream rev bumps).
+    // The raw double w is one shared scalar expression over exact
+    // integers — identical on both engines, and parquet round-trips
+    // doubles bit-exactly.
+    val tfIdxPath = TextAnalysis.tfIndexPath(s, dir)
     val weightsPath = graft.Staging.cached(
-      s"tfidf_w_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      s"tfidf_w_${graft.Staging.keyOf(tfIdxPath)}",
       rev = 1) { tgt =>
-      val tf = tfAll.getOrElse(TextAnalysis.tfIndex(s, dir))
+      val tf = tfAll.getOrElse(s.read.parquet(tfIdxPath))
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       tf.join(dfq, "term")

@@ -140,11 +140,15 @@ class RelationalSpec extends SparkSpec {
 
   test("kll quantile sketch: merged estimates within the k=200 rank-error bound") {
     // the estimate's EXACT rank in the raw data must sit within the
-    // KLL normalized rank error for k=200 (~1.65% at 99% confidence;
-    // 2.5% margin here) of the target rank — the correct acceptance
-    // test for a quantile sketch (value-relative tolerance is
-    // distribution-dependent); plus quantile monotonicity and the
-    // segment/row accounting
+    // KLL normalized rank error for k=200 (~1.65% at 99% confidence)
+    // of the target rank — the correct acceptance test for a quantile
+    // sketch (value-relative tolerance is distribution-dependent);
+    // plus quantile monotonicity and the segment/row accounting.
+    // Margin = 2× the k=200 normalized rank error ≈ 3.3%: KLL
+    // compaction is randomized and unseeded, and this suite makes 9+
+    // independent rank assertions (plus StreamQuantileSpec) — a 2.5%
+    // margin sat close enough to the 99%-confidence bound to leave a
+    // nonzero cross-run flake probability (ADVICE r9)
     val rows = q("q_sketch_quantile").collect()
     assert(rows.nonEmpty)
     val prices = sources.Tables.lineitem(spark, sf)
@@ -161,7 +165,7 @@ class RelationalSpec extends SparkSpec {
       assert(ests.map(_._2) == ests.map(_._2).sorted, s"$flag monotone quantiles")
       ests.foreach { case (tgt, est) =>
         val rank = xs.count(_ <= est).toDouble / xs.length
-        assert(math.abs(rank - tgt) <= 0.025,
+        assert(math.abs(rank - tgt) <= 0.033,
           s"$flag p$tgt: est=$est has exact rank $rank")
       }
     }

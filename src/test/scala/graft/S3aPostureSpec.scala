@@ -49,6 +49,15 @@ class S3aPostureSpec extends SparkSpec {
   test("flagship query and a write round-trip run green under the applied posture") {
     val sqlKeys = Sessions.s3aConf.keys.filterNot(_.startsWith("spark.hadoop.")).toSeq
     val saved = sqlKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    // hadoop-side keys are inert on file:// but the session (and its
+    // hadoopConfiguration) is shared across the whole suite — snapshot
+    // and restore them too, mirroring the SQL-conf save/restore, so no
+    // cross-test state leaks out of this spec
+    val hadoopKeys = Sessions.s3aConf.keys
+      .filter(_.startsWith("spark.hadoop."))
+      .map(_.stripPrefix("spark.hadoop.")).toSeq
+    val hadoopSaved = hadoopKeys.map(k =>
+      k -> Option(spark.sparkContext.hadoopConfiguration.get(k))).toMap
     try {
       Sessions.applyS3a(spark)
       // hadoop-side keys must be visible where an s3a stream would read
@@ -73,6 +82,10 @@ class S3aPostureSpec extends SparkSpec {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
+      }
+      hadoopSaved.foreach {
+        case (k, Some(v)) => spark.sparkContext.hadoopConfiguration.set(k, v)
+        case (k, None)    => spark.sparkContext.hadoopConfiguration.unset(k)
       }
     }
   }

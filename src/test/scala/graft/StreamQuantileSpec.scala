@@ -23,7 +23,10 @@ class StreamQuantileSpec extends SparkSpec {
       Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2)).foreach {
         case (tgt, est) =>
           val rank = xs.count(_ <= est).toDouble / xs.length
-          assert(math.abs(rank - tgt) <= 0.025,
+          // 2× the k=200 normalized rank error ≈ 3.3% — unseeded
+          // randomized compaction across many independent assertions
+          // needs headroom over the 99%-confidence bound (ADVICE r9)
+          assert(math.abs(rank - tgt) <= 0.033,
             s"$t p$tgt: est=$est has exact rank $rank")
       }
     }
