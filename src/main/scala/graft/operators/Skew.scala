@@ -34,6 +34,29 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot-key-safe form of `count().over(Window.partitionBy(key))` —
+    * the documented escape hatch for the accepted single-partition
+    * trade at the q_multimodal_phash / q_dedup_substring window-count
+    * sites (CLAUDE.md r9 note 1): a mega-hot key lands every row in
+    * ONE window partition (spillable but a single-task bottleneck).
+    *
+    * Here the frequency is computed by `groupBy(key).count`, whose
+    * partial aggregation IS the salt — every map task pre-combines its
+    * hot-key rows to one partial, so the shuffle carries O(tasks) rows
+    * per key, never the raw group. The per-key totals (distinct-key-
+    * sized) then attach back by equi-join; AQE's skew-split handles
+    * the probe side if the hot key's ROWS (not its count) are skewed.
+    * The price is the r9 lesson in reverse: the join-back has TWO
+    * consumers of `df`, so `df` is staged first (one upstream
+    * execution — caller passes something cheap to rescan or accepts
+    * the localCheckpoint). Use the plain window when groups are
+    * bounded; switch to this when one key can reach billions. */
+  def saltedWindowCount(df: DataFrame, key: String, out: String): DataFrame = {
+    val staged = df.localCheckpoint(false)
+    val totals = staged.groupBy(col(key)).agg(count(lit(1)).as(out))
+    staged.join(totals, Seq(key))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The salted join as a declared, oracled operator: semantically a

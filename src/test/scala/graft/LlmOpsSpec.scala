@@ -195,9 +195,150 @@ class LlmOpsSpec extends SparkSpec {
     guaranteed.foreach { case (p, d) =>
       assert(gotMap.contains(p), s"guaranteed pair $p (hamming $d) missed")
     }
+    // losslessness under the r10 hot-band cap: the emitted set must be
+    // EXACTLY the brute <=6 pairs sharing at least one 16-bit band —
+    // the sub-split may not drop a single one (7 sub-bands over the
+    // complementary 48 bits; 6 flips cannot touch all 7)
+    val hashById = hashes.toMap
+    val bandShared = brute.filter { case ((ia, ib), _) =>
+      val (ha, hb) = (hashById(ia), hashById(ib))
+      (0 until 4).exists(k => ha.substring(16 * k, 16 * k + 16) ==
+        hb.substring(16 * k, 16 * k + 16))
+    }
+    assert(gotMap == bandShared,
+      s"missed: ${(bandShared.keySet -- gotMap.keySet).take(3)}; " +
+        s"extra: ${(gotMap.keySet -- bandShared.keySet).take(3)}")
     val recall = gotMap.size.toDouble / brute.size
     info(s"banded recall on hamming<=6: $recall (${gotMap.size}/${brute.size})")
     assert(recall >= 0.5, s"banding recall $recall collapsed")
+    // candidate-volume pins (the q_er_blocked <=64*n pattern), r10
+    // distinct-hash restructure: (a) the join runs over DISTINCT
+    // hashes, so the raw-member quadratic (the blank-page scenario)
+    // never reaches a join key — on this duplicate-heavy fixture that
+    // alone cuts band candidates several-fold; (b) the fixture MUST
+    // exercise the hot sub-split path (distinct groups above the
+    // cap); (c) the sub-split's probe count on these tight near-dup
+    // clusters stays within the <=7x banding multiplicity (its
+    // quadratic-killing payoff on SPREAD groups is pinned by the
+    // saturated-band test below)
+    val cap = operators.Multimodal.HotBandCap
+    def choose2(g: Long) = g * (g - 1) / 2
+    val distinctHashes = hashes.map(_._2).distinct
+    var rawUncapped = 0L; var uncapped = 0L; var capped = 0L
+    var hotGroups = 0
+    (0 until 4).foreach { k =>
+      hashes.groupBy(_._2.substring(16 * k, 16 * k + 16)).foreach {
+        case (_, m) => rawUncapped += choose2(m.length.toLong)
+      }
+      distinctHashes.groupBy(_.substring(16 * k, 16 * k + 16)).foreach {
+        case (_, members) =>
+          val g = members.length.toLong
+          uncapped += choose2(g)
+          if (g <= cap) capped += choose2(g)
+          else {
+            hotGroups += 1
+            // sub-band widths 7x6+6 over the complementary 48 bits
+            val offs = Seq(0, 7, 14, 21, 28, 35, 42)
+            val wids = Seq(7, 7, 7, 7, 7, 7, 6)
+            val rem = members.map(h =>
+              h.substring(0, 16 * k) + h.substring(16 * (k + 1)))
+            (offs zip wids).foreach { case (o, w) =>
+              rem.groupBy(r => r.substring(o, o + w))
+                .foreach { case (_, c) => capped += choose2(c.length.toLong) }
+            }
+          }
+      }
+    }
+    assert(distinctHashes.length < hashes.length,
+      "fixture must contain duplicate hashes (the dedup win)")
+    assert(uncapped < rawUncapped,
+      s"distinct-level banding must undercut raw: $uncapped !< $rawUncapped")
+    assert(hotGroups > 0, s"fixture must exercise the hot path (cap=$cap)")
+    assert(capped <= 7 * uncapped,
+      s"sub-split multiplicity must stay within banding bound: " +
+        s"$capped > 7*$uncapped")
+    info(s"hot distinct groups: $hotGroups; candidates raw=$rawUncapped " +
+      s"distinct=$uncapped subsplit=$capped")
+  }
+
+  test("saturated band group: sub-split is lossless and kills the quadratic") {
+    // the verdict's blank-page class that ISN'T solved by distinct-
+    // hash dedup alone: many DISTINCT hashes colliding in one 16-bit
+    // band (constant top half, varied bottom half). Drive the REAL
+    // bandedHashPairs over a synthetic saturated table at two sizes:
+    // output must equal the brute band-sharing <=6 truth at both, and
+    // the modeled candidate volume (sum of C(cell,2) over the join's
+    // actual equi-key cells) must grow ~linearly, not quadratically.
+    import spark.implicits._
+    def mix(x: Long): Long = { // splitmix64-style deterministic spread
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def corpus(n: Int): Seq[String] = (0 until n).flatMap { i =>
+      val lo = mix(i.toLong) // 48 spread complement bits
+      val bits = (0 until 48).map(b => (lo >>> b) & 1L).mkString
+      val base = "0" * 16 + bits // band 0 saturated for ALL rows
+      // plant true near-dups (flip 2 complement bits) every 10th row
+      // so the losslessness check is non-vacuous
+      if (i % 10 == 0) {
+        val fl = base.toCharArray
+        Seq(20, 45).foreach(p => fl(p) = if (fl(p) == '0') '1' else '0')
+        Seq(base, new String(fl))
+      } else Seq(base)
+    }.distinct
+    def bruteTruth(hs: Seq[String]) = (for {
+      a <- hs; b <- hs if a < b
+      d = a.zip(b).count { case (x, y) => x != y } if d <= 6
+      if (0 until 4).exists(k =>
+        a.substring(16 * k, 16 * k + 16) == b.substring(16 * k, 16 * k + 16))
+    } yield (a, b) -> d.toLong).toMap
+    def modelCandidates(hs: Seq[String], cap: Int): Long = {
+      def choose2(g: Long) = g * (g - 1) / 2
+      (0 until 4).map { k =>
+        hs.groupBy(_.substring(16 * k, 16 * k + 16)).map { case (_, m) =>
+          if (m.length <= cap) choose2(m.length.toLong)
+          else {
+            val rem = m.map(h =>
+              h.substring(0, 16 * k) + h.substring(16 * (k + 1)))
+            (Seq(0, 7, 14, 21, 28, 35, 42) zip Seq(7, 7, 7, 7, 7, 7, 6))
+              .map { case (o, w) =>
+                rem.groupBy(_.substring(o, o + w))
+                  .map { case (_, c) => choose2(c.length.toLong) }.sum
+              }.sum
+          }
+        }.sum
+      }.sum
+    }
+    val cap = operators.Multimodal.HotBandCap
+    val sizes = Seq(200, 400)
+    val ratios = sizes.map { n =>
+      val hs = corpus(n)
+      val got = operators.Multimodal
+        .bandedHashPairs(hs.toDF("phash"), cap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      assert(got.map(_._1).distinct.length == got.length, "pair emitted twice")
+      val truth = bruteTruth(hs)
+      assert(truth.nonEmpty, "planted near-dups must survive dedup")
+      assert(got.toMap == truth,
+        s"n=$n missed ${(truth.keySet -- got.map(_._1)).take(3)} " +
+          s"extra ${(got.map(_._1).toSet -- truth.keySet).take(3)}")
+      val c = modelCandidates(hs, cap)
+      val u = modelCandidates(hs, Int.MaxValue)
+      info(s"n=$n: candidates capped=$c uncapped=$u (${u / math.max(c, 1)}x cut)")
+      (c, u)
+    }
+    // one-level pigeonhole split: expected ~g^2/2^7-class reduction on
+    // spread complements (measured ~14-15x here). Pin the cut at >=8x
+    // at BOTH sizes — i.e. the reduction factor holds as the group
+    // grows, vs the uncapped join's unmitigated quadratic. (True
+    // linearity needs recursive splitting; with distinct-hash dedup
+    // upstream absorbing exact-dup mega-groups, a 2^7-class cut on
+    // the residual distinct collisions is the accepted trade.)
+    ratios.foreach { case (c, u) =>
+      assert(c * 8 <= u, s"sub-split cut below 8x: $c vs $u")
+    }
   }
 
   test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {

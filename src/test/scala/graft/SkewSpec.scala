@@ -52,6 +52,22 @@ class SkewSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("saltedWindowCount == plain window count (hot-key escape hatch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one mega-hot key + a long tail — the shape that melts a single
+    // window partition at scale
+    val df = ((1 to 5000).map(i => (0L, i.toLong)) ++
+        (1 to 500).map(i => (i.toLong % 37 + 1, i.toLong)))
+      .toDF("k", "id")
+    val plain = df.withColumn("c",
+        count(lit(1)).over(Window.partitionBy(col("k"))))
+      .orderBy(col("k"), col("id")).collect().toSeq
+    val salted = Skew.saltedWindowCount(df, "k", "c")
+      .orderBy(col("k"), col("id")).collect().toSeq
+    assert(salted == plain)
+  }
+
   test("salt spreads a hot key across buckets") {
     import spark.implicits._
     val hot = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "id")
