@@ -257,6 +257,119 @@ object Maintenance {
     }
   }
 
+  /** Stage the CHECKPOINTED transaction log ONCE per corpus — the
+    * Delta `_last_checkpoint` / Iceberg snapshot-manifest analog that
+    * closes the O(commits) reader gap (r9 verdict item 2): a 9-commit
+    * history (year-sliced orders appends, an OPTIMIZE rewrite, a
+    * file-granular DELETE), with a compacted snapshot manifest
+    * (`vNNN.checkpoint.json`, the full live set at that version)
+    * written every 4th commit (v3, v7) and a `_last_checkpoint`
+    * pointer readers load in O(1). Readers resolve a version from the
+    * newest checkpoint ≤ v plus ONLY the tail manifests (cp, v] —
+    * never v0..v. Commits use the same put-if-absent CREATE_NEW
+    * protocol as txnRoot. */
+  private[graft] def checkpointRoot(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    graft.Staging.cached(
+      s"txncp_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
+      rev = 1) { tgt =>
+      import java.nio.file.{Files, Paths}
+      val log = Paths.get(tgt, "_log")
+      Files.createDirectories(log)
+      val orders = Tables.orders(s, dir)
+      val od = col("o_orderdate")
+      def writeData(name: String, lo: Option[String],
+                    hi: Option[String]): Unit = {
+        val f = (lo.map(x => od >= lit(x).cast("timestamp")) ++
+          hi.map(x => od < lit(x).cast("timestamp")))
+          .foldLeft(lit(true))(_ && _)
+        orders.filter(f).coalesce(1).write.mode("overwrite")
+          .parquet(s"$tgt/$name")
+      }
+      def arr(xs: Seq[String]) =
+        xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      var live = Seq.empty[String]
+      def commit(v: Int, writer: String, adds: Seq[String],
+                 removes: Seq[String] = Nil): Unit = {
+        Files.write(log.resolve(f"v$v%03d.json"),
+          (s"""{"version":$v,"writer":"$writer","attempt":1,""" +
+            s""""adds":${arr(adds)},"removes":${arr(removes)}}""")
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        live = live.filterNot(removes.contains) ++ adds
+        // every 4th commit: compact the fold-so-far into a snapshot
+        // manifest and advance the O(1) pointer (plain overwrite — the
+        // pointer is advisory; losing a race just means one extra tail
+        // manifest for readers, never wrong data)
+        if (v % 4 == 3) {
+          Files.write(log.resolve(f"v$v%03d.checkpoint.json"),
+            s"""{"version":$v,"live":${arr(live)}}""".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Files.write(Paths.get(tgt, "_last_checkpoint"),
+            s"""{"version":$v}""".getBytes("UTF-8"))
+        }
+      }
+      // y1992..y1998 appends with an OPTIMIZE and a DELETE mixed in
+      writeData("y1992", None, Some("1993-01-01"))
+      commit(0, "base", Seq("y1992"))
+      (1993 to 1995).zipWithIndex.foreach { case (y, i) =>
+        writeData(s"y$y", Some(s"$y-01-01"), Some(s"${y + 1}-01-01"))
+        commit(i + 1, s"W$y", Seq(s"y$y"))
+      }
+      writeData("y1996", Some("1996-01-01"), Some("1997-01-01"))
+      commit(4, "W1996", Seq("y1996"))
+      writeData("y1997", Some("1997-01-01"), Some("1998-01-01"))
+      commit(5, "W1997", Seq("y1997"))
+      // OPTIMIZE: rewrite the two oldest files into one (data-equal)
+      s.read.parquet(s"$tgt/y1992", s"$tgt/y1993").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tgt/c01")
+      commit(6, "OPT", Seq("c01"), removes = Seq("y1992", "y1993"))
+      writeData("y1998", Some("1998-01-01"), None)
+      commit(7, "W1998", Seq("y1998"))
+      // file-granular DELETE (the Delta remove-file contract): 1994
+      // rows leave the table at v8; time travel ≤ v7 still sees them
+      commit(8, "DEL", Nil, removes = Seq("y1994"))
+    }
+
+  /** Checkpoint+tail version resolution over a `checkpointRoot`-style
+    * log: newest `vNNN.checkpoint.json` with version ≤ v (found by
+    * NAME — no content read for skipped manifests), then fold only the
+    * tail manifests (cp, v]. Returns (cpUsed or -1, tail manifest
+    * count, live file names). Reader cost is O(tail), not O(commits) —
+    * the `_last_checkpoint` pointer additionally gives head readers
+    * the newest checkpoint version in O(1) (spec-pinned equal to the
+    * newest checkpoint name). */
+  private[graft] def resolveWithCheckpoint(root: String, v: Long)
+      : (Long, Long, Seq[String]) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(Paths.get(root, "_log")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val cpRe = """v(\d+)\.checkpoint\.json""".r
+    val cp = names.collect { case cpRe(n) if n.toLong <= v => n.toLong }
+      .maxOption.getOrElse(-1L)
+    val liveRe = """"live":\[([^\]]*)\]""".r
+    val live0 =
+      if (cp < 0) Seq.empty[String]
+      else liveRe.findFirstMatchIn(
+          Files.readString(Paths.get(root, "_log", f"v$cp%03d.checkpoint.json")))
+        .get.group(1).split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val arrRe = """"(adds|removes)":\[([^\]]*)\]""".r
+    val tail = ((cp + 1) to v).map { tv =>
+      val body = Files.readString(Paths.get(root, "_log", f"v$tv%03d.json"))
+      val m = arrRe.findAllMatchIn(body)
+        .map(x => x.group(1) -> x.group(2).split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)).toMap
+      (m.getOrElse("adds", Nil), m.getOrElse("removes", Nil))
+    }
+    val live = tail.foldLeft(live0) { case (acc, (adds, rms)) =>
+      acc.filterNot(rms.contains) ++ adds
+    }
+    (cp, tail.length.toLong, live)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Small-file compaction: a deliberately fragmented landing zone
@@ -1129,6 +1242,78 @@ object Maintenance {
           |  SELECT 3, 'OPT', count(*), count(*), CAST(0 AS BIGINT),
           |         CAST(0 AS BIGINT)
           |  FROM orders)
+          |ORDER BY version""".stripMargin)
+    ),
+
+    // Transaction-log CHECKPOINT COMPACTION (the Delta
+    // `_last_checkpoint` / Iceberg snapshot-manifest analog — r9
+    // verdict item 2): the commit-log reader must NOT replay v0..vN to
+    // resolve a version. Every 4th commit the writer folds the live
+    // set into a compacted snapshot manifest; a reader resolves any
+    // version from the newest checkpoint ≤ v plus ONLY the (cp, v]
+    // tail. The O(tail) property is baked into the ORACLED output:
+    // cp_used and tail_read are emitted per version and hash-compared,
+    // so a reader that silently fell back to full replay fails the
+    // driver gate (tail_read would be v+1). Time-travel row sets and
+    // exact cents must equal the raw-orders replay at every version —
+    // across an OPTIMIZE rewrite (v6, data-equal) and a file-granular
+    // DELETE (v8). LayoutSpec pins checkpoint/full-fold resolution
+    // equality for every version (incl. post-VACUUM, where dead data
+    // files are gone but metadata still resolves).
+    //
+    // Scale shape: resolution cost is O(checkpoint interval), constant
+    // in table age — at 10k commits/day the reader loads one compacted
+    // manifest + ≤3 tail manifests instead of the whole log; the
+    // checkpoint itself is O(live files), written incrementally by the
+    // committer that crosses the interval.
+    QueryDef(
+      "q_snapshot_checkpoint",
+      (s, dir) => {
+        val root = checkpointRoot(s, dir)
+        (0L to 8L).map { v =>
+          val (cp, tailN, live) = resolveWithCheckpoint(root, v)
+          s.read.parquet(live.map(n => s"$root/$n"): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("o_totalprice") * 100).cast(LongType))
+                .as("cents"))
+            .select(lit(v).as("version"), lit(cp).as("cp_used"),
+              lit(tailN).as("tail_read"), col("n_rows"), col("cents"))
+        }.reduce(_.unionByName(_)).orderBy(col("version"))
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT o_orderdate AS od,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) AS cts
+          |  FROM orders)
+          |SELECT * FROM (
+          |  SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS cp_used,
+          |         CAST(1 AS BIGINT) AS tail_read, count(*) AS n_rows,
+          |         CAST(sum(cts) AS BIGINT) AS cents
+          |  FROM c WHERE od < TIMESTAMP '1993-01-01'
+          |  UNION ALL
+          |  SELECT 1, -1, 2, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1994-01-01'
+          |  UNION ALL
+          |  SELECT 2, -1, 3, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1995-01-01'
+          |  UNION ALL
+          |  SELECT 3, 3, 0, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1996-01-01'
+          |  UNION ALL
+          |  SELECT 4, 3, 1, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1997-01-01'
+          |  UNION ALL
+          |  SELECT 5, 3, 2, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 6, 3, 3, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1998-01-01'
+          |  UNION ALL
+          |  SELECT 7, 7, 0, count(*), CAST(sum(cts) AS BIGINT) FROM c
+          |  UNION ALL
+          |  SELECT 8, 7, 1, count(*), CAST(sum(cts) AS BIGINT)
+          |  FROM c WHERE od < TIMESTAMP '1994-01-01'
+          |     OR od >= TIMESTAMP '1995-01-01')
           |ORDER BY version""".stripMargin)
     ),
 

@@ -390,6 +390,75 @@ class LayoutSpec extends SparkSpec {
     assert(operators.Maintenance.vacuumTxnLog(copy2.toString, 0L).isEmpty)
   }
 
+  test("q_snapshot_checkpoint: tail-only reads; checkpoint fold == full fold, incl. post-vacuum") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = operators.Maintenance.checkpointRoot(spark, sf)
+    // ground-truth reader: the full v0..v fold over per-commit manifests
+    val arrRe = """"(adds|removes)":\[([^\]]*)\]""".r
+    val verRe = """v(\d{3})\.json""".r
+    def fullFold(rt: String, v: Long): Seq[String] = {
+      val ms = Files.list(Paths.get(rt, "_log")).iterator().asScala
+        .flatMap(p => verRe.findFirstMatchIn(p.getFileName.toString)
+          .map(m => m.group(1).toLong -> Files.readString(p)))
+        .filter(_._1 <= v).toSeq.sortBy(_._1)
+      ms.foldLeft(Seq.empty[String]) { case (acc, (_, body)) =>
+        val m = arrRe.findAllMatchIn(body)
+          .map(x => x.group(1) -> x.group(2).split(",").toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)).toMap
+        acc.filterNot(m.getOrElse("removes", Nil).contains) ++
+          m.getOrElse("adds", Nil)
+      }
+    }
+    val nCommits = 9L
+    (0L until nCommits).foreach { v =>
+      val (cp, tailN, live) = operators.Maintenance
+        .resolveWithCheckpoint(root, v)
+      assert(live.toSet == fullFold(root, v).toSet,
+        s"v$v: checkpoint+tail fold must equal the full-log fold")
+      // tail-only: past the first checkpoint, strictly fewer manifests
+      // than full replay; head resolves from 1 tail manifest, not 9
+      assert(tailN == (if (cp < 0) v + 1 else v - cp),
+        s"v$v read $tailN tail manifests (cp=$cp)")
+      if (v >= 3) assert(tailN < v + 1, s"v$v fell back to full replay")
+    }
+    // the O(1) head pointer names the newest checkpoint
+    val lastCp = """\d+""".r.findFirstIn(
+      Files.readString(Paths.get(root, "_last_checkpoint"))).get.toLong
+    val newestByName = Files.list(Paths.get(root, "_log")).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.endsWith(".checkpoint.json") =>
+        """\d+""".r.findFirstIn(n).get.toLong }.max
+    assert(lastCp == newestByName, s"_last_checkpoint $lastCp != $newestByName")
+    // post-VACUUM: dead data files gone, metadata resolution unchanged
+    val copy = Files.createTempDirectory("cp_vacuum_")
+    val src = Paths.get(root)
+    Files.walk(src).forEach { p =>
+      val t = copy.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    val deleted = operators.Maintenance
+      .vacuumTxnLog(copy.toString, keepFrom = 8L)
+    assert(deleted.toSet == Set("y1992", "y1993", "y1994"),
+      s"head retention reclaims exactly the rewritten/deleted files: $deleted")
+    (0L until nCommits).foreach { v =>
+      val (_, _, live) = operators.Maintenance
+        .resolveWithCheckpoint(copy.toString, v)
+      assert(live.toSet == fullFold(copy.toString, v).toSet,
+        s"post-vacuum v$v: metadata resolution must be unchanged")
+    }
+    val (cp8, _, live8) = operators.Maintenance
+      .resolveWithCheckpoint(copy.toString, 8L)
+    assert(cp8 == 7L)
+    val expect = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1994-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp")).count()
+    assert(spark.read.parquet(live8.map(n => s"$copy/$n"): _*).count() == expect,
+      "head still reads in full after vacuum")
+  }
+
   test("q_partition_evolve: new layout dir-prunes the hot filter, old layout row-filters") {
     val rows = q("q_partition_evolve").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
