@@ -988,20 +988,21 @@ object Dedup {
     // truth). What shuffles is the rare-leaning prefix posting list
     // (~half the full index at t = 0.5; far less on Zipfian corpora,
     // where hot tokens rarely make a prefix — the opposite tail from
-    // the df-cap, which drops them). The LENGTH filter rides the
-    // posting join (Jaccard ≥ 0.5 forces na ≤ 2·nb and nb ≤ 2·na —
-    // the family's standard companion prune). Candidate pairs dedup
-    // via one DISTINCT on the slim (doc_a, doc_b) pairs, NOT the
-    // emit-once array-intersect trick: measured multiplicity here is
-    // 1.05 rows/pair (430k → 409k at sf0.1), so emit-once would pay
-    // an O(prefix) intersect per row to save a 5% shuffle — the
-    // opposite trade from the multi-probe pipelines where
-    // multiplicity is the problem (PPJoin's positional filter is the
-    // upstream cure if multiplicity ever grows). Verification then
-    // attaches the full df-sorted arrays ONCE per surviving pair and
-    // computes the TRUE Jaccard in-projection (the triangles
-    // discipline — no second posting shuffle, no arrays shipped
-    // through the posting join).
+    // the df-cap, which drops them). The LENGTH filter and PPJoin's
+    // POSITIONAL filter both ride the posting join (Jaccard ≥ 0.5
+    // forces na ≤ 2·nb and nb ≤ 2·na; the positional bound prunes
+    // emissions that can't reach the pair's required overlap — see
+    // the inline note). Candidate pairs dedup via one DISTINCT on the
+    // slim (doc_a, doc_b) pairs, NOT the emit-once array-intersect
+    // trick (measured multiplicity 1.05 rows/pair pre-positional —
+    // emit-once would pay an O(prefix) intersect per row to save a 5%
+    // shuffle). The positional filter ships UNCONDITIONALLY on
+    // measured grounds (r10 A/B, warm): sf0.1 2.60 → 1.86 s, 30×
+    // probe 33.9 → 14.0 s — it wins at every scale, so no auto-switch
+    // is warranted. Verification then attaches the full df-sorted
+    // arrays ONCE per surviving pair and computes the TRUE Jaccard
+    // in-projection (the triangles discipline — no second posting
+    // shuffle, no arrays shipped through the posting join).
     QueryDef(
       "q_dedup_prefix",
       (s, dir) => {
@@ -1020,13 +1021,26 @@ object Dedup {
           .withColumn("p", expr("n - (n + 1) div 2 + 1"))
           .withColumn("pa", expr("slice(fa, 1, p)"))
         val pre = ordered.select(col("doc_id"), col("n"),
-          explode(col("pa")).as("h"))
+          posexplode(col("pa")).as(Seq("i", "h")))
+        // PPJoin POSITIONAL filter (r10, Xiao et al. WWW'08): at a
+        // shared prefix token sitting at 0-based positions (ia, ib) of
+        // the df-ordered arrays, the overlap is bounded by 1 + the
+        // shorter remaining suffix — prune emissions whose bound can't
+        // reach the pair's required overlap α = ⌈(na+nb)/3⌉ (Jaccard
+        // ≥ 0.5). COMPLETE: a qualifying pair's globally-FIRST shared
+        // token lies inside both prefixes (the prefix lemma) and there
+        // the bound is a true upper bound ≥ α, so that emission always
+        // survives; later-token emissions are redundant (the distinct
+        // dedups them) and pruning them only shrinks the verify fan-in.
         val cand = pre.select(col("doc_id").as("doc_a"),
-            col("n").as("na"), col("h"))
+            col("n").as("na"), col("i").as("ia"), col("h"))
           .join(pre.select(col("doc_id").as("doc_b"),
-            col("n").as("nb"), col("h")), "h")
+            col("n").as("nb"), col("i").as("ib"), col("h")), "h")
           .filter(col("doc_a") < col("doc_b") &&
-            col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+            col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
+            lit(1) + least(col("na") - col("ia") - 1,
+              col("nb") - col("ib") - 1) >=
+              expr("(na + nb + 2) div 3"))
           .select(col("doc_a"), col("doc_b")).distinct()
         cand
           .join(ordered.select(col("doc_id").as("doc_a"),
