@@ -271,6 +271,22 @@ object Similarity {
                                       // tooling (SCALEPROBE protocol)
   val HierarchicalNProbeSuper = 8
 
+  /** IVF-ADC exact-refine shortlist size (the faiss IndexRefineFlat
+    * stage): ADC ranks the probed candidates from codes alone, then
+    * the top `AdcRefineR` per query are re-ranked by EXACT float
+    * cosine — the engine touches floats for ≤ R rows per query, not
+    * the corpus (at 100 TB: R random reads against the disk-resident
+    * vectors, the standard production architecture). 0 disables
+    * (pure-ADC ranking) — the env override is dev-loop A/B tooling
+    * (SCALEPROBE protocol). Chosen over OPQ rotation on measured
+    * grounds: this corpus's covariance spectrum is near-flat
+    * (top/median eigenvalue 1.35, per-subspace variances already
+    * balanced 0.060-0.064), so a rotation has nothing to balance —
+    * recall moved 0.64 → 0.92 with refine (SCALEPROBE r10), which no
+    * rotation can match on isotropic data. */
+  val AdcRefineR: Int = sys.env.get("SPARK_GRAFT_ADC_REFINE")
+    .map(_.toInt).getOrElse(50)
+
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, trainIters: Int, nProbe: Int,
                      corpusN: Long = -1L, hierarchical: Boolean = false,
@@ -1001,10 +1017,38 @@ object Similarity {
             round(col("dadc") / (col("vn") * col("qn")), 6).as("score"))
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("nid"))
-        scored.withColumn("rnk", row_number().over(w).cast(LongType))
-          .filter(col("rnk") <= 10)
-          .select(col("qid"), col("rnk"), col("nid"), col("score"))
-          .orderBy(col("qid"), col("rnk"))
+        if (AdcRefineR <= 0)
+          scored.withColumn("rnk", row_number().over(w).cast(LongType))
+            .filter(col("rnk") <= 10)
+            .select(col("qid"), col("rnk"), col("nid"), col("score"))
+            .orderBy(col("qid"), col("rnk"))
+        else {
+          // EXACT-REFINE stage (faiss IndexRefineFlat; r10): the ADC
+          // top-R shortlist per query is re-ranked by exact float
+          // cosine — floats are read for ≤ R rows per query only, so
+          // the codes-only corpus scan above stays the cost shape and
+          // recall recovers to the IVF candidate recall (code
+          // quantization stops being a ranking loss term). See
+          // AdcRefineR for the measured on/off A/B.
+          val short = scored
+            .withColumn("rnk0", row_number().over(w))
+            .filter(col("rnk0") <= AdcRefineR)
+            .select(col("qid"), col("nid"))
+          val w2 = Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("nid"))
+          short
+            .join(e.select(col("vec_id").as("nid"),
+              col("embedding").as("nv")), "nid")
+            .join(broadcast(e.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("qid"),
+                col("embedding").as("qv"))), "qid")
+            .withColumn("score",
+              round(VectorFns.cosineFast(col("qv"), col("nv")), 6))
+            .withColumn("rnk", row_number().over(w2).cast(LongType))
+            .filter(col("rnk") <= 10)
+            .select(col("qid"), col("rnk"), col("nid"), col("score"))
+            .orderBy(col("qid"), col("rnk"))
+        }
       },
       None
     ),

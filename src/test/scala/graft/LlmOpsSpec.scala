@@ -459,25 +459,36 @@ class LlmOpsSpec extends SparkSpec {
       s"pq-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
   }
 
-  test("ivf-adc: recall@10 floored; candidate restriction only loses, never invents") {
+  test("ivf-adc: recall@10 floored; refine scores exact; candidates never invented") {
     val r = recalls("ivf_adc")
     assume(r.exactPairs > 0)
-    // measured 0.64 at sf0.1 — ≈ the product of the ivf candidate
-    // recall and pq_adc's quantization recall, as the two independent
-    // loss terms predict; floor just under measured
-    assert(r.recall >= 0.55,
+    // measured 0.84 at sf0.1 with the r10 exact-refine stage (was 0.64
+    // pure-ADC — code quantization is no longer a ranking loss term,
+    // so the stamp tracks the IVF candidate recall 0.875); floor 0.6
+    // kept as the regression gate per the r9 verdict
+    assert(r.recall >= 0.6,
       s"ivf-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
-    // every ivf-adc hit must carry the same ADC score pqadc assigns —
-    // the candidate restriction changes WHICH pairs are scored, never
-    // the scoring function
-    val full = q("q_similarity_pqadc").collect()
-      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     val sub = q("q_similarity_ivfadc").collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
     assert(sub.nonEmpty)
-    sub.foreach { case (k, score) =>
-      full.get(k).foreach(f =>
-        assert(f == score, s"pair $k: ivf-adc $score != pq-adc $f"))
+    // refine contract: every reported score IS the exact float cosine
+    // of the pair (the shortlist is re-ranked with real vectors), and
+    // no hit can pair a query with itself
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    sub.foreach { case ((qid, nid), score) =>
+      assert(qid != nid, s"self-pair ($qid,$nid)")
+      assert(math.abs(cos(vecs(qid), vecs(nid)) - score) <= 1e-6,
+        s"pair ($qid,$nid): refined score $score != exact cosine")
     }
   }
 
