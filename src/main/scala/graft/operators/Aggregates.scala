@@ -16,6 +16,36 @@ import graft.sources.Tables
   */
 object Aggregates {
 
+  /** Tracked capacity + top-N shared by q_topk_sketch and its
+    * streaming twin q_stream_topk (r9 twin-query rule: one pipeline
+    * function + one constant, or capacity edits drift silently). */
+  private[graft] val TopKTracked = 1024
+  private[graft] val TopKTopN = 10
+
+  /** Per-source frequency-sketch accumulation over (source, term)
+    * rows — the grouped half both twins run: batch directly, streaming
+    * through the aggregation state's partial/merge contract (the
+    * q_stream_quantile pattern — state per source is ONE bounded
+    * sketch image regardless of stream length). */
+  private[graft] def topkAccumulate(tokens: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tokens.groupBy(col("source"))
+      .agg(expr(s"approx_top_k_accumulate(term, $TopKTracked)").as("sk"))
+
+  /** Combine the per-source sketches WITHOUT rescanning and read the
+    * global top-N off the merged state — the tail both twins share
+    * (batch: over the live agg; streaming: over the drained
+    * complete-mode state rows). */
+  private[graft] def topkEstimate(perSource: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perSource
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, " +
+        s"$TopKTracked), $TopKTopN)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "entry")))
+      .select((col("pos") + 1).cast(LongType).as("rnk"),
+        col("entry.item").as("term"),
+        col("entry.count").cast(LongType).as("est_count"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // B14 — the basic hash-agg family (TPC-H Q1 shape).
@@ -122,17 +152,10 @@ object Aggregates {
     QueryDef(
       "q_topk_sketch",
       (s, dir) => {
-        Tables.documents(s, dir)
-          .select(col("source"),
-            explode(TextFns.tokens(col("text"))).as("term"))
-          .groupBy(col("source"))
-          .agg(expr("approx_top_k_accumulate(term, 1024)").as("sk"))
-          .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 10)")
-            .as("top"))
-          .select(posexplode(col("top")).as(Seq("pos", "entry")))
-          .select((col("pos") + 1).cast(LongType).as("rnk"),
-            col("entry.item").as("term"),
-            col("entry.count").cast(LongType).as("est_count"))
+        topkEstimate(topkAccumulate(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              explode(TextFns.tokens(col("text"))).as("term"))))
           .orderBy(col("rnk"))
       },
       None

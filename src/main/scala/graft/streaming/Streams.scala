@@ -287,6 +287,40 @@ object Streams {
       None
     ),
 
+    // B37/B16 — STREAMING FREQUENT-ITEMS (the trending-terms
+    // dashboard; r9 verdict item 5): the batch heavy-hitters rollup
+    // (q_topk_sketch) as a live stream, the exact q_stream_quantile
+    // pattern — per-micro-batch approx_top_k partials merge INTO the
+    // streaming aggregation state through the TypedImperativeAggregate
+    // partial/merge contract, so state per source is ONE bounded
+    // sketch image (maxItemsTracked bounds state, not stream length).
+    // The complete-mode drain hands the per-source state rows to the
+    // SAME combine→estimate tail the batch twin uses
+    // (Aggregates.topkEstimate — r9 twin-query rule: one pipeline
+    // function + one tracked-capacity constant). No SQL oracle (sketch
+    // images aren't DuckDB-reproducible); StreamsSpec pins the
+    // estimate EQUAL to exact global counts (the vocabulary sits far
+    // under tracked capacity, where the sketch is exact by
+    // construction) and EQUAL to the batch twin's answer.
+    QueryDef(
+      "q_stream_topk",
+      (s, dir) => {
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val stream = stageAndStreamParquet(s, src, "q_stream_topk",
+          StructType.fromDDL("doc_id LONG, source STRING, text STRING"),
+          dir)
+        val tokens = stream.select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        val merged = withStatePartitions(s, 8)(
+          drainComplete(s, graft.operators.Aggregates.topkAccumulate(tokens),
+            "q_stream_topk_sink"))
+        graft.operators.Aggregates.topkEstimate(merged)
+          .orderBy(col("rnk"))
+      },
+      None
+    ),
+
     // B40/B45 — STREAMING incremental dedup against the STANDING
     // shingle index: the streaming form of q_dedup_incremental (whose
     // daily-batch shape a stream generalizes to continuous arrival).

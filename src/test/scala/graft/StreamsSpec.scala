@@ -316,4 +316,31 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.read.parquet(out).count() == src.count())
   }
+
+  test("B37/B16: streaming frequent-items == exact counts == batch twin") {
+    // the tracked-capacity exactness contract shared with
+    // q_topk_sketch: the vocabulary sits far under maxItemsTracked, so
+    // the merged streaming state must reproduce exact global counts —
+    // and the two twins (one shared pipeline + capacity constant) must
+    // answer identically (as count-maps; tie ORDER within equal counts
+    // is not a sketch guarantee)
+    val stream = q("q_stream_topk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(stream.length == 10)
+    val exact = sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stream.foreach { case (_, term, n) =>
+      assert(exact(term) == n, s"$term: stream sketch=$n exact=${exact(term)}")
+    }
+    val floor10 = exact.values.toSeq.sorted.reverse.take(10).min
+    stream.foreach { case (_, term, n) =>
+      assert(n >= floor10, s"$term count $n below the exact top-10 floor")
+    }
+    val batch = q("q_topk_sketch").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(stream.map(t => (t._2, t._3)).toMap == batch.toMap,
+      "streaming twin must answer exactly as the batch rollup")
+  }
 }
