@@ -46,6 +46,34 @@ object Aggregates {
         col("entry.item").as("term"),
         col("entry.count").cast(LongType).as("est_count"))
 
+  /** HLL lgK shared by q_sketch_rollup and its streaming twin
+    * q_stream_hll (twin rule: one pipeline + one constant). */
+  private[graft] val HllLgK = 12
+
+  /** Per-source HLL sketch over (source, doc_id) rows — the grouped
+    * half both twins run (batch directly; streaming through the
+    * aggregation state's partial/merge contract). */
+  private[graft] def hllPerSource(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rows.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("doc_id"), lit(HllLgK)).as("sk"))
+
+  /** Per-source estimates + the cross-source union estimate read off
+    * the merged images WITHOUT rescanning — the tail both twins share.
+    * Register state is a per-register max over hashed inputs, so the
+    * estimates are a pure function of the input SET — identical
+    * however micro-batches split it (spec-pinned stream == batch). */
+  private[graft] def hllEstimate(per: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perEst = per.select(col("source"),
+      hll_sketch_estimate(col("sk")).as("est_distinct"))
+    val union = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+        .as("est_distinct"))
+      .select(lit("__all__").as("source"), col("est_distinct"))
+    perEst.unionAll(union).orderBy(col("source"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // B14 — the basic hash-agg family (TPC-H Q1 shape).
@@ -123,16 +151,7 @@ object Aggregates {
     QueryDef(
       "q_sketch_rollup",
       (s, dir) => {
-        val per = Tables.documents(s, dir)
-          .groupBy(col("source"))
-          .agg(hll_sketch_agg(col("doc_id"), lit(12)).as("sk"))
-        val perEst = per.select(col("source"),
-          hll_sketch_estimate(col("sk")).as("est_distinct"))
-        val union = per
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
-            .as("est_distinct"))
-          .select(lit("__all__").as("source"), col("est_distinct"))
-        perEst.unionAll(union).orderBy(col("source"))
+        hllEstimate(hllPerSource(Tables.documents(s, dir)))
       },
       None
     ),

@@ -67,6 +67,17 @@ object Streams {
     s.readStream.schema(schema).options(options).parquet(path)
   }
 
+  /** One staged parquet landing zone of the documents table, shared by
+    * every stream query whose operator under test is sketch/agg state
+    * over docs (q_stream_topk, q_stream_hll) — one corpus copy, N
+    * stream consumers (each still reprocesses from scratch with its
+    * own checkpoint). */
+  private def streamedDocs(s: SparkSession, dir: String): DataFrame =
+    stageAndStreamParquet(s,
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+      "q_stream_docs",
+      StructType.fromDDL("doc_id LONG, source STRING, text STRING"), dir)
+
   /** Run `body` (which must START its streaming query inside) with
     * streaming state partitions sized to STATE VOLUME instead of the
     * session's scan-width default: every micro-batch inits/commits one
@@ -305,18 +316,41 @@ object Streams {
     QueryDef(
       "q_stream_topk",
       (s, dir) => {
-        val src = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("text"))
-        val stream = stageAndStreamParquet(s, src, "q_stream_topk",
-          StructType.fromDDL("doc_id LONG, source STRING, text STRING"),
-          dir)
-        val tokens = stream.select(col("source"),
+        val tokens = streamedDocs(s, dir).select(col("source"),
           explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
         val merged = withStatePartitions(s, 8)(
           drainComplete(s, graft.operators.Aggregates.topkAccumulate(tokens),
             "q_stream_topk_sink"))
         graft.operators.Aggregates.topkEstimate(merged)
           .orderBy(col("rnk"))
+      },
+      None
+    ),
+
+    // B16/B37 — STREAMING DISTINCT-COUNT rollup (the live uniques
+    // dashboard): the q_sketch_rollup HLL pipeline as a stream —
+    // per-micro-batch HLL partials merge into the streaming
+    // aggregation state (bounded 2^lgK register image per source),
+    // and the drained state rows feed the SAME per-source +
+    // cross-source-union estimate tail the batch twin uses
+    // (Aggregates.hllEstimate — one pipeline + one lgK constant).
+    // Register state is a per-register max over hashed inputs, a pure
+    // function of the input SET — so the streaming estimates are
+    // spec-pinned EQUAL to the batch twin's, however the micro-batches
+    // split the corpus. Completes the mergeable-sketch streaming
+    // family: quantiles (q_stream_quantile), frequent items
+    // (q_stream_topk), distinct counts (this). No SQL oracle (sketch
+    // images aren't DuckDB-reproducible); StreamsSpec pins twin
+    // equality + the 5% accuracy band vs exact distincts.
+    QueryDef(
+      "q_stream_hll",
+      (s, dir) => {
+        val merged = withStatePartitions(s, 8)(
+          drainComplete(s,
+            graft.operators.Aggregates.hllPerSource(
+              streamedDocs(s, dir).select(col("source"), col("doc_id"))),
+            "q_stream_hll_sink"))
+        graft.operators.Aggregates.hllEstimate(merged)
       },
       None
     ),

@@ -343,4 +343,25 @@ class StreamsSpec extends SparkSpec {
     assert(stream.map(t => (t._2, t._3)).toMap == batch.toMap,
       "streaming twin must answer exactly as the batch rollup")
   }
+
+  test("B16/B37: streaming HLL rollup == batch twin exactly; within 5% of exact") {
+    // HLL register state is a per-register max over hashed inputs — a
+    // pure function of the input SET — so however the micro-batches
+    // split the corpus, the merged estimates must equal the batch
+    // rollup's bit-exactly
+    val stream = q("q_stream_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = q("q_sketch_rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch, s"stream $stream != batch $batch")
+    val docs = sources.Tables.documents(spark, sf)
+    val exactPer = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.select(col("doc_id")).distinct().count()
+    (exactPer + ("__all__" -> exactAll)).foreach { case (k, exact) =>
+      assert(math.abs(stream(k) - exact) / exact.toDouble < 0.05,
+        s"$k: stream sketch=${stream(k)} exact=$exact")
+    }
+  }
 }
