@@ -1466,6 +1466,88 @@ object Curation {
             |ORDER BY r8.item""".stripMargin
         (Seq(head) ++ roundCtes :+ tail).mkString(",\n")
       }
+    ),
+
+    // PII DETECTION + REDACTION — the scrubbing pass every LLM
+    // training-data pipeline runs before anything else ships. The test
+    // corpus carries no real PII, so the fixture DERIVES it: each doc's
+    // text is deterministically augmented with an email, and (on id
+    // residues) a phone / an IPv4 — pure string arithmetic both engines
+    // build identically (the phash gradient-corpus discipline: derive
+    // the fixture from doc_id, oracle the derivation). Detection is
+    // regexp_count per PII class; redaction replaces every match with
+    // a typed placeholder and proves the REWRITE itself via md5 of the
+    // redacted text (not just the counts). Patterns stay inside the
+    // RE2 ∩ Java-regex common dialect (no lookaround, no backrefs) so
+    // both engines compile them identically.
+    //
+    // Scale shape: map-only — regex scan + replace per row, no
+    // shuffle before the output sort; at 100 TB this is a pure
+    // columnar pass (the regex corpus scan IS the cost, which is why
+    // the patterns are anchored with \b and alternation-free).
+    QueryDef(
+      "q_curate_pii",
+      (s, dir) => {
+        val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+        val phoneRe = """\b555-[0-9]{4}\b"""
+        val ipRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+        val aug = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call 555-"), lit(1000) + col("doc_id") % 9000))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" from 10."), col("doc_id") % 256, lit("."),
+                (col("doc_id") / 7).cast(LongType) % 256, lit("."),
+                col("doc_id") % 254 + 1))
+              .otherwise(lit(""))).as("pii_text"))
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>"))
+        aug.select(col("doc_id"),
+            regexp_count(col("pii_text"), lit(emailRe))
+              .cast(LongType).as("n_email"),
+            regexp_count(col("pii_text"), lit(phoneRe))
+              .cast(LongType).as("n_phone"),
+            regexp_count(col("pii_text"), lit(ipRe))
+              .cast(LongType).as("n_ip"),
+            md5(redacted).as("redacted_md5"))
+          .withColumn("is_clean",
+            col("n_email") + col("n_phone") + col("n_ip") === 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         text || ' contact user' || doc_id || '@example.com'
+          |         || CASE WHEN doc_id % 3 = 0
+          |              THEN ' call 555-' || (1000 + doc_id % 9000)
+          |              ELSE '' END
+          |         || CASE WHEN doc_id % 5 = 0
+          |              THEN ' from 10.' || (doc_id % 256) || '.'
+          |                   || ((doc_id // 7) % 256) || '.'
+          |                   || (doc_id % 254 + 1)
+          |              ELSE '' END AS pii_text
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(pii_text,
+          |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+          |         AS n_email,
+          |       CAST(len(regexp_extract_all(pii_text,
+          |         '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+          |       CAST(len(regexp_extract_all(pii_text,
+          |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          |         AS BIGINT) AS n_ip,
+          |       md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+          |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |         '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+          |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+          |         '<IP>', 'g')) AS redacted_md5,
+          |       false AS is_clean
+          |FROM aug ORDER BY doc_id""".stripMargin)
     )
   )
 }
