@@ -99,6 +99,24 @@ object Similarity {
           (0 until PqM).map(m => slice(col("v"), m * PqD + 1, PqD)): _*))
           .as(Seq("sub", "sv")))
         .localCheckpoint()
+      // TRAIN-ON-SAMPLE (r10, the trainCentroids/q_embed_pca lever —
+      // the faiss train/add split): each Lloyd round scores every
+      // training row against all K codes through the interpreted HOF
+      // fold, so round cost is |train|·K — at the 30× probe the two
+      // full-corpus rounds dominated the cold index build (500 s → 254
+      // with the cap; the remaining cost is the inherent full-corpus
+      // ENCODE pass, which sampling cannot touch — and a static
+      // 256-way least() unroll of the argmin measured 4× WORSE, 1023
+      // s, so the fold form stays). Codebooks train on a deterministic
+      // hash sample capped at 64·K vectors (xxhash64 of the id —
+      // partitioning-invariant); corpora ≤ cap (every spec and bench
+      // corpus) train on the full set, so recalls and bench stamps
+      // are unchanged.
+      val nVec = e.count()
+      val trainCap = 64L * PqK
+      val trainSubs = if (nVec <= trainCap) subs
+        else subs.filter(
+          pmod(xxhash64(col("vec_id"), lit(0x9e37L)), lit(nVec)) < trainCap)
       val dist2 = (a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =>
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -129,7 +147,7 @@ object Similarity {
         .select(col("sub"), col("cell"), col("sv").as("cent"))
       var cents = seeds.localCheckpoint()
       for (_ <- 1 to 2) {
-        cents = subs.join(broadcast(toArrays(cents)), "sub")
+        cents = trainSubs.join(broadcast(toArrays(cents)), "sub")
           .withColumn("scored", scoredArr(col("cb"), col("sv")))
           .select(col("sub"),
             cellAt(col("cb"), col("scored"), array_min(col("scored")))
