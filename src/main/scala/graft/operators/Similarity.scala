@@ -571,6 +571,62 @@ object Similarity {
            |ORDER BY qid, rnk""".stripMargin)
     ),
 
+    // HARD-NEGATIVE MINING for contrastive training (the DPR-style
+    // complement of q_sample_negatives' random draws): for each anchor
+    // in a bounded query slice, the top-4 most-similar vectors whose
+    // LABEL differs — the "close but wrong" examples a contrastive
+    // loss learns most from. Exact cosine over the rounded 6-dp total
+    // order, so fully DuckDB-oracled (the q_similarity_topk
+    // discipline).
+    //
+    // Scale shape: bounded anchor set broadcasts with labels attached;
+    // the corpus streams through one map-only score+filter pass, and
+    // the per-anchor top-4 lowers to the bounded TopKPerKey operator
+    // (RewriteRowNumberTopK) — no global sort, no pair shuffle. At
+    // corpus scale the candidate generation swaps to the ANN/IVF
+    // bucket pipelines (q_similarity_ann/_ivf) with the same
+    // label-mismatch filter riding the candidate join.
+    QueryDef(
+      "q_sample_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val anchors = e.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("q_label"))
+        val corpus = e.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"), col("label").as("n_label"))
+        val scored = corpus.join(broadcast(anchors),
+            col("qid") =!= col("nid") && col("q_label") =!= col("n_label"))
+          .withColumn("cos",
+            round(VectorFns.cosineFast(col("qvec"), col("nvec")), 6))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        scored.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 4)
+          .select(col("qid"), col("rnk"), col("nid"), col("cos"),
+            col("q_label").cast(LongType).as("q_label"),
+            col("n_label").cast(LongType).as("n_label"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |         round(${VectorFns.OracleSql.cosine("q.embedding", "c.embedding")}, 6) AS cos,
+           |         CAST(q.label AS BIGINT) AS q_label,
+           |         CAST(c.label AS BIGINT) AS n_label
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 25 AND c.vec_id <> q.vec_id
+           |    AND c.label <> q.label),
+           |ranked AS (
+           |  SELECT qid, nid, cos, q_label, n_label,
+           |         row_number() OVER (PARTITION BY qid
+           |                            ORDER BY cos DESC, nid) AS rnk
+           |  FROM scored)
+           |SELECT qid, rnk, nid, cos, q_label, n_label
+           |FROM ranked WHERE rnk <= 4
+           |ORDER BY qid, rnk""".stripMargin)
+    ),
+
     // B47(b) — LSH ANN: per-vector top-3 among same-bucket candidates.
     // No oracle (bucket membership depends on the seeded hyperplanes);
     // SimilaritySpec asserts recall against brute force at sf0.001.

@@ -341,6 +341,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: labels differ, and each pick is a true different-label top-4") {
+    val rows = q("q_sample_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, nid, _, ql, nl) =>
+      assert(ql != nl, s"($qid,$nid): negative shares the anchor label")
+      assert(qid != nid)
+    }
+    // driver-side brute replay: the 4 picks per anchor must be exactly
+    // the 4 highest-cosine different-label vectors (rounded total
+    // order, nid tie-break)
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byAnchor = rows.groupBy(_._1)
+    byAnchor.foreach { case (qid, picks) =>
+      val (_, qv, ql) = e.find(_._1 == qid).get
+      val truth = e.filter(t => t._1 != qid && t._3 != ql)
+        .map(t => (t._1, cos(qv, t._2)))
+        .sortBy { case (nid, c) => (-c, nid) }.take(4).map(_._1).toSeq
+      val got = picks.sortBy(_._2).map(_._3).toSeq
+      assert(got == truth, s"anchor $qid: $got != brute $truth")
+    }
+  }
+
   test("int8 quantized retrieval: recall vs exact cosine; reconstruction within half-step") {
     val rows = q("q_similarity_quantized").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
