@@ -237,6 +237,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_similarity_quantized", // corpus x broadcast 8-query set (the
                             // q_similarity_topk candidate shape over
                             // int8 codes)
+      "q_sample_hard_negatives", // corpus x broadcast 25-anchor set
+                            // (the q_similarity_topk candidate shape
+                            // with the label-mismatch filter riding
+                            // the scan; scale path = ANN/IVF
+                            // candidates per the QueryDef note)
       "q_pref_bradleyterry") // bounded 64-item all-pairs comparison
                             // build + per-round |items|-row rating
                             // attaches (the comparison LOG is the
