@@ -47,6 +47,38 @@ object AsOf {
                   payload: Column, payloadName: String): DataFrame =
     lastEarlier(left, right.withColumn(payloadName, payload), key, ts, payloadName)
 
+  /** `merge_asof(direction="backward", tolerance=Δ)`: the backward
+    * match, NULLed when it lies more than `tolUs` microseconds before
+    * the left row — the pandas/dask tolerance parameter (a sensor
+    * reading too stale to attach is no match at all). Same single
+    * key-shuffle running-frame shape as [[lastEarlier]]; the match's
+    * own ts rides along in a struct (the [[nearest]] trick) so the
+    * staleness test is one exact-µs projection — no second join, no
+    * extra exchange. `ts` must be a timestamp column. */
+  def lastEarlierWithin(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, payload: String,
+                        tolUs: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftCols = left.columns
+    val rpType = StructType(Seq(
+      StructField("ts", right.schema(ts).dataType),
+      StructField("p", right.schema(payload).dataType)))
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__rp", lit(null).cast(rpType))
+    val r = right.select(col(key), col(ts), lit(0).as("__tag"),
+      struct(col(ts).as("ts"), col(payload).as("p")).as("__rp"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select((leftCols.map(col) :+ col("__tag") :+ col("__rp")): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .withColumn(payload,
+        when(unix_micros(col(ts)) - unix_micros(col("__b.ts")) <= tolUs,
+          col("__b.p")))
+      .drop("__tag", "__rp", "__b")
+  }
+
   /** `merge_asof(direction="forward")`: payload of the right row with the
     * SMALLEST `ts >= left.ts` within the key. Same single-shuffle window
     * shape as [[lastEarlier]], mirrored: the window runs as a RUNNING

@@ -427,6 +427,37 @@ object Relational {
           |ORDER BY e.event_id""".stripMargin)
     ),
 
+    // B12 — as-of join with TOLERANCE (merge_asof's tolerance=Δ): the
+    // backward match only counts within 1 hour — a reading staler than
+    // the tolerance is no match at all (the sensor-fusion contract).
+    // Fixture exercises both regimes (2114 kept / 7337 nulled at
+    // sf0.01). See [[AsOf.lastEarlierWithin]].
+    QueryDef(
+      "q_join_asof_tolerance",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+        AsOf.lastEarlierWithin(
+            e.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", ts = "ts",
+            payload = "purchase_id", tolUs = 3600L * 1000000L)
+          .select(col("event_id"), col("user_id"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id,
+          |       CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+          |            THEN p.purchase_id END AS purchase_id
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts
+          |ORDER BY e.event_id""".stripMargin)
+    ),
+
     // B12 — as-of join, nearest direction (ties backward, the pandas
     // convention). Oracle replays it as backward+forward ASOF joins and
     // an exact-µs distance compare. See [[AsOf.nearest]].

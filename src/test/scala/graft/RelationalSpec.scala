@@ -41,6 +41,29 @@ class RelationalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("as-of tolerance: equals the plain backward join with stale matches nulled") {
+    // the tolerance form must be EXACTLY the backward join, with every
+    // match farther than 1 h replaced by NULL — and the fixture must
+    // exercise both regimes
+    val plain = q("q_join_asof").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val pTs = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val tol = q("q_join_asof_tolerance").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    var kept = 0; var nulled = 0
+    tol.foreach { case (eid, got) =>
+      val expect = plain(eid).filter { pid =>
+        pTs(eid) - pTs(pid) <= 3600L * 1000L // ms
+      }
+      assert(got == expect, s"event $eid: $got != $expect")
+      if (plain(eid).isDefined) { if (got.isDefined) kept += 1 else nulled += 1 }
+    }
+    assert(kept > 0 && nulled > 0,
+      s"fixture must exercise both regimes (kept=$kept nulled=$nulled)")
+  }
+
   test("semi + anti partition the customer set") {
     val n = q("q_join_semi_anti").count()
     assert(n == sources.Tables.customer(spark, sf).count())
