@@ -19,6 +19,18 @@ import graft.sources.Tables
   */
 object Maintenance {
 
+  /** Eager directory listing that CLOSES the underlying stream —
+    * `Files.list` holds a directory handle until closed, and the lazy
+    * iterator idiom leaked one per call (q_snapshot_checkpoint resolves
+    * 9 versions per build; ADVICE r10). */
+  private[graft] def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+    } finally st.close()
+  }
+
   /** VACUUM for the q_snapshot_txn table: physically deletes data
     * files that are not in the LIVE set of any version ≥ `keepFrom`
     * (version-based retention; production uses a timestamp horizon,
@@ -35,8 +47,8 @@ object Maintenance {
     val log = Paths.get(root, "_log")
     val arr = """"(adds|removes)":\[([^\]]*)\]""".r
     val ver = """"version":(\d+)""".r
-    val manifests = Files.list(log).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+    val manifests = listDir(log)
+      .filter(_.getFileName.toString.endsWith(".json"))
       .map(Files.readString(_))
       .map { body =>
         val v = ver.findFirstMatchIn(body).get.group(1).toLong
@@ -155,8 +167,8 @@ object Maintenance {
       import java.nio.file.{Files, Paths}
       val log = Paths.get(tgt, "_log")
       Files.createDirectories(log)
-      Files.list(Paths.get(base, "_log")).sorted().forEach(f =>
-        Files.copy(f, log.resolve(f.getFileName)))
+      listDir(Paths.get(base, "_log")).sortBy(_.getFileName.toString)
+        .foreach(f => Files.copy(f, log.resolve(f.getFileName)))
       val ms = s.read.json(s"$tgt/_log")
         .select(col("version").cast(LongType), col("adds"), col("removes"))
         .collect()
@@ -342,9 +354,7 @@ object Maintenance {
   private[graft] def resolveWithCheckpoint(root: String, v: Long)
       : (Long, Long, Seq[String]) = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val names = Files.list(Paths.get(root, "_log")).iterator().asScala
-      .map(_.getFileName.toString).toSeq
+    val names = listDir(Paths.get(root, "_log")).map(_.getFileName.toString)
     val cpRe = """v(\d+)\.checkpoint\.json""".r
     val cp = names.collect { case cpRe(n) if n.toLong <= v => n.toLong }
       .maxOption.getOrElse(-1L)

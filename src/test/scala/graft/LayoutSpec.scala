@@ -376,7 +376,7 @@ class LayoutSpec extends SparkSpec {
     // retained version still reads in full; history metadata intact
     val total = sources.Tables.orders(spark, sf).count()
     assert(spark.read.parquet(s"$copy/compact0").count() == total)
-    assert(java.nio.file.Files.list(copy.resolve("_log")).count() == 4)
+    assert(operators.Maintenance.listDir(copy.resolve("_log")).size == 4)
     assert(!java.nio.file.Files.exists(copy.resolve("base")))
     // keepFrom = 0 retains everything: vacuum on the fresh copy with
     // full retention must delete nothing (idempotence guard)
@@ -398,10 +398,10 @@ class LayoutSpec extends SparkSpec {
     val arrRe = """"(adds|removes)":\[([^\]]*)\]""".r
     val verRe = """v(\d{3})\.json""".r
     def fullFold(rt: String, v: Long): Seq[String] = {
-      val ms = Files.list(Paths.get(rt, "_log")).iterator().asScala
+      val ms = operators.Maintenance.listDir(Paths.get(rt, "_log"))
         .flatMap(p => verRe.findFirstMatchIn(p.getFileName.toString)
           .map(m => m.group(1).toLong -> Files.readString(p)))
-        .filter(_._1 <= v).toSeq.sortBy(_._1)
+        .filter(_._1 <= v).sortBy(_._1)
       ms.foldLeft(Seq.empty[String]) { case (acc, (_, body)) =>
         val m = arrRe.findAllMatchIn(body)
           .map(x => x.group(1) -> x.group(2).split(",").toSeq
@@ -426,7 +426,7 @@ class LayoutSpec extends SparkSpec {
     // the O(1) head pointer names the newest checkpoint
     val lastCp = """\d+""".r.findFirstIn(
       Files.readString(Paths.get(root, "_last_checkpoint"))).get.toLong
-    val newestByName = Files.list(Paths.get(root, "_log")).iterator().asScala
+    val newestByName = operators.Maintenance.listDir(Paths.get(root, "_log"))
       .map(_.getFileName.toString)
       .collect { case n if n.endsWith(".checkpoint.json") =>
         """\d+""".r.findFirstIn(n).get.toLong }.max

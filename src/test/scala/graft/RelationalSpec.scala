@@ -47,15 +47,17 @@ class RelationalSpec extends SparkSpec {
     // exercise both regimes
     val plain = q("q_join_asof").collect()
       .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // staleness replays in MICROSECONDS — the query compares exact µs
+    // (ADVICE r10: a match in (1h, 1h+1ms) would flake a ms-grain replay)
     val pTs = sources.Tables.events(spark, sf)
-      .select(col("event_id"), col("ts")).collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      .select(col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tol = q("q_join_asof_tolerance").collect()
       .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
     var kept = 0; var nulled = 0
     tol.foreach { case (eid, got) =>
       val expect = plain(eid).filter { pid =>
-        pTs(eid) - pTs(pid) <= 3600L * 1000L // ms
+        pTs(eid) - pTs(pid) <= 3600L * 1000000L // µs
       }
       assert(got == expect, s"event $eid: $got != $expect")
       if (plain(eid).isDefined) { if (got.isDefined) kept += 1 else nulled += 1 }

@@ -97,8 +97,8 @@ class Streams2Spec extends SparkSpec {
         col("value"), unix_micros(col("ts")).as("ts_us"))
     src.repartition(8).write.mode("overwrite").json(staged)
     val expected = src.count()
-    val parts = Files.list(Paths.get(staged)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    val parts = operators.Maintenance.listDir(Paths.get(staged))
+      .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.toString)
     assert(parts.length >= 2, "need a multi-file backlog to split across incarnations")
     val in = freshDir("restart_in")
     val sink = freshDir("restart_sink")
