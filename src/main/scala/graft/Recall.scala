@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * All sets are collected pair sets — the exact references are small
   * (near-dup pairs / strong-similarity pairs), so driver-side set math
   * is the right tool; the queries themselves stay distributed.
+  *
+  * Truth-op scale contract (r11): above `Dedup.EmbedAnchorCap` the
+  * exact cosine reference (`q_dedup_embedding`) contains only pairs
+  * touching a deterministic hash-chosen anchor set — O(cap·n), not
+  * n²/2 — so the recalls graded against it become unbiased
+  * anchored-subset estimates. Every gate/bench corpus sits at or under
+  * the cap (sf0.1 = 2000 vectors), where the reference is the full
+  * pair set and all stamps are bit-identical to the unbounded form.
   */
 object Recall {
 

@@ -193,7 +193,10 @@ object Functions {
     ("word_ngrams", classOf[WordNgrams],
       exprs => WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     ("simhash64", classOf[SimHash64],
-      exprs => SimHash64(exprs(0))),
+      exprs =>
+        if (exprs.length > 1)
+          SimHash64(exprs(0), exprs(1).eval().asInstanceOf[Long])
+        else SimHash64(exprs(0))),
     ("kll_sketch_agg", classOf[KllSketchAgg],
       exprs => KllSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     ("kll_merge_agg", classOf[KllMergeAgg],

@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Registered as SQL `simhash64(text)` by [[Functions.registerAll]].
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, seed: Long = 42L)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -35,7 +35,7 @@ case class SimHash64(child: Expression)
     while (t < tokens.length) {
       val b = tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h = XXH64.hashUnsafeBytes(b,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
       var i = 0
       while (i < 64) {
         counts(i) += ((h >>> i) & 1L).toInt
@@ -60,4 +60,9 @@ case class SimHash64(child: Expression)
 
 object SimHash64 {
   def apply(text: Column): Column = call_function("simhash64", text)
+
+  /** Seeded variant — the multi-table near-dup screen derives its k
+    * OR-tables from k token-hash seeds (see Dedup.SimHashSeeds). */
+  def apply(text: Column, seed: Long): Column =
+    call_function("simhash64", text, org.apache.spark.sql.functions.lit(seed))
 }

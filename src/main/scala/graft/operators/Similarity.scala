@@ -305,6 +305,25 @@ object Similarity {
   val AdcRefineR: Int = sys.env.get("SPARK_GRAFT_ADC_REFINE")
     .map(_.toInt).getOrElse(50)
 
+  /** IVF-ADC query-side probe count. With refine in place, PROBE
+    * MISSES are the residual recall loss (SCALEPROBE r10: ivfadc 0.84
+    * vs the nProbe=6 candidate ceiling 0.875), and because the query
+    * slice is a bounded 5-id set, extra query probes cost only
+    * (queries × Δprobe × cell-fraction) candidate rows — unlike
+    * q_similarity_ivf, where EVERY corpus vector is a query and nProbe
+    * multiplies the whole candidate join. Measured sweep at sf0.1
+    * (SCALEPROBE r11): recall@10 — probe 6 → 0.84, 10 → 0.86,
+    * 16 → 0.92, 24 → 0.98; wall FLAT (4.12 s at 6 vs 4.11 s at 16 —
+    * the n·nCells assignment pass dominates, extra probes only add
+    * candidate rows for the 5 queries). 16 is the pick: past the 0.87
+    * target while probing 50% of the sf0.1 cells — 24 probes 75%,
+    * which stops measuring the index (at production cell counts,
+    * ivfCellsFor √n growth, 16 probes is 16% of cells at the 10×
+    * corpus and shrinking). The env override is dev-loop A/B tooling
+    * (SCALEPROBE protocol). */
+  val AdcNProbe: Int = sys.env.get("SPARK_GRAFT_ADC_NPROBE")
+    .map(_.toInt).getOrElse(16)
+
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, trainIters: Int, nProbe: Int,
                      corpusN: Long = -1L, hierarchical: Boolean = false,
@@ -1045,10 +1064,14 @@ object Similarity {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val n = e.count()
+        // the bounded query slice, defined ONCE — the candidate join,
+        // the lut build and the refine join all reuse it (ADVICE r10:
+        // three divergent copies would silently drop shortlist rows)
+        val isQuery = col("vec_id") < 5
         val probed = ivfProbeAssign(e, "vec_id", "embedding",
           nCells = ivfCellsFor(n),
-          trainIters = 3, nProbe = 6, corpusN = n).localCheckpoint()
-        val cand = probed.filter(col("vec_id") < 5)
+          trainIters = 3, nProbe = AdcNProbe, corpusN = n).localCheckpoint()
+        val cand = probed.filter(isQuery)
           .select(col("cell_id"), col("vec_id").as("qid"))
           .join(probed.filter(col("probe_rank") === 1)
             .select(col("cell_id"), col("vec_id").as("nid")), Seq("cell_id"))
@@ -1063,7 +1086,7 @@ object Similarity {
           aggregate(transform(a, x => x * x), lit(0.0), (acc, d) => acc + d)
         val ev = e.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
-        val queries = ev.filter(col("vec_id") < 5)
+        val queries = ev.filter(isQuery)
           .select(col("vec_id").as("qid"), col("v"),
             sqrt(sumSq(col("v"))).as("qn"))
         val qsubs = queries.select(col("qid"), posexplode(array(
@@ -1113,7 +1136,7 @@ object Similarity {
           short
             .join(e.select(col("vec_id").as("nid"),
               col("embedding").as("nv")), "nid")
-            .join(broadcast(e.filter(col("vec_id") < 5)
+            .join(broadcast(e.filter(isQuery)
               .select(col("vec_id").as("qid"),
                 col("embedding").as("qv"))), "qid")
             .withColumn("score",
@@ -1371,6 +1394,111 @@ object Similarity {
            |FROM labcnt l JOIN top t USING (cluster_id)
            |GROUP BY l.cluster_id
            |ORDER BY n_members DESC, cluster_id""".stripMargin)
+    ),
+
+    // North star — CLUSTER LABELING via class-based tf-idf (the
+    // BERTopic c-TF-IDF shape, Grootendorst arXiv:2203.05794): each
+    // embedding cluster (q_embed_clusters' connected components) gets
+    // its top-5 most-characteristic terms — score(t, c) = tf_{t,c} ·
+    // ln(1 + A / f_t) with tf_{t,c} the exact per-cluster term count,
+    // f_t the exact corpus count and A the average tokens per cluster.
+    // The missing glue between the embedding family and the text
+    // family: every corpus-exploration user wants cluster names, not
+    // numeric ids (VERDICT r10 missing-item 3).
+    //
+    // Float discipline: every input to the score is an exact BIGINT
+    // (cluster/corpus term counts from the staged tf index); the ln
+    // weight quantizes to integer MICROS (the ndcg log2-micro
+    // precedent) and the rank key is the exact integer product
+    // tf·w_micro with a term tie-break — both engines rank identical
+    // integers. A (one shared double) and the final display score are
+    // the only float ops, identical single associations.
+    //
+    // Scale shape: the fact stream collapses to the bounded
+    // (cluster × term) GRID first — one staged-index read, one
+    // shuffle (the series-ops grid discipline); f_t comes from a
+    // window over the grid (≤ n_clusters rows per term partition —
+    // never a second pass over the corpus, the r9 count-over-window
+    // lesson), the two corpus scalars ride one 1-row broadcast attach
+    // (allowlisted), and the per-cluster top-5 lowers to TopKPerKey.
+    QueryDef(
+      "q_embed_cluster_labels",
+      (s, dir) => {
+        val groups = embedClusterGroups(s, dir)
+          .withColumnRenamed("vec_id", "doc_id")
+        // bounded (cluster × term) grid; checkpointed once — it feeds
+        // the window/rank chain AND the 1-row totals aggregate, and
+        // without the pin the second consumer re-runs the join
+        val grid = TextAnalysis.tfIndex(s, dir)
+          .join(groups, "doc_id")
+          .groupBy(col("cluster_id"), col("term"))
+          .agg(sum(col("tf")).as("ctf"))
+          .localCheckpoint()
+        val wTerm = Window.partitionBy(col("term"))
+        val tot = grid.agg(
+          sum(col("ctf")).as("total_tokens"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        val avgPerCluster = col("total_tokens").cast("double") /
+          col("n_clusters").cast("double")
+        val scored = grid
+          .withColumn("f_t", sum(col("ctf")).over(wTerm))
+          .crossJoin(broadcast(tot))
+          .withColumn("w_micro",
+            round(log(lit(1.0) + avgPerCluster / col("f_t").cast("double")) *
+              1e6).cast(LongType))
+          .withColumn("score_micro", col("ctf") * col("w_micro"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score_micro").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("cluster_id"), col("rnk"), col("term"), col("ctf"),
+            round(col("score_micro").cast("double") / 1e6, 6).as("score"))
+          .orderBy(col("cluster_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |  WHERE round(${VectorFns.OracleSql.cosine("a.embedding", "b.embedding")}, 6) >= 0.45),
+           |edges AS (
+           |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+           |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+           |reach(vec_id, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.vec_id = e.dst),
+           |grouped AS (
+           |  SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split(lower(text), ' ')) AS term
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |grid AS MATERIALIZED (
+           |  SELECT g.cluster_id, t.term, CAST(sum(t.tf) AS BIGINT) AS ctf
+           |  FROM tf t JOIN grouped g ON g.vec_id = t.doc_id
+           |  GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT CAST(sum(ctf) AS BIGINT) AS total_tokens,
+           |         count(DISTINCT cluster_id) AS n_clusters
+           |  FROM grid),
+           |scored AS (
+           |  SELECT cluster_id, term, ctf,
+           |         CAST(ctf * CAST(round(ln(1 +
+           |             (CAST(total_tokens AS DOUBLE) / CAST(n_clusters AS DOUBLE))
+           |             / (CAST(CAST(sum(ctf) OVER (PARTITION BY term) AS BIGINT)
+           |                AS DOUBLE))) * 1e6)
+           |           AS BIGINT) AS BIGINT) AS score_micro
+           |  FROM grid, tot),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |            ORDER BY score_micro DESC, term) AS rnk
+           |  FROM scored)
+           |SELECT cluster_id, rnk, term, ctf,
+           |       round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS score
+           |FROM ranked WHERE rnk <= 5
+           |ORDER BY cluster_id, rnk""".stripMargin)
     ),
 
     // Per-dimension STANDARDIZATION (the feature-store z-score pass)

@@ -21,11 +21,42 @@ class LlmOpsSpec extends SparkSpec {
   test("simhash: near-dup docs (jaccard>=0.9) appear with small hamming") {
     val r = recalls("simhash")
     assume(r.exactPairs > 0)
-    // measured 0.78 at sf0.001 / 0.755 at sf0.1; deterministic data, so
-    // the floor sits just under measured — a silent recall regression
-    // must fail, not coast on slack
-    assert(r.recall >= 0.72,
+    // r11 multi-table screen (3 zero-bg seeds, Dedup.SimHashSeeds):
+    // measured 0.916 at sf0.1 (single-table was 0.755); deterministic
+    // data, so the floor sits just under measured — a silent recall
+    // regression must fail, not coast on slack
+    assert(r.recall >= 0.85,
       s"simhash recall ${r.recall} over ${r.exactPairs} near-dup pairs")
+  }
+
+  test("multi-table simhash == OR of the single-table screens, emit-once") {
+    // replay: the k-table screen must emit exactly the union of the k
+    // single-table screens' pair sets (same radius), with hamming =
+    // the per-pair minimum across tables — and emit each pair once
+    // (the in-projection first-matching-band filter replaces the
+    // pair-dedup shuffle)
+    val docs = sources.Tables.documents(spark, sf)
+    val multi = q("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    assert(multi.length == multi.toMap.size, "emit-once violated")
+    val singles = operators.Dedup.SimHashSeeds.map { seed =>
+      operators.Dedup.simhashNearDups(
+        docs.select(col("doc_id"),
+          functions.SimHash64(col("text"), seed).as("simhash")),
+        maxHamming = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val expect = singles.flatMap(_.keys).distinct.map { p =>
+      p -> singles.flatMap(_.get(p)).min
+    }.toMap
+    // min-hamming may be carried by a table whose own radius missed
+    // (pair found by table A, min distance under table B > 3 is
+    // impossible since min <= A's <= 3 — but min could come from a
+    // non-matching table's SMALLER distance only if that table also
+    // matched; distances < 4 always match their own table's banding)
+    assert(multi.toMap == expect,
+      s"multi-table screen must equal the single-table union " +
+        s"(${multi.length} vs ${expect.size})")
   }
 
   test("ann: recall >= 0.8 against brute force on strong pairs") {
@@ -52,6 +83,38 @@ class LlmOpsSpec extends SparkSpec {
     // just under measured
     assert(r.recall >= 0.8,
       s"LSH dedup recall ${r.recall} on ${r.exactPairs} pairs")
+  }
+
+  test("anchored ground truth == brute pairs restricted to anchor-touching pairs; full at/below cap") {
+    // the r10 verdict's one `weak`: above EmbedAnchorCap the truth op
+    // computes exact pairs only for a hash-chosen anchor set (O(cap·n),
+    // not n²/2). Force the anchored path with a tiny cap and prove it
+    // is EXACTLY the brute set restricted to anchor-touching pairs —
+    // same cosines, emit-once (no duplicates) — and that a cap ≥ n
+    // reproduces the full form bit-identically (the sf0.1 bench regime,
+    // which is what keeps every stamped recall unchanged).
+    val e = sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val full = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assume(full.nonEmpty)
+    val cap = 32L
+    assert(cap < n, "fixture must be large enough to force the anchored path")
+    val anchorIds = e.filter(operators.Dedup.isEmbedAnchor(col("vec_id"), n, cap))
+      .collect().map(_.getLong(0)).toSet
+    assert(anchorIds.nonEmpty && anchorIds.size < n,
+      s"anchor set must be a proper nonempty subset (got ${anchorIds.size} of $n)")
+    val anchoredRows = operators.Dedup.embeddingBrutePairs(spark, sf, anchorCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(anchoredRows.length == anchoredRows.toMap.size,
+      "emit-once: anchored form must not duplicate any pair")
+    val expected = full.filter { case ((a, b), _) => anchorIds(a) || anchorIds(b) }
+    assert(anchoredRows.toMap == expected,
+      s"anchored truth must equal the anchor-touching brute subset " +
+        s"(${anchoredRows.length} vs ${expected.size})")
+    val atCap = operators.Dedup.embeddingBrutePairs(spark, sf, anchorCap = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(atCap == full, "cap >= n must reproduce the full brute form")
   }
 
   test("semantic dedup: drops are a subset of the brute rule's, recall floored, partition complete") {
@@ -495,9 +558,9 @@ class LlmOpsSpec extends SparkSpec {
   test("ivf-adc: recall@10 floored; refine scores exact; candidates never invented") {
     val r = recalls("ivf_adc")
     assume(r.exactPairs > 0)
-    // measured 0.84 at sf0.1 with the r10 exact-refine stage (was 0.64
-    // pure-ADC — code quantization is no longer a ranking loss term,
-    // so the stamp tracks the IVF candidate recall 0.875); floor 0.6
+    // measured 0.92 at sf0.1 with refine + the r11 nProbe=16 retune
+    // (0.64 pure-ADC → 0.84 refine/6-probe → 0.92 at the measured
+    // sweep knee, wall flat — see Similarity.AdcNProbe); floor 0.6
     // kept as the regression gate per the r9 verdict
     assert(r.recall >= 0.6,
       s"ivf-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
@@ -1051,6 +1114,51 @@ class LlmOpsSpec extends SparkSpec {
         (if (idcg > 0) r6(dcg.toDouble / idcg) else 0.0)) < 1e-9,
         s"q$qid ndcg")
     }
+  }
+
+  test("cluster labels: exact c-TF-IDF replay over tf index × cluster assignment") {
+    // q_embed_cluster_labels: replay the whole scoring pipeline
+    // driver-side with the same exact-integer math (grid counts,
+    // micro-quantized ln weight, integer rank key, term tie-break) and
+    // require identical output — ranks, terms, counts and scores
+    val rows = q("q_embed_cluster_labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val groups = operators.Similarity.embedClusterGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grid = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+    docs.foreach { case (id, text) =>
+      groups.get(id).foreach { cid =>
+        // limit -1: Spark/DuckDB split keep trailing empty tokens
+        text.toLowerCase.split(" ", -1).foreach { t =>
+          grid((cid, t)) = grid.getOrElse((cid, t), 0L) + 1L
+        }
+      }
+    }
+    val fT = grid.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val total = grid.values.sum
+    val nClusters = grid.keys.map(_._1).toSet.size
+    val a = total.toDouble / nClusters.toDouble
+    val expect = grid.toSeq.map { case ((cid, t), ctf) =>
+      val wMicro = math.round(math.log(1.0 + a / fT(t).toDouble) * 1e6)
+      (cid, t, ctf, ctf * wMicro)
+    }.groupBy(_._1).toSeq.flatMap { case (cid, ts) =>
+      ts.sortBy { case (_, t, _, sm) => (-sm, t) }.take(5).zipWithIndex
+        .map { case ((_, t, ctf, sm), i) =>
+          (cid, (i + 1).toLong, t, ctf,
+            BigDecimal(sm.toDouble / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == expect, "c-TF-IDF labels must replay exactly")
+    // labeling covers every cluster the cluster view reports
+    val clusterIds = q("q_embed_clusters").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == clusterIds,
+      "every cluster must receive labels")
   }
 
   test("embed clusters: partition the corpus; replay via union-find on brute pairs") {

@@ -180,7 +180,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_join_range",       // band join, tiny broadcast build side
       "q_similarity_topk",  // corpus x broadcast 5-query set
       "q_similarity_ivf",   // corpus x broadcast 16 centroids
-      "q_dedup_embedding",  // brute reference form (scale path = _lsh)
+      "q_dedup_embedding",  // exact ground-truth form (scale path =
+                            // _lsh): n²/2 brute at/below EmbedAnchorCap
+                            // (this fixture), bounded ≤2048-anchor
+                            // broadcast × corpus above it
       "q_dedup_semantic",   // corpus x broadcast ~sqrt(n) centroids
       "q_similarity_incremental", // BATCH x broadcast standing
                             // centroids (the faiss add step; corpus
@@ -194,6 +197,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_text_bpe",         // 1-row broadcast per merge round (argmax
                             // pair attach), over the bounded vocab
 
+      "q_embed_cluster_labels", // 1-row broadcast (total-tokens /
+                            // n-clusters scalar attach onto the bounded
+                            // cluster×term grid)
       "q_market_basket",    // 1-row broadcast (basket-count scalar attach)
       "q_mix_domains",      // 1-row broadcast (budget/sum-of-weights attach)
       "q_mix_temperature",  // 1-row broadcast (total/sum-sqrt-weights attach)
