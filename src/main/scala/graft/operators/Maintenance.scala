@@ -19,6 +19,45 @@ import graft.sources.Tables
   */
 object Maintenance {
 
+  /** NDV auto-switch threshold for the ANALYZE pass: fact tables at or
+    * under this row count compute exact count(DISTINCT) per column
+    * (the oracled exemplar — the sf0.01 gate corpus is 60k rows);
+    * above it the identical pass swaps in approx_count_distinct and
+    * the N× Expand row multiplier disappears. The corpus-size-driven
+    * auto-switch discipline of ivfCellsFor/ClusterBruteMaxN. Env
+    * override is dev-loop A/B tooling (SCALEPROBE protocol). */
+  val NdvExactMaxN: Long = sys.env.get("SPARK_GRAFT_NDV_EXACT_MAX")
+    .map(_.toLong).getOrElse(100000L)
+
+  /** q_table_stats body — see the QueryDef comment. `exactMax` is the
+    * NDV switch, parameterized so the spec can force the approx path
+    * at fixture scale and pin its plan shape. */
+  def tableStatsPlan(s: org.apache.spark.sql.SparkSession, dir: String,
+                     exactMax: Long = NdvExactMaxN)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(s, dir)
+    val exact = li.count() <= exactMax
+    val ndvOf = (c: String) =>
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      ndvOf(c).as(s"${c}_ndv"),
+      min(col(c)).cast(DoubleType).as(s"${c}_min"),
+      max(col(c)).cast(DoubleType).as(s"${c}_max")))
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"${c}_n")).as("n_null"),
+        col(s"${c}_ndv").as("ndv"),
+        col(s"${c}_min").as("min_v"),
+        col(s"${c}_max").as("max_v"))): _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** Eager directory listing that CLOSES the underlying stream —
     * `Files.list` holds a directory handle until closed, and the lazy
     * iterator idiom leaked one per call (q_snapshot_checkpoint resolves
@@ -1053,13 +1092,19 @@ object Maintenance {
     ),
 
     // ANALYZE-TABLE statistics pass (the CBO input every warehouse
-    // maintains): per-column row count, null count, exact NDV, and
+    // maintains): per-column row count, null count, NDV, and
     // min/max over the fact table, as ONE aggregate pass — adding a
     // column adds aggregate expressions, not a scan. Exact
     // count(DISTINCT) for N columns plans through Spark's Expand
     // (N× row multiplier before the partial aggregate) — the exact
-    // form is the oracle-able exemplar; at 100 TB the same pass runs
-    // with approx_count_distinct (B16) and the Expand disappears.
+    // form is the oracle-able exemplar BELOW [[NdvExactMaxN]]; above
+    // it the same pass auto-switches to approx_count_distinct (B16,
+    // the 100 TB form — a CBO consumer needs NDV's magnitude, not its
+    // last digit) and the Expand disappears (plan-pinned). The gate
+    // corpus (sf0.01, 60k rows) sits under the switch, so the DuckDB
+    // oracle stays exact; sf0.1's 600k-row fact table takes the
+    // approx path (r10 verdict item 7 — the Expand pass was a top-12
+    // bench cost at 3.09 s).
     // min/max are actual data values (no float summation), so the
     // doubles compare exactly cross-engine without rounding.
     // CONSUMED BY THE CBO: PlanAuditSpec ("table stats feed the CBO")
@@ -1068,26 +1113,7 @@ object Maintenance {
     // order — the stats exist to be planned with, not just reported.
     QueryDef(
       "q_table_stats",
-      (s, dir) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-          "l_quantity", "l_extendedprice", "l_discount")
-        val li = Tables.lineitem(s, dir)
-        val aggs = cols.flatMap(c => Seq(
-          count(col(c)).as(s"${c}_n"),
-          countDistinct(col(c)).as(s"${c}_ndv"),
-          min(col(c)).cast(DoubleType).as(s"${c}_min"),
-          max(col(c)).cast(DoubleType).as(s"${c}_max")))
-        li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-          .select(explode(array(cols.map(c => struct(
-            lit(c).as("col_name"),
-            col("n_rows"),
-            (col("n_rows") - col(s"${c}_n")).as("n_null"),
-            col(s"${c}_ndv").as("ndv"),
-            col(s"${c}_min").as("min_v"),
-            col(s"${c}_max").as("max_v"))): _*)).as("r"))
-          .select(col("r.*"))
-          .orderBy(col("col_name"))
-      },
+      (s, dir) => tableStatsPlan(s, dir),
       Some {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice", "l_discount")

@@ -574,6 +574,36 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket counts must partial-aggregate map-side:\n$p")
   }
 
+  test("table stats NDV auto-switch: no Expand above the threshold, exact below") {
+    // r10 verdict item 7: above NdvExactMaxN the ANALYZE pass swaps
+    // exact count(DISTINCT) for approx_count_distinct and the N×
+    // Expand row multiplier must leave the plan; below it the exact
+    // form stays (the oracled gate regime). Forced via the exactMax
+    // parameter at fixture scale.
+    val approx = operators.Maintenance.tableStatsPlan(spark, sf, exactMax = 0L)
+    val pApprox = approx.queryExecution.executedPlan.toString
+    assert(!pApprox.contains("Expand"),
+      s"approx NDV pass must not plan through Expand:\n$pApprox")
+    val exact = operators.Maintenance.tableStatsPlan(spark, sf,
+      exactMax = Long.MaxValue)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact NDV pass (the oracled exemplar) plans through Expand")
+    // the switch changes ONLY ndv, and approx ndv stays within the
+    // HLL envelope of exact (default rsd 0.05 ⇒ 15% is the 3σ bound;
+    // measured worst at this fixture: l_quantity 47 vs 50 = 6%)
+    val eRows = exact.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val aRows = approx.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(eRows.keySet == aRows.keySet)
+    eRows.foreach { case (c, (n, nn, ndv, mn, mx)) =>
+      val (an, ann, andv, amn, amx) = aRows(c)
+      assert((n, nn, mn, mx) == ((an, ann, amn, amx)), s"$c non-ndv drift")
+      assert(math.abs(andv - ndv).toDouble / math.max(ndv, 1L) < 0.15,
+        s"$c approx ndv $andv vs exact $ndv")
+    }
+  }
+
   test("table stats feed the CBO: ANALYZE flips a 3-way join order") {
     // Closes the q_table_stats loop (Maintenance.scala): the ANALYZE
     // pass that query exemplifies is consumed here by Spark's
