@@ -547,7 +547,10 @@ object Dedup {
     * anchor-nonanchor pair from its single anchor row, canonicalized
     * to (least, greatest). Identical cosine arithmetic, so on any
     * corpus the anchored output EQUALS the brute output restricted to
-    * anchor-touching pairs (DedupSpec replays this). */
+    * anchor-touching pairs (LlmOpsSpec replays this). The corpus side
+    * carries its anchor-membership as a COLUMN — the BNLJ condition
+    * evaluates per PAIR, and reading a boolean beats re-hashing the id
+    * cap·n times. */
   def embeddingBrutePairs(s: SparkSession, dir: String,
                           anchorCap: Long = EmbedAnchorCap): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -571,11 +574,11 @@ object Dedup {
         .select(col("vec_id").as("aid"), col("embedding").as("ea"),
           col("nrm").as("na"))
       val corp = e.select(col("vec_id").as("bid"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
+        col("nrm").as("nb"),
+        isEmbedAnchor(col("vec_id"), n, anchorCap).as("b_anch"))
       corp.join(broadcast(anc),
           col("aid") =!= col("bid") &&
-            (col("aid") < col("bid") ||
-              !isEmbedAnchor(col("bid"), n, anchorCap)))
+            (col("aid") < col("bid") || !col("b_anch")))
         .withColumn("cos_raw",
           VectorFns.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos_raw") >= 0.4499)
