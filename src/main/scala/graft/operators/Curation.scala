@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.QueryDef
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -1554,6 +1554,190 @@ object Curation {
           |       -- gate would flag the drift, this comment names the fix
           |       false AS is_clean
           |FROM aug ORDER BY doc_id""".stripMargin)
+    ),
+
+    // DOMAIN-LEVEL URL CURATION — the RefinedWeb/C4-style source screen
+    // (Penedo et al., arXiv:2306.01116 §3.1: URL filtering precedes all
+    // content filtering): parse the registered domain out of each doc's
+    // URL, drop blocklisted domains and tracking paths, then cap how
+    // many docs any single domain may contribute, keeping its
+    // highest-quality docs. The corpus has no URL column, so the
+    // fixture DERIVES one per doc from doc_id (the q_curate_pii
+    // discipline: derive the fixture deterministically, oracle the
+    // derivation) — a hot portal domain holding ~40% of the corpus
+    // makes the cap do real work.
+    //
+    // Scale shape: parse + blocklist + path filter are map-only (the
+    // blocklist is a broadcast anti-join — at 100 TB a real blocklist
+    // is a table, not an IN-list); the per-domain cap runs on the
+    // custom TopKPerKey operator, whose map-side partial top-k bounds
+    // the exchange to ≤cap rows per domain per input partition — the
+    // hot domain never concentrates in one window partition the way a
+    // row_number cap would (the ~10⁷-rows-in-one-group crossover
+    // measured in SCALEPROBE r11 is unreachable by construction).
+    QueryDef(
+      "q_curate_domains",
+      (s, dir) => {
+        import s.implicits._
+        val url = concat(
+          lit("https://"),
+          element_at(array(lit("www"), lit("blog"), lit("cdn")),
+            (pmod(col("doc_id"), lit(3L)) + 1).cast(IntegerType)),
+          lit("."),
+          when(pmod(col("doc_id"), lit(5L)) < 2, lit("bigportal"))
+            .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50L)))),
+          lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+            (pmod(col("doc_id"), lit(4L)) + 1).cast(IntegerType)),
+          when(pmod(col("doc_id"), lit(11L)) === 0, lit("/track/"))
+            .otherwise(lit("/page/")),
+          col("doc_id"))
+        val blocklist = Seq(
+          "site13.com", "site13.org", "site13.net", "site13.io",
+          "site26.com", "site26.org", "site26.net", "site26.io",
+          "site39.com", "site39.org", "site39.net", "site39.io")
+          .toDF("blocked_domain")
+        val parsed = Tables.documents(s, dir)
+          .withColumn("url", url)
+          // registered domain = last two dot-labels of the host; the
+          // subdomain (www/blog/cdn) is deliberately NOT part of the
+          // curation key
+          .withColumn("host",
+            regexp_extract(col("url"), "^https://([^/]+)/", 1))
+          .withColumn("domain",
+            regexp_extract(col("host"), "([a-z0-9]+\\.[a-z]+)$", 1))
+        val kept = parsed
+          .filter(!col("url").like("%/track/%"))
+          .join(broadcast(blocklist),
+            col("domain") === col("blocked_domain"), "left_anti")
+          // quality = distinct-token count: an exact BIGINT, so the
+          // cross-engine rank key needs no float discipline
+          .withColumn("score",
+            size(array_distinct(TextFns.tokens(col("text"))))
+              .cast(LongType))
+        TopK.topKPerKey(
+            kept.select(col("doc_id"), col("domain"), col("score")),
+            keys = Seq("domain"),
+            order = Seq(("score", false), ("doc_id", true)),
+            k = 20, rankName = "domain_rank")
+          .orderBy(col("domain"), col("domain_rank"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id, text,
+          |         'https://' || ['www','blog','cdn'][CAST(doc_id % 3 AS INT) + 1]
+          |         || '.' || CASE WHEN doc_id % 5 < 2 THEN 'bigportal'
+          |                        ELSE 'site' || (doc_id % 50) END
+          |         || '.' || ['com','org','net','io'][CAST(doc_id % 4 AS INT) + 1]
+          |         || CASE WHEN doc_id % 11 = 0 THEN '/track/' ELSE '/page/' END
+          |         || doc_id AS url
+          |  FROM documents),
+          |parsed AS (
+          |  SELECT doc_id, text, url,
+          |         regexp_extract(regexp_extract(url, '^https://([^/]+)/', 1),
+          |                        '([a-z0-9]+\.[a-z]+)$', 1) AS domain
+          |  FROM aug),
+          |kept AS (
+          |  SELECT doc_id, domain,
+          |         CAST(len(list_distinct(string_split(lower(text), ' ')))
+          |           AS BIGINT) AS score
+          |  FROM parsed
+          |  WHERE url NOT LIKE '%/track/%'
+          |    AND domain NOT IN (
+          |      'site13.com','site13.org','site13.net','site13.io',
+          |      'site26.com','site26.org','site26.net','site26.io',
+          |      'site39.com','site39.org','site39.net','site39.io'))
+          |SELECT doc_id, domain, score, domain_rank FROM (
+          |  SELECT doc_id, domain, score,
+          |         row_number() OVER (PARTITION BY domain
+          |           ORDER BY score DESC, doc_id) AS domain_rank
+          |  FROM kept)
+          |WHERE domain_rank <= 20
+          |ORDER BY domain, domain_rank""".stripMargin)
+    ),
+
+    // URL-CANONICALIZATION DEDUP — the FIRST dedup a crawl pipeline
+    // runs, before any content hashing: http→https, www-strip,
+    // tracking-parameter strip (utm_*/sid), fragment strip, trailing-
+    // slash strip, then exact dedup on the canonical form (the
+    // CommonCrawl/RefinedWeb "URL deduplication" stage). The fixture
+    // derives raw URLs whose superficial variants (scheme, www,
+    // utm/sid query, #fragment, trailing slash) collapse onto a
+    // denser canonical key space, so real multi-variant groups exist
+    // at every SF. All five rewrites stay inside the RE2 ∩ Java
+    // common dialect; Spark's regexp_replace is replace-ALL, matched
+    // by DuckDB's 'g' flag (each pattern is anchored or
+    // single-occurrence anyway).
+    //
+    // Scale shape: map-only normalization, then ONE shuffle on the
+    // canonical string for min/count (map-combined). Group size grows
+    // with corpus but the aggregate is associative — no window, no
+    // skew exposure.
+    QueryDef(
+      "q_dedup_url",
+      (s, dir) => {
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("http://"))
+            .otherwise(lit("https://")),
+          when(pmod(col("doc_id"), lit(3L)) === 0, lit("www."))
+            .otherwise(lit("")),
+          lit("host"), pmod(col("doc_id"), lit(20L)), lit(".com"),
+          lit("/p/"), pmod((col("doc_id") / 7).cast(LongType), lit(13L)),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit("/"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4L)) === 0,
+            concat(lit("?utm_source=feed&sid="), col("doc_id")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6L)) === 0,
+            concat(lit("#sec"), pmod(col("doc_id"), lit(7L))))
+            .otherwise(lit("")))
+        val canonical = regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("url"), lit("#.*$"), lit("")),
+                lit("""\?(utm_[a-z]+|sid)=[^&]*(&(utm_[a-z]+|sid)=[^&]*)*$"""),
+                lit("")),
+              lit("^http://"), lit("https://")),
+            lit("""://www\."""), lit("://")),
+          lit("/$"), lit(""))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), canonical.as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_variants"))
+          .orderBy(col("keeper_id"))
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+          |         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+          |         || 'host' || (doc_id % 20) || '.com'
+          |         || '/p/' || ((doc_id // 7) % 13)
+          |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+          |         || (CASE WHEN doc_id % 4 = 0
+          |               THEN '?utm_source=feed&sid=' || doc_id ELSE '' END)
+          |         || (CASE WHEN doc_id % 6 = 0
+          |               THEN '#sec' || (doc_id % 7) ELSE '' END) AS url
+          |  FROM documents),
+          |norm AS (
+          |  SELECT doc_id,
+          |         regexp_replace(
+          |           regexp_replace(
+          |             regexp_replace(
+          |               regexp_replace(
+          |                 regexp_replace(url, '#.*$', '', 'g'),
+          |                 '\?(utm_[a-z]+|sid)=[^&]*(&(utm_[a-z]+|sid)=[^&]*)*$',
+          |                 '', 'g'),
+          |               '^http://', 'https://', 'g'),
+          |             '://www\.', '://', 'g'),
+          |           '/$', '', 'g') AS canonical_url
+          |  FROM aug)
+          |SELECT canonical_url, min(doc_id) AS keeper_id,
+          |       count(*) AS n_variants
+          |FROM norm GROUP BY 1 ORDER BY keeper_id""".stripMargin)
     )
   )
 }

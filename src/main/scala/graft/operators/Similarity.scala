@@ -646,6 +646,88 @@ object Similarity {
            |ORDER BY qid, rnk""".stripMargin)
     ),
 
+    // MATRYOSHKA DIMENSION-BUDGET REPORT (Kusupati et al.,
+    // arXiv:2205.13147): retrieval recall@10 when ranking by only the
+    // FIRST d dimensions of the embedding, per budget d ∈ {8,16,32,64},
+    // against the full-dim exact top-10 — the measurement behind every
+    // "can we store/search 4× fewer dims?" decision. On MRL-trained
+    // embeddings the curve stays near 1.0 at small d; on these
+    // hash-derived test vectors it degrades hard — that degradation is
+    // exactly what the report exists to expose before a pipeline
+    // truncates its index.
+    //
+    // Fully oracled: truncated cosine is the same exact-double formula
+    // as q_similarity_topk over a prefix slice, rounded 6 dp with nid
+    // tie-break (total order), and recall is an integer overlap count.
+    // Scale shape: bounded 5-query broadcast × corpus stream (the
+    // q_similarity_topk class), budgets explode AFTER the pair join
+    // (4 bounded generator rows per pair, no extra join); per-(budget,
+    // query) top-10 lowers to TopKPerKey via RewriteRowNumberTopK. A
+    // production pass would compute the 4 prefix cosines from one
+    // 8/16/32/64 segment-dot decomposition (one scan of the dims);
+    // the 4-slice form here keeps the oracle association identical
+    // per budget.
+    QueryDef(
+      "q_embed_matryoshka",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = e
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+          .join(broadcast(queries), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            explode(array(lit(8), lit(16), lit(32), lit(64)))
+              .as("dim_budget"), col("qvec"), col("nvec"))
+          .withColumn("cos", round(VectorFns.cosineFast(
+            slice(col("qvec"), lit(1), col("dim_budget")),
+            slice(col("nvec"), lit(1), col("dim_budget"))), 6))
+        val w = Window.partitionBy(col("dim_budget"), col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        val top10 = scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("dim_budget"), col("qid"), col("nid"))
+          .localCheckpoint() // consumed twice: as budget rows and as truth
+        val truth = top10.filter(col("dim_budget") === 64)
+          .select(col("qid").as("tqid"), col("nid").as("tnid"))
+        top10.join(truth,
+            col("qid") === col("tqid") && col("nid") === col("tnid"),
+            "left_outer")
+          .groupBy(col("dim_budget"), col("qid"))
+          .agg(count(col("tnid")).as("n_overlap"))
+          .withColumn("recall_at_10",
+            round(col("n_overlap") / 10.0, 6))
+          .orderBy(col("dim_budget"), col("qid"))
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"""list_sum(list_transform(range(1, b.dim_budget + 1),
+             |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+        s"""WITH scored AS (
+           |  SELECT b.dim_budget, q.vec_id AS qid, c.vec_id AS nid,
+           |         round(${dot("q.embedding", "c.embedding")}
+           |           / (sqrt(${dot("q.embedding", "q.embedding")})
+           |            * sqrt(${dot("c.embedding", "c.embedding")})), 6) AS cos
+           |  FROM embeddings q
+           |  JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+           |  CROSS JOIN (VALUES (8), (16), (32), (64)) AS b(dim_budget)),
+           |ranked AS (
+           |  SELECT dim_budget, qid, nid,
+           |         row_number() OVER (PARTITION BY dim_budget, qid
+           |           ORDER BY cos DESC, nid) AS rnk
+           |  FROM scored),
+           |top10 AS (SELECT dim_budget, qid, nid FROM ranked WHERE rnk <= 10),
+           |truth AS (SELECT qid, nid FROM top10 WHERE dim_budget = 64)
+           |SELECT t.dim_budget, t.qid,
+           |       CAST(count(tr.nid) AS BIGINT) AS n_overlap,
+           |       round(count(tr.nid) / 10.0, 6) AS recall_at_10
+           |FROM top10 t LEFT JOIN truth tr
+           |  ON t.qid = tr.qid AND t.nid = tr.nid
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }
+    ),
+
     // B47(b) — LSH ANN: per-vector top-3 among same-bucket candidates.
     // No oracle (bucket membership depends on the seeded hyperplanes);
     // SimilaritySpec asserts recall against brute force at sf0.001.

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.QueryDef
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -161,6 +161,62 @@ object TextAnalysis {
          |  FROM f, w12 w)""".stripMargin
     (head +: roundCtes :+ scored).mkString(",\n")
   }
+
+  /** Bounded top-2000 (word, cnt) table shared by the WordPiece and
+    * unigram-LM tokenizer ops (one pipeline function + one oracle CTE
+    * text for both — the r9 twin-sharing rule). Checkpointed: each
+    * consumer walks it several times (candidates, vocab, encode,
+    * output). */
+  private[operators] def wpWordFreqs(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,20}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(2000)
+      .localCheckpoint()
+
+  /** Every (start, len ≤ 4) substring of each word as a candidate
+    * piece, in WordPiece surface form ('##' marks continuations). */
+  private[operators] def wpCandidates(
+      words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wl = length(col("word"))
+    words.select(col("word"), col("cnt"),
+        explode(flatten(transform(
+          sequence(lit(0), wl - 1),
+          st => transform(
+            sequence(lit(1), least(lit(4), wl - st)),
+            l => struct(st.as("st"), l.as("l")))))).as("c"))
+      .select(col("word"), col("cnt"),
+        col("c.st").as("st"), col("c.l").as("l"))
+      .withColumn("piece",
+        when(col("st") === 0, col("word").substr(lit(1), col("l")))
+          .otherwise(concat(lit("##"),
+            col("word").substr(col("st") + 1, col("l")))))
+  }
+
+  /** The shared DuckDB CTE text for [[wpWordFreqs]]+[[wpCandidates]]
+    * (`words`, `cands`) — prepended by both tokenizer oracles so the
+    * twin derivations cannot drift. */
+  private[operators] val WpHeadCtes: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |words AS MATERIALIZED (
+      |  SELECT word, cnt FROM (
+      |    SELECT word, count(*) AS cnt FROM toks
+      |    WHERE regexp_matches(word, '^[a-z]{2,20}$')
+      |    GROUP BY word ORDER BY cnt DESC, word LIMIT 2000)),
+      |cands AS MATERIALIZED (
+      |  SELECT word, cnt, st, l,
+      |         CASE WHEN st = 0 THEN substr(word, 1, l)
+      |              ELSE '##' || substr(word, st + 1, l) END AS piece
+      |  FROM (SELECT word, cnt, CAST(s AS INT) AS st, CAST(l AS INT) AS l
+      |        FROM words,
+      |             unnest(range(0, length(word))) AS u(s),
+      |             unnest(range(1, 5)) AS v(l)
+      |        WHERE s + l <= length(word)))""".stripMargin
 
   /** BPE merge train shared by q_text_bpe (report) and
     * q_text_bpe_encode (apply): 6 rounds over the bounded top-2000
@@ -1018,6 +1074,374 @@ object TextAnalysis {
           |         AS chars_per_token,
           |       round(CAST(n_oov AS DOUBLE) / n_words, 6) AS oov_rate
           |FROM agg ORDER BY lang""".stripMargin)
+    ),
+
+    // North star — WordPiece tokenizer (vocab induction + greedy
+    // longest-match-first encode): the BERT-family tokenizer (Wu et
+    // al. 2016 GNMT; Devlin et al. 2018), completing the tokenizer
+    // family next to BPE train/encode and fertility. Continuation
+    // pieces carry the literal '##' prefix; encoding is maximal-munch
+    // (at each position take the LONGEST vocab piece, the
+    // Song et al. 2021 LinMaxMatch semantics).
+    //
+    // Everything is bounded and integer/string-exact:
+    // (1) corpus collapses FIRST to the top-2000 (word, freq) table
+    //     (one scan + one shuffle — the BPE discipline; encode cost is
+    //     then ∝ the bounded word table, never the corpus);
+    // (2) vocab = every observed char (both plain and '##' form — so
+    //     greedy can never dead-end) + the top-200 multi-char pieces
+    //     by occurrence-weighted count, cut by TakeOrdered (no global
+    //     window, no join-rank needed — ids are not part of the op);
+    // (3) per-word piece membership is ONE broadcast join collected
+    //     into a sorted (start*8+len) key array, and the greedy walk
+    //     is 20 STAGED withColumn hops over that array — each hop a
+    //     multi-ref attribute (the round-8 rule: never compound a
+    //     Column into itself), all plain int/string exprs, fully
+    //     codegen, no HOF fold, no UDF.
+    // The DuckDB oracle replays the identical unrolled walk as a CTE
+    // chain, so the hash-compare proves the greedy itself.
+    QueryDef(
+      "q_text_wordpiece",
+      (s, dir) => {
+        val words = wpWordFreqs(s, dir)
+        val cands = wpCandidates(words)
+        val charVocab = cands.filter(col("l") === 1)
+          .select(col("piece")).distinct()
+        val topMulti = cands.filter(col("l") >= 2)
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("wn"))
+          .orderBy(desc("wn"), col("piece")).limit(200)
+          .select(col("piece"))
+        // plain-char (len 1), '##'-char (len 3) and multi (len 2-4 /
+        // 4-6) forms can never collide, so unionAll is already a set
+        val vocab = charVocab.unionAll(topMulti)
+        val keysed = cands.join(broadcast(vocab), Seq("piece"))
+          .groupBy(col("word"))
+          .agg(array_sort(collect_list(col("st") * 8 + col("l")))
+            .as("keys"))
+        var df = words.join(keysed, Seq("word"))
+          .withColumn("wlen", length(col("word")))
+          .withColumn("p0", lit(0))
+        for (k <- 1 to 20) {
+          val p = col(s"p${k - 1}")
+          val has = (l: Int) => array_contains(col("keys"), p * 8 + lit(l))
+          df = df
+            .withColumn(s"l$k", when(p < col("wlen"),
+              when(has(4), 4).when(has(3), 3).when(has(2), 2).otherwise(1)))
+            .withColumn(s"piece$k", when(p < col("wlen"),
+              when(p === 0, col("word").substr(lit(1), col(s"l$k")))
+                .otherwise(concat(lit("##"),
+                  col("word").substr(p + 1, col(s"l$k"))))))
+            .withColumn(s"p$k",
+              when(p < col("wlen"), p + col(s"l$k")).otherwise(p))
+        }
+        df.select(col("word"), col("cnt"),
+            concat_ws(" ", (1 to 20).map(k => col(s"piece$k")): _*)
+              .as("encoded"),
+            (1 to 20).map(k =>
+              when(col(s"piece$k").isNotNull, 1).otherwise(0))
+              .reduce(_ + _).cast(LongType).as("n_pieces"))
+          .orderBy(desc("cnt"), col("word")).limit(150)
+      },
+      Some {
+        val head = WpHeadCtes + ",\n" +
+          """vocab AS MATERIALIZED (
+            |  SELECT DISTINCT piece FROM cands WHERE l = 1
+            |  UNION ALL
+            |  SELECT piece FROM (
+            |    SELECT piece, CAST(sum(cnt) AS BIGINT) AS wn
+            |    FROM cands WHERE l >= 2
+            |    GROUP BY piece ORDER BY wn DESC, piece LIMIT 200)),
+            |g0 AS MATERIALIZED (
+            |  SELECT w.word, w.cnt, k.keys,
+            |         CAST(length(w.word) AS INT) AS wlen, 0 AS p0
+            |  FROM words w JOIN (
+            |    SELECT c.word, list_sort(list(c.st * 8 + c.l)) AS keys
+            |    FROM cands c JOIN vocab v USING (piece)
+            |    GROUP BY c.word) k USING (word))""".stripMargin
+        val steps = (1 to 20).map { k =>
+          val p = s"p${k - 1}"
+          s"""ga$k AS (
+             |  SELECT *, CASE WHEN $p < wlen THEN
+             |    (CASE WHEN list_contains(keys, $p * 8 + 4) THEN 4
+             |          WHEN list_contains(keys, $p * 8 + 3) THEN 3
+             |          WHEN list_contains(keys, $p * 8 + 2) THEN 2
+             |          ELSE 1 END) END AS l$k
+             |  FROM g${k - 1}),
+             |g$k AS (
+             |  SELECT *,
+             |    CASE WHEN $p < wlen THEN
+             |      CASE WHEN $p = 0 THEN substr(word, 1, l$k)
+             |           ELSE '##' || substr(word, $p + 1, l$k) END
+             |    END AS piece$k,
+             |    CASE WHEN $p < wlen THEN $p + l$k ELSE $p END AS p$k
+             |  FROM ga$k)""".stripMargin
+        }
+        val pieces = (1 to 20).map(k => s"piece$k").mkString(", ")
+        val nPieces = (1 to 20)
+          .map(k => s"(CASE WHEN piece$k IS NOT NULL THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        (head +: steps).mkString(",\n") +
+          s"""
+             |SELECT word, cnt, concat_ws(' ', $pieces) AS encoded,
+             |       CAST($nPieces AS BIGINT) AS n_pieces
+             |FROM g20 ORDER BY cnt DESC, word LIMIT 150""".stripMargin
+      }
+    ),
+
+    // North star — UNIGRAM-LM tokenizer segmentation (Kudo,
+    // arXiv:1804.10959 — the SentencePiece unigram model), completing
+    // the tokenizer triad: BPE (merge-rule), WordPiece (greedy
+    // maximal-munch), unigram (GLOBAL max-likelihood Viterbi — the two
+    // can disagree: 'column' segments 'colu ##mn' under greedy but
+    // 'co ##lumn' under Viterbi on this corpus). Pieces carry log-probs
+    // ln(count/total) from the substring statistics (the SentencePiece
+    // init distribution); each word's segmentation maximizes the sum.
+    // Production EM re-runs this same bounded DP per round (hard-EM:
+    // re-estimate from Viterbi counts); the one-pass segmentation is
+    // the operator, the loop is a driver-side repeat.
+    //
+    // Cross-engine discipline: log-probs are ln MICRO-QUANTIZED to
+    // BIGINT (the c-TF-IDF idiom), so the whole DP is INTEGER max —
+    // both engines rank identical numbers. The argmax candidate is
+    // packed as enc = value*8 + (len-1) (max value, ties to the
+    // LONGEST piece) and unpacked with sign-safe ((enc%8)+8)%8 /
+    // exact `div` — never a float compare, never a struct compare.
+    // The DP and backtrace are 20 STAGED withColumn hops over the
+    // word's sorted (key, lpq) parallel arrays (one broadcast piece
+    // join, no HOF fold, no UDF); the DuckDB oracle replays the
+    // identical unrolled chain, so the hash gate proves the Viterbi
+    // itself. Everything runs on the bounded word table (wpWordFreqs)
+    // — corpus size only affects the one counting scan.
+    QueryDef(
+      "q_text_unigram",
+      (s, dir) => {
+        val words = wpWordFreqs(s, dir)
+        val cands = wpCandidates(words)
+        // char pieces keep their counts here (unlike WordPiece's
+        // membership-only vocab): the init distribution needs wn
+        val vocabW = cands.filter(col("l") === 1)
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("wn"))
+          .unionAll(
+            cands.filter(col("l") >= 2)
+              .groupBy(col("piece")).agg(sum(col("cnt")).as("wn"))
+              .orderBy(desc("wn"), col("piece")).limit(200))
+          .localCheckpoint() // 2 consumers: the total and the probs
+        val tot = vocabW.agg(sum(col("wn")).as("tot"))
+        val vp = vocabW.crossJoin(broadcast(tot))
+          .select(col("piece"),
+            round(log(col("wn").cast(DoubleType) /
+              col("tot").cast(DoubleType)) * 1e6)
+              .cast(LongType).as("lpq"))
+        val keysed = cands.join(broadcast(vp), Seq("piece"))
+          .groupBy(col("word"))
+          .agg(array_sort(collect_list(struct(
+            (col("st") * 8 + col("l")).as("k"), col("lpq").as("v"))))
+            .as("kv"))
+          .select(col("word"),
+            transform(col("kv"), x => x.getField("k")).as("keys"),
+            transform(col("kv"), x => x.getField("v")).as("lps"))
+        var df = words.join(keysed, Seq("word"))
+          .withColumn("wlen", length(col("word")))
+        for (i <- 1 to 20) {
+          val encCands = (1 to 4).flatMap { l =>
+            if (i - l < 0) None
+            else {
+              val prev = if (i - l == 0) lit(0L) else col(s"best${i - l}")
+              val pos = array_position(col("keys"), lit((i - l) * 8 + l))
+              val lpVal = when(pos > 0,
+                element_at(col("lps"), pos.cast(IntegerType)))
+              Some((prev + lpVal) * 8 + lit((l - 1).toLong))
+            }
+          }
+          val enc =
+            if (encCands.size == 1) encCands.head else greatest(encCands: _*)
+          df = df
+            .withColumn(s"enc$i", when(lit(i) <= col("wlen"), enc))
+            .withColumn(s"r$i", ((col(s"enc$i") % 8) + 8) % 8)
+            .withColumn(s"bl$i", (col(s"r$i") + 1).cast(IntegerType))
+            .withColumn(s"best$i", expr(s"(enc$i - r$i) div 8"))
+        }
+        df = df
+          .withColumn("bls", array((1 to 20).map(i => col(s"bl$i")): _*))
+          .withColumn("ll_micro", element_at(
+            array((1 to 20).map(i => col(s"best$i")): _*), col("wlen")))
+          .withColumn("q0", col("wlen"))
+        for (k <- 1 to 20) {
+          val qp = col(s"q${k - 1}")
+          df = df
+            .withColumn(s"blq$k", when(qp > 0, element_at(col("bls"), qp)))
+            .withColumn(s"hop$k", when(qp > 0,
+              when(qp - col(s"blq$k") === 0,
+                col("word").substr(lit(1), col(s"blq$k")))
+                .otherwise(concat(lit("##"), col("word")
+                  .substr(qp - col(s"blq$k") + 1, col(s"blq$k"))))))
+            .withColumn(s"q$k", when(qp > 0, qp - col(s"blq$k")).otherwise(0))
+        }
+        val hops = array((1 to 20).map(k => col(s"hop$k")): _*)
+        df.select(col("word"), col("cnt"),
+            array_join(reverse(filter(hops, x => x.isNotNull)), " ")
+              .as("encoded"),
+            size(filter(hops, x => x.isNotNull)).cast(LongType)
+              .as("n_pieces"),
+            col("ll_micro"))
+          .orderBy(desc("cnt"), col("word")).limit(150)
+      },
+      Some {
+        def lp(st: String, l: Int): String =
+          s"(CASE WHEN list_position(keys, ($st) * 8 + $l) > 0 " +
+            s"THEN lps[list_position(keys, ($st) * 8 + $l)] END)"
+        val head = WpHeadCtes + ",\n" +
+          """vocab AS MATERIALIZED (
+            |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS wn FROM cands
+            |  WHERE l = 1 GROUP BY piece
+            |  UNION ALL
+            |  SELECT piece, wn FROM (
+            |    SELECT piece, CAST(sum(cnt) AS BIGINT) AS wn
+            |    FROM cands WHERE l >= 2
+            |    GROUP BY piece ORDER BY wn DESC, piece LIMIT 200)),
+            |vp AS MATERIALIZED (
+            |  SELECT piece,
+            |         CAST(round(ln(CAST(wn AS DOUBLE) /
+            |           (SELECT CAST(sum(wn) AS BIGINT) FROM vocab)) * 1e6)
+            |           AS BIGINT) AS lpq
+            |  FROM vocab),
+            |g0 AS MATERIALIZED (
+            |  SELECT w.word, w.cnt, k.keys, k.lps,
+            |         CAST(length(w.word) AS INT) AS wlen
+            |  FROM words w JOIN (
+            |    SELECT c.word,
+            |           list(c.st * 8 + c.l ORDER BY c.st * 8 + c.l) AS keys,
+            |           list(v.lpq ORDER BY c.st * 8 + c.l) AS lps
+            |    FROM cands c JOIN vp v USING (piece)
+            |    GROUP BY c.word) k USING (word))""".stripMargin
+        val steps = (1 to 20).flatMap { i =>
+          val encCands = (1 to 4).flatMap { l =>
+            if (i - l < 0) None
+            else {
+              val prev =
+                if (i - l == 0) "CAST(0 AS BIGINT)" else s"best${i - l}"
+              Some(s"(($prev + ${lp((i - l).toString, l)}) * 8 + ${l - 1})")
+            }
+          }
+          val enc =
+            if (encCands.size == 1) encCands.head
+            else s"greatest(${encCands.mkString(", ")})"
+          val src = if (i == 1) "g0" else s"f${i - 1}"
+          Seq(
+            s"""d$i AS (
+               |  SELECT *, CASE WHEN $i <= wlen THEN $enc END AS enc$i
+               |  FROM $src)""".stripMargin,
+            s"""e$i AS (
+               |  SELECT *, ((enc$i % 8) + 8) % 8 AS r$i
+               |  FROM d$i)""".stripMargin,
+            s"""f$i AS (
+               |  SELECT *, CAST(r$i + 1 AS INT) AS bl$i,
+               |         (enc$i - r$i) // 8 AS best$i
+               |  FROM e$i)""".stripMargin)
+        }
+        val bls = (1 to 20).map(i => s"bl$i").mkString("[", ", ", "]")
+        val bests = (1 to 20).map(i => s"best$i").mkString("[", ", ", "]")
+        val bt0 =
+          s"""bt0 AS (
+             |  SELECT word, cnt, wlen, $bls AS bls, $bests[wlen] AS ll_micro,
+             |         wlen AS q0
+             |  FROM f20)""".stripMargin
+        val bt = (1 to 20).map { k =>
+          val q = s"q${k - 1}"
+          s"""bt$k AS (
+             |  SELECT *,
+             |    CASE WHEN $q > 0 THEN
+             |      CASE WHEN $q - bls[$q] = 0 THEN substr(word, 1, bls[$q])
+             |           ELSE '##' || substr(word, $q - bls[$q] + 1, bls[$q])
+             |      END
+             |    END AS hop$k,
+             |    CASE WHEN $q > 0 THEN $q - bls[$q] ELSE 0 END AS q$k
+             |  FROM bt${k - 1})""".stripMargin
+        }
+        val hops = (1 to 20).map(k => s"hop$k").mkString("[", ", ", "]")
+        ((head +: steps) ++ (bt0 +: bt)).mkString(",\n") +
+          s"""
+             |SELECT word, cnt,
+             |       array_to_string(list_reverse(list_filter($hops,
+             |         x -> x IS NOT NULL)), ' ') AS encoded,
+             |       CAST(len(list_filter($hops, x -> x IS NOT NULL))
+             |         AS BIGINT) AS n_pieces,
+             |       ll_micro
+             |FROM bt20 ORDER BY cnt DESC, word LIMIT 150""".stripMargin
+      }
+    ),
+
+    // North star — corpus DIVERSITY report (distinct-n): per source,
+    // the distinct-unigram and distinct-bigram ratios (Li et al. 2016's
+    // distinct-1/distinct-2, the Texygen/Zhu et al. 2018 standard) —
+    // the first QA metric a SYNTHETIC-data pipeline publishes, since
+    // mode-collapsed generators crater distinct-n long before quality
+    // classifiers notice. All-integer counts with two final divisions.
+    //
+    // Scale shape: count-distinct via TWO-LEVEL aggregation
+    // (groupBy(source, term) then groupBy(source)) — never a
+    // multi-distinct agg, whose Expand duplicates the exploded token
+    // stream per distinct column (the q_table_stats NDV lesson);
+    // bigrams come from the same zip_with slide as the BPE pair scan.
+    // Both levels map-combine; the exchange carries distinct
+    // (source, term) rows, not tokens.
+    QueryDef(
+      "q_eval_diversity",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("source"), TextFns.tokens(col("text")).as("ts"))
+        val uni = base.select(col("source"), explode(col("ts")).as("t1"))
+          .groupBy(col("source"), col("t1")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("total_1"), count(lit(1)).as("distinct_1"))
+        val bi = base.select(col("source"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("t2"))
+          .groupBy(col("source"), col("t2")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("total_2"), count(lit(1)).as("distinct_2"))
+        val docs = Tables.documents(s, dir)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        docs.join(uni, Seq("source")).join(bi, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            col("total_1"), col("distinct_1"),
+            col("total_2"), col("distinct_2"),
+            round(col("distinct_1").cast(DoubleType) / col("total_1"), 6)
+              .as("distinct_1_ratio"),
+            round(col("distinct_2").cast(DoubleType) / col("total_2"), 6)
+              .as("distinct_2_ratio"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT source, string_split(lower(text), ' ') AS ts
+          |  FROM documents),
+          |utok AS (
+          |  SELECT source, unnest(ts) AS t1 FROM base),
+          |uni AS (
+          |  SELECT source, CAST(sum(c) AS BIGINT) AS total_1,
+          |         CAST(count(*) AS BIGINT) AS distinct_1
+          |  FROM (SELECT source, t1, count(*) AS c FROM utok GROUP BY 1, 2)
+          |  GROUP BY source),
+          |btok AS (
+          |  SELECT source, ts[i] || ' ' || ts[i + 1] AS t2
+          |  FROM base, unnest(range(1, len(ts))) AS u(i)),
+          |bi AS (
+          |  SELECT source, CAST(sum(c) AS BIGINT) AS total_2,
+          |         CAST(count(*) AS BIGINT) AS distinct_2
+          |  FROM (SELECT source, t2, count(*) AS c FROM btok GROUP BY 1, 2)
+          |  GROUP BY source),
+          |docs AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY source)
+          |SELECT source, n_docs, total_1, distinct_1, total_2, distinct_2,
+          |       round(CAST(distinct_1 AS DOUBLE) / total_1, 6)
+          |         AS distinct_1_ratio,
+          |       round(CAST(distinct_2 AS DOUBLE) / total_2, 6)
+          |         AS distinct_2_ratio
+          |FROM docs JOIN uni USING (source) JOIN bi USING (source)
+          |ORDER BY source""".stripMargin)
     ),
 
     // North star — cross-source overlap (leakage) matrix: for every

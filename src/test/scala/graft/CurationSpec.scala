@@ -599,4 +599,57 @@ class CurationSpec extends SparkSpec {
       assert(hasTok, s"doc $id: placeholder missing after redaction")
     }
   }
+
+  test("domain curation: blocklist enforced, tracking paths dropped, cap + rank shape") {
+    val rows = q("q_curate_domains").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val blocked = Set("site13", "site26", "site39")
+    rows.foreach { case (id, domain, _, _) =>
+      assert(!blocked.contains(domain.takeWhile(_ != '.')),
+        s"doc $id: blocklisted domain $domain survived")
+      assert(id % 11 != 0, s"doc $id: /track/ path survived the filter")
+      assert(domain.matches("[a-z0-9]+\\.(com|org|net|io)"), s"bad domain $domain")
+    }
+    // the hot portal is present and capped like everyone else
+    assert(rows.exists(_._2.startsWith("bigportal.")))
+    rows.groupBy(_._2).foreach { case (domain, grp) =>
+      assert(grp.length <= 20, s"$domain exceeds the per-domain cap")
+      // rank contiguous from 1, scores non-increasing along it
+      val byRank = grp.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to grp.length).toSeq,
+        s"$domain ranks not contiguous")
+      assert(byRank.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$domain scores not non-increasing by rank")
+    }
+  }
+
+  test("url dedup: variants conserved, canonical form clean, groups match the key space") {
+    val rows = q("q_dedup_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.map(_._3).sum == docs.length, "every doc lands in exactly one group")
+    rows.foreach { case (canon, keeper, n) =>
+      assert(n >= 1)
+      // fully normalized: https, no www, no query, no fragment, no
+      // trailing slash
+      assert(canon.matches("https://host[0-9]+\\.com/p/[0-9]+"),
+        s"canonical url not normalized: $canon")
+      // keeper reproduces the canonical form under the fixture derivation
+      assert(canon == s"https://host${keeper % 20}.com/p/${(keeper / 7) % 13}",
+        s"keeper $keeper does not derive $canon")
+    }
+    // group count equals the fixture's canonical key space actually hit:
+    // variants differing only in scheme/www/utm/fragment/slash MERGED
+    val expected = docs.map(id => (id % 20, (id / 7) % 13)).distinct.length
+    assert(rows.length == expected,
+      s"${rows.length} canonical groups != $expected distinct keys")
+    // keepers are the group minima
+    val keyOf = (id: Long) => (id % 20, (id / 7) % 13)
+    val minByKey = docs.groupBy(keyOf).view.mapValues(_.min).toMap
+    rows.foreach { case (_, keeper, _) =>
+      assert(minByKey(keyOf(keeper)) == keeper, s"keeper $keeper is not the group min")
+    }
+  }
 }

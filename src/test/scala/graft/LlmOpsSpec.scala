@@ -837,6 +837,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka: full-dim recall is 1.0, counts in range, 16-dim budget replays brute") {
+    val rows = q("q_embed_matryoshka").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val budgets = Set(8, 16, 32, 64)
+    val qids = rows.map(_._2).distinct
+    assert(rows.length == budgets.size * qids.length)
+    rows.foreach { case (b, _, n, rec) =>
+      assert(budgets.contains(b))
+      assert(n >= 0 && n <= 10)
+      assert(math.abs(rec - n / 10.0) < 1e-9)
+      if (b == 64) assert(n == 10, "full-dim budget must reproduce the truth")
+    }
+    // driver-side brute replay of the 16-dim budget
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top10(q: Long, d: Int): Set[Long] = vecs.keys.filter(_ != q).toSeq
+      .map(n => (BigDecimal(cos(vecs(q), vecs(n), d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP), n))
+      .sortBy { case (c, n) => (-c, n) }.take(10).map(_._2).toSet
+    qids.foreach { qid =>
+      val expect = (top10(qid, 16) intersect top10(qid, 64)).size.toLong
+      val got = rows.find(r => r._1 == 16 && r._2 == qid).get._3
+      assert(got == expect, s"query $qid: 16-dim overlap $got != brute $expect")
+    }
+  }
+
   test("langid: predicted is a known code and scores are consistent") {
     val df = q("q_text_langid")
     val preds = df.select(col("predicted")).distinct()

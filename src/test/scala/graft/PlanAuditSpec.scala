@@ -243,6 +243,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_similarity_quantized", // corpus x broadcast 8-query set (the
                             // q_similarity_topk candidate shape over
                             // int8 codes)
+      "q_embed_matryoshka", // corpus x broadcast 5-query set (the
+                            // q_similarity_topk candidate shape; the
+                            // 4 dim budgets explode post-join, adding
+                            // generator rows, not join fan-out)
+      "q_text_unigram",     // 1-row broadcast (vocab-total scalar
+                            // attach onto the bounded ≤~300-row piece
+                            // table; the DP itself is equi-joins over
+                            // the bounded word table)
       "q_sample_hard_negatives", // corpus x broadcast 25-anchor set
                             // (the q_similarity_topk candidate shape
                             // with the label-mismatch filter riding

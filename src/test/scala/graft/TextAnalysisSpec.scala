@@ -532,4 +532,128 @@ class TextAnalysisSpec extends SparkSpec {
       "shareTf staging must be bit-identical to per-leg recompute")
     assert(shared.nonEmpty)
   }
+
+  test("diversity: distinct-n counts replay exactly in plain Scala") {
+    val rows = q("q_eval_diversity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val docs = sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    rows.foreach { case (src, nDocs, t1, d1, t2, d2, r1, r2) =>
+      val toks = bySrc(src).map(_._2.toLowerCase.split(" ").toSeq)
+      assert(nDocs == bySrc(src).length)
+      val unis = toks.flatten
+      val bis = toks.flatMap(ts => ts.zip(ts.tail).map { case (a, b) => s"$a $b" })
+      assert(t1 == unis.length && d1 == unis.distinct.length, s"$src unigrams")
+      assert(t2 == bis.length && d2 == bis.distinct.length, s"$src bigrams")
+      assert(math.abs(r1 - d1.toDouble / t1) < 1e-6)
+      assert(math.abs(r2 - d2.toDouble / t2) < 1e-6)
+    }
+  }
+
+  test("unigram: Viterbi segmentation and log-likelihood replay exactly in plain Scala") {
+    val rows = q("q_text_unigram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 150)
+    val docs = sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val wordFreq = docs.flatMap(_.toLowerCase.split(" "))
+      .filter(_.matches("^[a-z]{2,20}$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(2000)
+    def form(w: String, st: Int, l: Int): String =
+      if (st == 0) w.substring(0, l) else "##" + w.substring(st, st + l)
+    val cands = wordFreq.flatMap { case (w, c) =>
+      for (st <- 0 until w.length; l <- 1 to math.min(4, w.length - st))
+        yield (form(w, st, l), l, c)
+    }
+    val charW = cands.filter(_._2 == 1).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+    val multiW = cands.filter(_._2 >= 2).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(200)
+    val total = (charW ++ multiW).map(_._2).sum
+    val lpq = (charW ++ multiW).map { case (p, n) =>
+      p -> BigDecimal(math.log(n.toDouble / total.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    val freq = wordFreq.toMap
+    rows.foreach { case (w, cnt, encoded, n, ll) =>
+      assert(freq(w) == cnt, s"$w count drifted")
+      // independent imperative Viterbi over the micro-int log-probs
+      val best = Array.fill(w.length + 1)(Long.MinValue)
+      val back = Array.fill(w.length + 1)(0)
+      best(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        lpq.get(form(w, i - l, l)).foreach { v =>
+          val cand = best(i - l) + v
+          // engine tie rule: max value, ties to the LONGEST piece;
+          // l ascending here, so >= keeps the longest winner
+          if (best(i - l) != Long.MinValue &&
+              (cand > best(i) || (cand == best(i) && l >= back(i)))) {
+            best(i) = cand; back(i) = l
+          }
+        }
+      }
+      val out = scala.collection.mutable.Buffer[String]()
+      var p = w.length
+      while (p > 0) { out.prepend(form(w, p - back(p), back(p))); p -= back(p) }
+      assert(out.mkString(" ") == encoded,
+        s"$w viterbi mismatch: got '$encoded', replay '${out.mkString(" ")}'")
+      assert(out.length.toLong == n)
+      assert(best(w.length) == ll, s"$w ll_micro ${ll} != replay ${best(w.length)}")
+      assert(out.map(_.stripPrefix("##")).mkString == w)
+    }
+  }
+
+  test("wordpiece: pieces reassemble the word; greedy is maximal-munch vs a replayed vocab") {
+    val rows = q("q_text_wordpiece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 150)
+    // replay vocab induction + greedy in plain Scala (an independent
+    // implementation — no Spark, no SQL)
+    val docs = sources.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val wordFreq = docs.flatMap(_.toLowerCase.split(" "))
+      .filter(_.matches("^[a-z]{2,20}$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(2000)
+    val cands = wordFreq.flatMap { case (w, c) =>
+      for (st <- 0 until w.length; l <- 1 to math.min(4, w.length - st))
+        yield (if (st == 0) w.substring(0, l)
+               else "##" + w.substring(st, st + l), l, c)
+    }
+    val chars = cands.filter(_._2 == 1).map(_._1).toSet
+    val multi = cands.filter(_._2 >= 2).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(200).map(_._1).toSet
+    val vocab = chars ++ multi
+    val freq = wordFreq.toMap
+    def pieceAt(w: String, p: Int, l: Int): String =
+      if (p == 0) w.substring(0, l) else "##" + w.substring(p, p + l)
+    rows.foreach { case (w, cnt, encoded, n) =>
+      assert(freq(w) == cnt, s"$w count drifted")
+      val pieces = encoded.split(" ").toSeq
+      assert(pieces.length.toLong == n, s"$w n_pieces != encoded length")
+      assert(pieces.map(_.stripPrefix("##")).mkString == w,
+        s"$w: '$encoded' does not reassemble the word")
+      var p = 0
+      val out = scala.collection.mutable.Buffer[String]()
+      while (p < w.length) {
+        val l = (4 to 1 by -1).find(l =>
+          p + l <= w.length && vocab.contains(pieceAt(w, p, l))).get
+        out += pieceAt(w, p, l)
+        p += l
+      }
+      assert(out.toSeq == pieces, s"$w greedy mismatch: " +
+        s"got '$encoded', replay says '${out.mkString(" ")}'")
+    }
+    // output is the top-150 cut by (cnt desc, word)
+    assert(rows.sortBy { case (w, c, _, _) => (-c, w) }.toSeq == rows.toSeq)
+  }
 }
