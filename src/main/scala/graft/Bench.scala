@@ -6,7 +6,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
+    // dev-loop A/B knob (driver never sets it): at probe scales the
+    // fixed cores-sized shuffle partition count makes the big-shuffle
+    // family spill (per-partition volume grows with the data); on a
+    // cluster partitions scale with executors × cores, emulated here by
+    // overriding. AQE coalesces small partitions but never SPLITS
+    // oversized non-skewed ones, so the initial count is the lever.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus.toInt)
+    val spark = Sessions.build(s"local[$cpus]", shuffleParts)
 
     // dev loop: SPARK_GRAFT_ONLY=prefix1,prefix2 benches just the
     // matching queries (full-suite runs are ~2 min at sf0.1 — too slow
