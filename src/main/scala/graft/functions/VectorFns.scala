@@ -52,5 +52,19 @@ object VectorFns {
       s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     def cosine(a: String, b: String): String =
       s"(${dot(a, b)} / (sqrt(${sumSq(a)}) * sqrt(${sumSq(b)})))"
+
+    /** Prefix-dot over the first `n` dims (an SQL expression), for
+      * truncated-dimension scoring (q_embed_matryoshka). Same manual
+      * double formula as [[dot]], index-bounded. */
+    def dotPrefix(a: String, b: String, n: String): String =
+      s"""list_sum(list_transform(range(1, $n + 1),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+    /** Truncated cosine over the first `n` dims — [[cosine]]'s
+      * prefix-sliced twin. */
+    def cosinePrefix(a: String, b: String, n: String): String =
+      s"""(${dotPrefix(a, b, n)}
+         |  / (sqrt(${dotPrefix(a, a, n)})
+         |   * sqrt(${dotPrefix(b, b, n)})))""".stripMargin
   }
 }

@@ -1658,16 +1658,20 @@ object Curation {
 
     // URL-CANONICALIZATION DEDUP — the FIRST dedup a crawl pipeline
     // runs, before any content hashing: http→https, www-strip,
-    // tracking-parameter strip (utm_*/sid), fragment strip, trailing-
-    // slash strip, then exact dedup on the canonical form (the
-    // CommonCrawl/RefinedWeb "URL deduplication" stage). The fixture
-    // derives raw URLs whose superficial variants (scheme, www,
-    // utm/sid query, #fragment, trailing slash) collapse onto a
-    // denser canonical key space, so real multi-variant groups exist
-    // at every SF. All five rewrites stay inside the RE2 ∩ Java
-    // common dialect; Spark's regexp_replace is replace-ALL, matched
-    // by DuckDB's 'g' flag (each pattern is anchored or
-    // single-occurrence anyway).
+    // tracking-parameter strip (utm_*/sid, ANYWHERE in the query —
+    // non-tracking params like ?page=2 survive), fragment strip,
+    // trailing-slash strip (both path-final and before a kept query),
+    // then exact dedup on the canonical form (the CommonCrawl/
+    // RefinedWeb "URL deduplication" stage). The fixture derives raw
+    // URLs whose superficial variants (scheme, www, tracking query,
+    // #fragment, trailing slash) collapse onto a denser canonical key
+    // space — including MIXED query strings (?page=2&utm_campaign=…)
+    // where only the tracking half must go — so real multi-variant
+    // groups exist at every SF. All rewrites stay inside the RE2 ∩
+    // Java common dialect; Spark's regexp_replace is replace-ALL,
+    // matched by DuckDB's 'g' flag. The tracking strip is three
+    // passes: (a) '&track=…' anywhere, (b) leading '?track=…&' →
+    // '?' (a kept param follows), (c) wholly-tracking '?track=…$'.
     //
     // Scale shape: map-only normalization, then ONE shuffle on the
     // canonical string for min/count (map-combined). Group size grows
@@ -1687,6 +1691,9 @@ object Curation {
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(4L)) === 0,
             concat(lit("?utm_source=feed&sid="), col("doc_id")))
+            .when(pmod(col("doc_id"), lit(9L)) === 0,
+              concat(lit("?page=2&utm_campaign=spring"),
+                pmod(col("doc_id"), lit(3L))))
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(6L)) === 0,
             concat(lit("#sec"), pmod(col("doc_id"), lit(7L))))
@@ -1695,11 +1702,16 @@ object Curation {
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(col("url"), lit("#.*$"), lit("")),
-                lit("""\?(utm_[a-z]+|sid)=[^&]*(&(utm_[a-z]+|sid)=[^&]*)*$"""),
-                lit("")),
-              lit("^http://"), lit("https://")),
-            lit("""://www\."""), lit("://")),
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(col("url"), lit("#.*$"), lit("")),
+                      lit("""&(utm_[a-z]+|sid)=[^&]*"""), lit("")),
+                    lit("""\?(utm_[a-z]+|sid)=[^&]*&"""), lit("?")),
+                  lit("""\?(utm_[a-z]+|sid)=[^&]*$"""), lit("")),
+                lit("^http://"), lit("https://")),
+              lit("""://www\."""), lit("://")),
+            lit("""/\?"""), lit("?")),
           lit("/$"), lit(""))
         Tables.documents(s, dir)
           .select(col("doc_id"), url.as("url"))
@@ -1718,7 +1730,10 @@ object Curation {
           |         || '/p/' || ((doc_id // 7) % 13)
           |         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
           |         || (CASE WHEN doc_id % 4 = 0
-          |               THEN '?utm_source=feed&sid=' || doc_id ELSE '' END)
+          |               THEN '?utm_source=feed&sid=' || doc_id
+          |               WHEN doc_id % 9 = 0
+          |               THEN '?page=2&utm_campaign=spring' || (doc_id % 3)
+          |               ELSE '' END)
           |         || (CASE WHEN doc_id % 6 = 0
           |               THEN '#sec' || (doc_id % 7) ELSE '' END) AS url
           |  FROM documents),
@@ -1728,11 +1743,16 @@ object Curation {
           |           regexp_replace(
           |             regexp_replace(
           |               regexp_replace(
-          |                 regexp_replace(url, '#.*$', '', 'g'),
-          |                 '\?(utm_[a-z]+|sid)=[^&]*(&(utm_[a-z]+|sid)=[^&]*)*$',
-          |                 '', 'g'),
-          |               '^http://', 'https://', 'g'),
-          |             '://www\.', '://', 'g'),
+          |                 regexp_replace(
+          |                   regexp_replace(
+          |                     regexp_replace(
+          |                       regexp_replace(url, '#.*$', '', 'g'),
+          |                       '&(utm_[a-z]+|sid)=[^&]*', '', 'g'),
+          |                     '\?(utm_[a-z]+|sid)=[^&]*&', '?', 'g'),
+          |                   '\?(utm_[a-z]+|sid)=[^&]*$', '', 'g'),
+          |                 '^http://', 'https://', 'g'),
+          |               '://www\.', '://', 'g'),
+          |             '/\?', '?', 'g'),
           |           '/$', '', 'g') AS canonical_url
           |  FROM aug)
           |SELECT canonical_url, min(doc_id) AS keeper_id,

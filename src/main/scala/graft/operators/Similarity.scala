@@ -701,14 +701,11 @@ object Similarity {
           .orderBy(col("dim_budget"), col("qid"))
       },
       Some {
-        def dot(a: String, b: String) =
-          s"""list_sum(list_transform(range(1, b.dim_budget + 1),
-             |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+        val cosP = VectorFns.OracleSql.cosinePrefix(
+          "q.embedding", "c.embedding", "b.dim_budget")
         s"""WITH scored AS (
            |  SELECT b.dim_budget, q.vec_id AS qid, c.vec_id AS nid,
-           |         round(${dot("q.embedding", "c.embedding")}
-           |           / (sqrt(${dot("q.embedding", "q.embedding")})
-           |            * sqrt(${dot("c.embedding", "c.embedding")})), 6) AS cos
+           |         round($cosP, 6) AS cos
            |  FROM embeddings q
            |  JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
            |  CROSS JOIN (VALUES (8), (16), (32), (64)) AS b(dim_budget)),
@@ -717,7 +714,8 @@ object Similarity {
            |         row_number() OVER (PARTITION BY dim_budget, qid
            |           ORDER BY cos DESC, nid) AS rnk
            |  FROM scored),
-           |top10 AS (SELECT dim_budget, qid, nid FROM ranked WHERE rnk <= 10),
+           |top10 AS MATERIALIZED (
+           |  SELECT dim_budget, qid, nid FROM ranked WHERE rnk <= 10),
            |truth AS (SELECT qid, nid FROM top10 WHERE dim_budget = 64)
            |SELECT t.dim_budget, t.qid,
            |       CAST(count(tr.nid) AS BIGINT) AS n_overlap,

@@ -196,10 +196,11 @@ object TextAnalysis {
             col("word").substr(col("st") + 1, col("l")))))
   }
 
-  /** The shared DuckDB CTE text for [[wpWordFreqs]]+[[wpCandidates]]
-    * (`words`, `cands`) — prepended by both tokenizer oracles so the
-    * twin derivations cannot drift. */
-  private[operators] val WpHeadCtes: String =
+  /** The shared DuckDB CTE text for [[wpWordFreqs]] (`toks`, `words`)
+    * — ONE source of truth for the bounded word-frequency derivation,
+    * prepended by the BPE, WordPiece and unigram oracles so the
+    * tokenizer-family derivations cannot drift. */
+  private[operators] val WordsCtes: String =
     """WITH toks AS MATERIALIZED (
       |  SELECT unnest(string_split(lower(text), ' ')) AS word
       |  FROM documents),
@@ -207,8 +208,12 @@ object TextAnalysis {
       |  SELECT word, cnt FROM (
       |    SELECT word, count(*) AS cnt FROM toks
       |    WHERE regexp_matches(word, '^[a-z]{2,20}$')
-      |    GROUP BY word ORDER BY cnt DESC, word LIMIT 2000)),
-      |cands AS MATERIALIZED (
+      |    GROUP BY word ORDER BY cnt DESC, word LIMIT 2000))""".stripMargin
+
+  /** [[WordsCtes]] + the [[wpCandidates]] CTE (`cands`) — the shared
+    * head of the WordPiece and unigram oracles. */
+  private[operators] val WpHeadCtes: String = WordsCtes + ",\n" +
+    """cands AS MATERIALIZED (
       |  SELECT word, cnt, st, l,
       |         CASE WHEN st = 0 THEN substr(word, 1, l)
       |              ELSE '##' || substr(word, st + 1, l) END AS piece
@@ -226,11 +231,9 @@ object TextAnalysis {
   private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame = {
     val rounds = 6
-    val words = Tables.documents(s, dir)
-      .select(explode(TextFns.tokens(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z]{2,20}$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), col("word")).limit(2000)
+    // shared with the WordPiece/unigram family (one derivation, one
+    // oracle CTE text — a cap/regex/tie-break retune applies to all)
+    val words = wpWordFreqs(s, dir)
     var seqs = words.select(col("word"), col("cnt"),
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
         .as("seq")).localCheckpoint()
@@ -259,15 +262,8 @@ object TextAnalysis {
   /** The shared DuckDB CTE chain for the BPE train (MATERIALIZED — see
     * q_text_bpe), ending at `seq6`. Appended-to by both BPE oracles. */
   private[operators] val BpeOracleCtes: String = {
-    val head =
-      """WITH toks AS MATERIALIZED (
-        |  SELECT unnest(string_split(lower(text), ' ')) AS word
-        |  FROM documents),
-        |words AS MATERIALIZED (
-        |  SELECT word, count(*) AS cnt FROM toks
-        |  WHERE regexp_matches(word, '^[a-z]{2,20}$')
-        |  GROUP BY word ORDER BY cnt DESC, word LIMIT 2000),
-        |seq0 AS MATERIALIZED (
+    val head = WordsCtes + ",\n" +
+      """seq0 AS MATERIALIZED (
         |  SELECT word, cnt,
         |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
         |  FROM words)""".stripMargin

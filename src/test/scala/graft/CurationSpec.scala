@@ -630,23 +630,28 @@ class CurationSpec extends SparkSpec {
     val docs = sources.Tables.documents(spark, sf)
       .select(col("doc_id")).collect().map(_.getLong(0))
     assert(rows.map(_._3).sum == docs.length, "every doc lands in exactly one group")
+    // a doc keeps '?page=2' iff its fixture query was the MIXED form
+    // (page + tracking) — the tracking half must be gone either way
+    val keepsPage = (id: Long) => id % 4 != 0 && id % 9 == 0
     rows.foreach { case (canon, keeper, n) =>
       assert(n >= 1)
-      // fully normalized: https, no www, no query, no fragment, no
-      // trailing slash
-      assert(canon.matches("https://host[0-9]+\\.com/p/[0-9]+"),
+      // fully normalized: https, no www, no tracking params, no
+      // fragment, no trailing slash; the kept non-tracking param
+      // survives
+      assert(canon.matches("https://host[0-9]+\\.com/p/[0-9]+(\\?page=2)?"),
         s"canonical url not normalized: $canon")
+      val page = if (keepsPage(keeper)) "?page=2" else ""
       // keeper reproduces the canonical form under the fixture derivation
-      assert(canon == s"https://host${keeper % 20}.com/p/${(keeper / 7) % 13}",
+      assert(canon ==
+        s"https://host${keeper % 20}.com/p/${(keeper / 7) % 13}$page",
         s"keeper $keeper does not derive $canon")
     }
     // group count equals the fixture's canonical key space actually hit:
-    // variants differing only in scheme/www/utm/fragment/slash MERGED
-    val expected = docs.map(id => (id % 20, (id / 7) % 13)).distinct.length
+    // variants differing only in scheme/www/tracking/fragment/slash MERGED
+    val keyOf = (id: Long) => (id % 20, (id / 7) % 13, keepsPage(id))
+    val expected = docs.map(keyOf).distinct.length
     assert(rows.length == expected,
       s"${rows.length} canonical groups != $expected distinct keys")
-    // keepers are the group minima
-    val keyOf = (id: Long) => (id % 20, (id / 7) % 13)
     val minByKey = docs.groupBy(keyOf).view.mapValues(_.min).toMap
     rows.foreach { case (_, keeper, _) =>
       assert(minByKey(keyOf(keeper)) == keeper, s"keeper $keeper is not the group min")
