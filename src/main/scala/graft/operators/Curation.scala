@@ -1498,8 +1498,11 @@ object Curation {
               concat(lit(" call 555-"), lit(1000) + col("doc_id") % 9000))
               .otherwise(lit("")),
             when(col("doc_id") % 5 === 0,
+              // integer division (matches the oracle's `//`): the float
+              // round-trip agrees below 2^53 but cuts against the
+              // exact-integer discipline (ADVICE r11)
               concat(lit(" from 10."), col("doc_id") % 256, lit("."),
-                (col("doc_id") / 7).cast(LongType) % 256, lit("."),
+                expr("doc_id div 7") % 256, lit("."),
                 col("doc_id") % 254 + 1))
               .otherwise(lit(""))).as("pii_text"))
         val redacted = regexp_replace(
@@ -1686,7 +1689,8 @@ object Curation {
           when(pmod(col("doc_id"), lit(3L)) === 0, lit("www."))
             .otherwise(lit("")),
           lit("host"), pmod(col("doc_id"), lit(20L)), lit(".com"),
-          lit("/p/"), pmod((col("doc_id") / 7).cast(LongType), lit(13L)),
+          // `div`, not `/7 + cast` (exact-integer discipline, ADVICE r11)
+          lit("/p/"), pmod(expr("doc_id div 7"), lit(13L)),
           when(pmod(col("doc_id"), lit(5L)) === 0, lit("/"))
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(4L)) === 0,

@@ -1399,6 +1399,10 @@ object TextAnalysis {
           .agg(sum(col("c")).as("total_2"), count(lit(1)).as("distinct_2"))
         val docs = Tables.documents(s, dir)
           .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        // inner join on source is safe because every fixture doc has
+        // >= 2 tokens (so every source produces bigrams); a source of
+        // only single-token docs would need a left join + coalesce on
+        // BOTH sides (ADVICE r11). The spec asserts no source vanishes.
         docs.join(uni, Seq("source")).join(bi, Seq("source"))
           .select(col("source"), col("n_docs"),
             col("total_1"), col("distinct_1"),
