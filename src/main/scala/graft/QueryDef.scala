@@ -18,7 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Shuffle-partition posture for data-proportional shuffles — see
+      * [[Partitioning]]. None = the cores-sized session default. */
+    hint: Option[PartitionHint] = None)
 
 object Registry {
   /** All declared queries, assembled from the per-module registries. */

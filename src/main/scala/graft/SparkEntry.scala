@@ -22,6 +22,9 @@ object SparkEntry {
     Registry.all.map { q =>
       q.name -> { (s: SparkSession, dir: String) =>
         Sessions.ensureConfigured(s)
+        // per-query shuffle-partition posture (set OR unset, so hints
+        // never leak between queries on the shared session)
+        Partitioning.applyHint(s, dir, q.hint)
         q.fn(s, dir)
       }
     }.toMap

@@ -15,6 +15,16 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Bounded public-suffix table for the registered-domain parse
+    * (publicsuffix.org shape: multi-label suffixes like `co.uk` are
+    * first-class rows, matched LONGEST-FIRST). The fixture carries the
+    * suffixes its URL generator emits; a production deploy swaps in
+    * the full ~9k-row PSL snapshot — same broadcast-join plan. Shared
+    * by the Spark parse and the DuckDB oracle (one source of truth,
+    * the r9 twin rule). */
+  private[operators] val PublicSuffixes: Seq[String] =
+    Seq("com", "org", "net", "io", "co.uk", "com.au")
+
   /** 90/5/5 thresholds over the first 4 md5 hex chars (uniform over
     * 0x0000..0xffff): 0xe666/0x10000 = 0.9000, 0xf333/0x10000 = 0.9500.
     * Lowercase-hex string comparison is identical in Spark and DuckDB,
@@ -1590,25 +1600,42 @@ object Curation {
           when(pmod(col("doc_id"), lit(5L)) < 2, lit("bigportal"))
             .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50L)))),
           lit("."),
-          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
-            (pmod(col("doc_id"), lit(4L)) + 1).cast(IntegerType)),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io"),
+            lit("co.uk"), lit("com.au")),
+            (pmod(col("doc_id"), lit(6L)) + 1).cast(IntegerType)),
           when(pmod(col("doc_id"), lit(11L)) === 0, lit("/track/"))
             .otherwise(lit("/page/")),
           col("doc_id"))
-        val blocklist = Seq(
-          "site13.com", "site13.org", "site13.net", "site13.io",
-          "site26.com", "site26.org", "site26.net", "site26.io",
-          "site39.com", "site39.org", "site39.net", "site39.io")
+        val blockedSites = Seq("site13", "site26", "site39")
+        val blocklist = PublicSuffixes
+          .flatMap(sfx => blockedSites.map(b => s"$b.$sfx"))
           .toDF("blocked_domain")
+        // registered domain via the PUBLIC-SUFFIX-LIST algorithm
+        // (publicsuffix.org: longest matching suffix + one label), not
+        // a fixed two-label regex — `shop.example.co.uk` must key as
+        // `example.co.uk`, never `co.uk` (r11 verdict item 6). The
+        // suffix list is a bounded BROADCAST table (two equi-joins on
+        // the 1- and 2-label tails; real PSL snapshots are ~9k rows —
+        // still broadcast-class), so the parse stays map-side at any
+        // corpus size. The subdomain (www/blog/cdn) is deliberately
+        // NOT part of the curation key.
+        val sfx = broadcast(PublicSuffixes.toDF("sfx"))
         val parsed = Tables.documents(s, dir)
           .withColumn("url", url)
-          // registered domain = last two dot-labels of the host; the
-          // subdomain (www/blog/cdn) is deliberately NOT part of the
-          // curation key
           .withColumn("host",
             regexp_extract(col("url"), "^https://([^/]+)/", 1))
+          .withColumn("tail2",
+            regexp_extract(col("host"), "([a-z0-9]+\\.[a-z0-9]+)$", 1))
+          // longest-match: a 2-label tail that IS a public suffix
+          // promotes the registered domain to three labels; otherwise
+          // (1-label suffix, or unknown — the PSL '*' default) the
+          // 2-label tail is the registered domain
+          .join(sfx.select(col("sfx").as("m2")),
+            col("tail2") === col("m2"), "left_outer")
           .withColumn("domain",
-            regexp_extract(col("host"), "([a-z0-9]+\\.[a-z]+)$", 1))
+            when(col("m2").isNotNull, regexp_extract(col("host"),
+              "([a-z0-9]+\\.[a-z0-9]+\\.[a-z0-9]+)$", 1))
+              .otherwise(col("tail2")))
         val kept = parsed
           .filter(!col("url").like("%/track/%"))
           .join(broadcast(blocklist),
@@ -1625,38 +1652,51 @@ object Curation {
             k = 20, rankName = "domain_rank")
           .orderBy(col("domain"), col("domain_rank"))
       },
-      Some(
-        """WITH aug AS (
+      Some {
+        val sfxRows = PublicSuffixes.map(x => s"('$x')").mkString(", ")
+        val blocked = PublicSuffixes
+          .flatMap(x => Seq("site13", "site26", "site39").map(b => s"'$b.$x'"))
+          .mkString(", ")
+        s"""WITH sfx AS (SELECT * FROM (VALUES $sfxRows) s(sfx)),
+          |aug AS (
           |  SELECT doc_id, text,
           |         'https://' || ['www','blog','cdn'][CAST(doc_id % 3 AS INT) + 1]
           |         || '.' || CASE WHEN doc_id % 5 < 2 THEN 'bigportal'
           |                        ELSE 'site' || (doc_id % 50) END
-          |         || '.' || ['com','org','net','io'][CAST(doc_id % 4 AS INT) + 1]
+          |         || '.' || ['com','org','net','io','co.uk','com.au'][CAST(doc_id % 6 AS INT) + 1]
           |         || CASE WHEN doc_id % 11 = 0 THEN '/track/' ELSE '/page/' END
           |         || doc_id AS url
           |  FROM documents),
-          |parsed AS (
+          |hosts AS (
           |  SELECT doc_id, text, url,
-          |         regexp_extract(regexp_extract(url, '^https://([^/]+)/', 1),
-          |                        '([a-z0-9]+\.[a-z]+)$', 1) AS domain
+          |         regexp_extract(url, '^https://([^/]+)/', 1) AS host
           |  FROM aug),
+          |tails AS (
+          |  SELECT *,
+          |         regexp_extract(host, '([a-z0-9]+\\.[a-z0-9]+)$$', 1) AS tail2
+          |  FROM hosts),
+          |parsed AS (
+          |  SELECT t.doc_id, t.text, t.url,
+          |         CASE WHEN m2.sfx IS NOT NULL THEN regexp_extract(t.host,
+          |                '([a-z0-9]+\\.[a-z0-9]+\\.[a-z0-9]+)$$', 1)
+          |              ELSE t.tail2 END AS domain
+          |  FROM tails t
+          |  LEFT JOIN sfx m2 ON t.tail2 = m2.sfx),
           |kept AS (
           |  SELECT doc_id, domain,
           |         CAST(len(list_distinct(string_split(lower(text), ' ')))
           |           AS BIGINT) AS score
           |  FROM parsed
           |  WHERE url NOT LIKE '%/track/%'
-          |    AND domain NOT IN (
-          |      'site13.com','site13.org','site13.net','site13.io',
-          |      'site26.com','site26.org','site26.net','site26.io',
-          |      'site39.com','site39.org','site39.net','site39.io'))
+          |    AND domain NOT IN ($blocked))
           |SELECT doc_id, domain, score, domain_rank FROM (
           |  SELECT doc_id, domain, score,
           |         row_number() OVER (PARTITION BY domain
           |           ORDER BY score DESC, doc_id) AS domain_rank
           |  FROM kept)
           |WHERE domain_rank <= 20
-          |ORDER BY domain, domain_rank""".stripMargin)
+          |ORDER BY domain, domain_rank""".stripMargin
+      }
     ),
 
     // URL-CANONICALIZATION DEDUP — the FIRST dedup a crawl pipeline

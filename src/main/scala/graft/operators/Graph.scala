@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import graft.QueryDef
+import graft.{QueryDef, ScaledShuffle}
 import graft.sources.Tables
 
 /** Iterative graph analytics over relationship edges derived from the
@@ -83,6 +83,22 @@ object Graph {
     }
     s.read.parquet(path)
   }
+
+  /** Partition posture for the CO-PURCHASE INTERSECT family (jaccard /
+    * jaccard_capped / triangles): one data-proportional shuffle pass
+    * whose rows carry per-node neighbor ARRAYS, so the shuffle
+    * amplification over the scanned lineitem bytes is huge (~40×: 11 MB
+    * of snappy parquet becomes the distinct op pairs, |E| edge rows and
+    * two attached adjacency arrays per edge). 3 MiB of scan per
+    * partition reproduces the measured 30×-probe optimum — ~340 MB of
+    * lineitem ⇒ ~115 initial partitions ≈ the hand-tuned p128 that took
+    * q_graph_jaccard 145.4 → 68.5 s and q_graph_triangles 79.8 → 44.0 s
+    * (SCALEPROBE r11 A/B) — while sf0.1's 11 MB clamps to the session
+    * default, leaving the bench regime untouched. Iterative loops
+    * (q_graph_mst: 70.5 → 195.8 s at p128) and output-bound band joins
+    * deliberately carry NO hint. */
+  private val copurchaseIntersectHint =
+    Some(ScaledShuffle(Seq("lineitem"), bytesPerPartition = 3L << 20))
 
   /** s<k>/p<k> display form for the even/odd long bipartite node ids
     * (applied in final projections only; ids stay long in hot loops). */
@@ -421,7 +437,8 @@ object Graph {
           |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
           |nodes AS (SELECT unnest([x, y, z]) AS part FROM tri)
           |SELECT part, count(*) AS tri_cnt
-          |FROM nodes GROUP BY part ORDER BY part""".stripMargin)
+          |FROM nodes GROUP BY part ORDER BY part""".stripMargin),
+      hint = copurchaseIntersectHint
     ),
 
     // k-core peeling over the part co-purchase graph: 4 fixed
@@ -757,7 +774,8 @@ object Graph {
           |FROM common
           |JOIN deg du ON du.src = u
           |JOIN deg dv ON dv.src = v
-          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)
+          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin),
+      hint = copurchaseIntersectHint
     ),
 
     // Hub-capped edge Jaccard — the POWER-LAW-SCALE form of
@@ -845,7 +863,8 @@ object Graph {
           |FROM common
           |JOIN degk du ON du.src = u
           |JOIN degk dv ON dv.src = v
-          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin)
+          |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin),
+      hint = copurchaseIntersectHint
     ),
 
     // HITS hubs & authorities over the DIRECTED supplier→part graph,

@@ -1212,6 +1212,15 @@ object TextAnalysis {
       "q_text_unigram",
       (s, dir) => {
         val words = wpWordFreqs(s, dir)
+        // DP depth = the word table's MEASURED max length, not the
+        // regex ceiling (20): hops beyond the longest word are
+        // CASE-WHEN no-ops, but each one still costs 2-3 staged plan
+        // columns — at sf0.1 the whole 7.1 s wall was plan/expression
+        // constant (r11 verdict item 5; the corpus sees ≤ ~12-char
+        // words). One 2000-row driver action on the already-
+        // checkpointed word table; the oracle keeps its static 20-hop
+        // unroll — identical outputs, extra oracle hops are identity.
+        val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
         val cands = wpCandidates(words)
         // char pieces keep their counts here (unlike WordPiece's
         // membership-only vocab): the init distribution needs wn
@@ -1238,7 +1247,7 @@ object TextAnalysis {
             transform(col("kv"), x => x.getField("v")).as("lps"))
         var df = words.join(keysed, Seq("word"))
           .withColumn("wlen", length(col("word")))
-        for (i <- 1 to 20) {
+        for (i <- 1 to maxLen) {
           val encCands = (1 to 4).flatMap { l =>
             if (i - l < 0) None
             else {
@@ -1251,18 +1260,21 @@ object TextAnalysis {
           }
           val enc =
             if (encCands.size == 1) encCands.head else greatest(encCands: _*)
+          // only enc and best stay staged per hop (both multi-ref);
+          // the remainder/bl forms inline into their single consumers —
+          // 2 plan columns per hop instead of 4 (item-5 trim)
           df = df
             .withColumn(s"enc$i", when(lit(i) <= col("wlen"), enc))
-            .withColumn(s"r$i", ((col(s"enc$i") % 8) + 8) % 8)
-            .withColumn(s"bl$i", (col(s"r$i") + 1).cast(IntegerType))
-            .withColumn(s"best$i", expr(s"(enc$i - r$i) div 8"))
+            .withColumn(s"best$i",
+              expr(s"(enc$i - (((enc$i % 8) + 8) % 8)) div 8"))
         }
         df = df
-          .withColumn("bls", array((1 to 20).map(i => col(s"bl$i")): _*))
+          .withColumn("bls", array((1 to maxLen).map(i =>
+            expr(s"CAST((((enc$i % 8) + 8) % 8) + 1 AS INT)")): _*))
           .withColumn("ll_micro", element_at(
-            array((1 to 20).map(i => col(s"best$i")): _*), col("wlen")))
+            array((1 to maxLen).map(i => col(s"best$i")): _*), col("wlen")))
           .withColumn("q0", col("wlen"))
-        for (k <- 1 to 20) {
+        for (k <- 1 to maxLen) {
           val qp = col(s"q${k - 1}")
           df = df
             .withColumn(s"blq$k", when(qp > 0, element_at(col("bls"), qp)))
@@ -1273,7 +1285,7 @@ object TextAnalysis {
                   .substr(qp - col(s"blq$k") + 1, col(s"blq$k"))))))
             .withColumn(s"q$k", when(qp > 0, qp - col(s"blq$k")).otherwise(0))
         }
-        val hops = array((1 to 20).map(k => col(s"hop$k")): _*)
+        val hops = array((1 to maxLen).map(k => col(s"hop$k")): _*)
         df.select(col("word"), col("cnt"),
             array_join(reverse(filter(hops, x => x.isNotNull)), " ")
               .as("encoded"),

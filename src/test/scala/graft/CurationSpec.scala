@@ -609,8 +609,24 @@ class CurationSpec extends SparkSpec {
       assert(!blocked.contains(domain.takeWhile(_ != '.')),
         s"doc $id: blocklisted domain $domain survived")
       assert(id % 11 != 0, s"doc $id: /track/ path survived the filter")
-      assert(domain.matches("[a-z0-9]+\\.(com|org|net|io)"), s"bad domain $domain")
+      // registered domain = name + public suffix, where the suffix may
+      // be MULTI-LABEL (co.uk / com.au — the r11 verdict item-6 trap):
+      // exactly one name label precedes the suffix, never the
+      // www/blog/cdn subdomain, and never a bare suffix
+      assert(domain.matches(
+        "(bigportal|site[0-9]+)\\.(com|org|net|io|co\\.uk|com\\.au)"),
+        s"bad registered domain $domain")
+      assert(!Set("www", "blog", "cdn").contains(domain.takeWhile(_ != '.')),
+        s"subdomain leaked into the curation key: $domain")
     }
+    // multi-label public suffixes are actually exercised AND parsed as
+    // suffixes (site7.co.uk, not co.uk or site7.co)
+    assert(rows.exists(_._2.endsWith(".co.uk")), "no co.uk rows in fixture")
+    assert(rows.exists(_._2.endsWith(".com.au")), "no com.au rows in fixture")
+    assert(!rows.exists(r => r._2 == "co.uk" || r._2 == "com.au"),
+      "bare public suffix keyed as a domain")
+    assert(!rows.exists(_._2.matches("[a-z0-9]+\\.co")),
+      "two-label regex parse leaked (x.co instead of x.co.uk)")
     // the hot portal is present and capped like everyone else
     assert(rows.exists(_._2.startsWith("bigportal.")))
     rows.groupBy(_._2).foreach { case (domain, grp) =>

@@ -16,15 +16,19 @@ on, so per-query runtime should scale ~linearly if the plan is right:
   copy would make every doc a 10-way near-dup and square the pair
   join, which no real 10x corpus does); quality/stopword/langid
   distributions stay representative;
-- replica embeddings (k>0) are fresh deterministic hash-vectors:
-  near-orthogonal in 64-d, so strong-pair volume stays ~constant
-  while corpus size (and thus LSH/IVF candidate volume) scales;
+- replica embeddings (k>0) are fresh deterministic hash-vectors
+  (near-orthogonal in 64-d) WITH PLANTED NEAR-DUP PAIRS (r11 verdict
+  item 3): one id per 100-id block perturbs the previous id's fresh
+  vector at a strength cycling [0.15, 0.45, 0.9] -> planted cosines
+  ~0.99 / ~0.91 / ~0.74 (all above the 0.45 truth threshold, spanning
+  easy to hard), so strong-pair volume scales ~linearly with the
+  corpus like a real crawl and probe-scale recall stamps measure the
+  OPERATOR, not an orthogonal replica;
 - events keep their time range (more rows per window = higher
   throughput, the realistic scale direction for streams).
 
-Caveats recorded in SCALEPROBE.md: replica embeddings don't follow the
-original generator's cluster structure, and cross-replica near-dups
-are absent by construction.
+Optional 4th arg: comma-separated table list to rebuild only those
+tables in an existing DST (e.g. `embeddings` after a generator tweak).
 """
 import sys
 
@@ -33,6 +37,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 OFF = 10**9
 
 STOP = ("'the','and','of','to','in','is','el','la','de','que','y','en',"
@@ -43,6 +48,8 @@ con.execute(f"CREATE TABLE ks AS SELECT unnest(range(0, {K})) AS k")
 
 
 def build(table, select):
+    if ONLY is not None and table not in ONLY:
+        return
     src = f"'{SRC}/{table}.parquet'"
     con.execute(
         f"COPY (SELECT {select} FROM {src} CROSS JOIN ks) TO "
@@ -55,6 +62,8 @@ import os
 os.makedirs(DST, exist_ok=True)
 
 for t in ("region", "nation"):
+    if ONLY is not None and t not in ONLY:
+        continue
     con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
                 f"'{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(f"{t}: copied")
@@ -87,10 +96,25 @@ build("documents",
       "CASE WHEN k = 0 THEN n_chars ELSE len(array_to_string("
       f"  [CASE WHEN lower(t) IN ({STOP}) THEN t ELSE t || k::VARCHAR END "
       "   FOR t IN string_split(text, ' ')], ' ')) END AS n_chars")
+def fresh(key):
+    """uniform [-1, 1] component from a deterministic 64-bit hash"""
+    return (f"((hash({key} || '_' || k::VARCHAR || '_' || j::VARCHAR) "
+            "% 2000001)/1000000.0 - 1.0)")
+
+
+NOISE_KEY = "(vec_id::VARCHAR || '_n')"
 build("embeddings",
       f"vec_id + k*{OFF} AS vec_id, "
-      "CASE WHEN k = 0 THEN embedding ELSE "
-      "  [((hash(vec_id::VARCHAR || '_' || k::VARCHAR || '_' || j::VARCHAR) "
-      "% 2000001)/1000000.0 - 1.0)::FLOAT FOR j IN range(0, 64)] "
+      "CASE WHEN k = 0 THEN embedding "
+      # planted near-dup: one id per 100-block = the previous id's fresh
+      # vector + scale * fresh noise; scale cycles per (block, k) so
+      # planted cosines span ~0.99 / ~0.91 / ~0.74 deterministically
+      "WHEN vec_id % 100 = 1 THEN "
+      f"  [({fresh('(vec_id - 1)::VARCHAR')} "
+      "    + [0.15, 0.45, 0.9][CAST((vec_id // 100 + k) % 3 AS INT) + 1] "
+      f"      * {fresh(NOISE_KEY)}"
+      ")::FLOAT FOR j IN range(0, 64)] "
+      "ELSE "
+      f"  [{fresh('vec_id::VARCHAR')}::FLOAT FOR j IN range(0, 64)] "
       "END AS embedding, label")
 print("done ->", DST)
