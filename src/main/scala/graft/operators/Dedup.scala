@@ -669,6 +669,74 @@ object Dedup {
            |ORDER BY g.doc_id""".stripMargin)
     ),
 
+    // North star — QUALITY-AWARE KEEPER SELECTION per dup cluster: the
+    // RefinedWeb/FineWeb refinement of q_dedup_groups' min-id rule —
+    // within each connected near-dup component, KEEP the highest-
+    // quality member (here: distinct-token count, an exact BIGINT —
+    // the q_curate_domains rank-key discipline), tie → smallest id.
+    // Min-id keeps whatever crawled first; quality-aware keeps the
+    // longest/ richest variant of the duplicated page, which is what a
+    // training pipeline actually wants to retain.
+    //
+    // Scale shape: the argmax is a JOIN-RANK, never a window — two
+    // map-combined aggregates over the |V|-row (doc, group, score)
+    // table plus one join-back (the no-global-window audit); a
+    // mega-cluster (the exact-dup blank page) costs one combiner cell,
+    // not a single-partition sort. Pairs/components reuse the staged
+    // shingle index + the same CC loop q_dedup_groups runs.
+    QueryDef(
+      "q_dedup_keeper",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = ngramJaccardPairsFrom(shingleIndex(s, dir), maxDf = 64,
+          minJaccard = 0.5)
+        val groups = connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+          .withColumnRenamed("label", "group_id")
+        val scored = groups.join(
+          docs.select(col("doc_id"),
+            size(array_distinct(TextFns.tokens(col("text"))))
+              .cast(org.apache.spark.sql.types.LongType).as("score")),
+          "doc_id")
+        val best = scored.groupBy(col("group_id"))
+          .agg(count(lit(1)).as("n_in_group"),
+            max(col("score")).as("keeper_score"))
+        scored.join(best, "group_id")
+          .filter(col("score") === col("keeper_score"))
+          .groupBy(col("group_id"), col("keeper_score"), col("n_in_group"))
+          .agg(min(col("doc_id")).as("keeper_id"))
+          .select(col("group_id"), col("keeper_id"), col("keeper_score"),
+            col("n_in_group"))
+          .orderBy(col("group_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${ngramPairsCte()},
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(doc_id, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst),
+           |grouped AS (
+           |  SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id),
+           |scored AS (
+           |  SELECT g.doc_id, g.group_id,
+           |         CAST(len(list_distinct(string_split(lower(d.text), ' ')))
+           |           AS BIGINT) AS score
+           |  FROM grouped g JOIN documents d USING (doc_id)),
+           |best AS (
+           |  SELECT group_id, count(*) AS n_in_group,
+           |         max(score) AS keeper_score
+           |  FROM scored GROUP BY group_id)
+           |SELECT s.group_id, min(s.doc_id) AS keeper_id,
+           |       b.keeper_score, b.n_in_group
+           |FROM scored s
+           |JOIN best b ON s.group_id = b.group_id AND s.score = b.keeper_score
+           |GROUP BY s.group_id, b.keeper_score, b.n_in_group
+           |ORDER BY s.group_id""".stripMargin)
+    ),
+
     // North star — MinHash LSH with exact verification. No SQL oracle
     // (xxhash64 signatures aren't reproducible in DuckDB); DedupSpec
     // asserts equality with the brute-force q_dedup_ngram pairs.

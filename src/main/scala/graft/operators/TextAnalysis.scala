@@ -451,6 +451,132 @@ object TextAnalysis {
           |FROM c ORDER BY doc_id""".stripMargin)
     ),
 
+    // North star — GOPHER QUALITY RULES (Rae et al. 2021,
+    // arXiv:2112.11446 §A.1.1, the MassiveText filter): the standard
+    // hard-rule cascade a crawl pipeline runs between language ID and
+    // the learned quality model — word-count bounds, mean-word-length
+    // bounds, symbol-to-word ratio, alphabetic-word fraction, and the
+    // ≥2-distinct-stopwords test — each reported as its own boolean so
+    // the drop REASON is auditable (the per-rule funnel is the artifact
+    // quality teams actually read). The fixture corpus is a clean token
+    // stream, so symbol runs and numeric runs are INJECTED
+    // deterministically from doc_id (the q_curate_pii discipline:
+    // derive the fixture, oracle the derivation) — the symbol/alpha
+    // rules have real work at every SF.
+    //
+    // Cross-engine float discipline: every RULE is evaluated in exact
+    // integer arithmetic (3 ≤ chars/words ≤ 10 becomes
+    // 3·words ≤ chars ≤ 10·words; ratio ≤ 0.1 becomes sym·10 ≤ words);
+    // the reported ratios are display-only, rounded 6dp on both sides.
+    // Mean word length needs no per-token fold: the corpus is
+    // single-space tokenized, so Σ|token| = len(text) − (words − 1).
+    //
+    // Scale shape: map-only (one projection pass over documents, no
+    // shuffle before the output sort) — at 100 TB this is a pure
+    // columnar scan, the cheapest possible filter stage.
+    QueryDef(
+      "q_quality_gopher",
+      (s, dir) => {
+        val aug = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            size(TextFns.tokens(col("text"))).cast(LongType).as("nw0"))
+          .withColumn("gtext", concat(col("text"),
+            when(pmod(col("doc_id"), lit(7L)) === 0,
+              expr("repeat(' #', CAST(nw0 div 4 AS INT) + 1)"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11L)) === 0,
+              expr("repeat(' 42', CAST(nw0 div 3 AS INT) + 1)"))
+              .otherwise(lit(""))))
+        val ts = TextFns.tokens(col("gtext"))
+        // Gopher's rule is "contains ≥ 2 DISTINCT words of a required
+        // stop set"; the SET is language/corpus-specific (the paper's
+        // English list is the/be/to/of/and/that/have/with). This
+        // fixture's 31-word vocabulary carries exactly two function
+        // words — {the, a} — so that is the required set here
+        // (measured: the paper's list never fires on this corpus,
+        // which would dead-rule the cascade); a production deploy
+        // swaps the full English list, same plan.
+        val gopherStops = Seq("the", "a")
+        val m = aug.select(col("doc_id"),
+          size(ts).cast(LongType).as("n_words"),
+          (length(col("gtext")) - (size(ts) - 1)).cast(LongType)
+            .as("n_wchars"),
+          regexp_count(col("gtext"), lit("#")).cast(LongType).as("n_sym"),
+          size(filter(ts, t => t.rlike("[a-z]"))).cast(LongType)
+            .as("n_alpha"),
+          size(array_intersect(array_distinct(ts),
+            array(gopherStops.map(lit): _*))).cast(LongType)
+            .as("n_stop_kinds"))
+        m.select(col("doc_id"), col("n_words"),
+            round(col("n_wchars").cast(DoubleType) / col("n_words"), 6)
+              .as("mean_word_len"),
+            round(col("n_sym").cast(DoubleType) / col("n_words"), 6)
+              .as("symbol_ratio"),
+            round(col("n_alpha").cast(DoubleType) / col("n_words"), 6)
+              .as("alpha_word_ratio"),
+            col("n_stop_kinds"),
+            (col("n_words") >= 50 && col("n_words") <= 100000)
+              .as("r_word_count"),
+            (col("n_wchars") >= col("n_words") * 3 &&
+              col("n_wchars") <= col("n_words") * 10).as("r_mean_word_len"),
+            (col("n_sym") * 10 <= col("n_words")).as("r_symbol_ratio"),
+            (col("n_alpha") * 5 >= col("n_words") * 4).as("r_alpha_words"),
+            (col("n_stop_kinds") >= 2).as("r_stop_words"))
+          .withColumn("keep",
+            col("r_word_count") && col("r_mean_word_len") &&
+              col("r_symbol_ratio") && col("r_alpha_words") &&
+              col("r_stop_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |         len(string_split(lower(text), ' ')) AS nw0
+          |  FROM documents),
+          |aug AS (
+          |  SELECT doc_id,
+          |         text
+          |         || CASE WHEN doc_id % 7 = 0
+          |              THEN repeat(' #', nw0 // 4 + 1) ELSE '' END
+          |         || CASE WHEN doc_id % 11 = 0
+          |              THEN repeat(' 42', nw0 // 3 + 1) ELSE '' END AS gtext
+          |  FROM base),
+          |m AS (
+          |  SELECT doc_id,
+          |         CAST(len(string_split(lower(gtext), ' ')) AS BIGINT)
+          |           AS n_words,
+          |         CAST(length(gtext)
+          |           - (len(string_split(lower(gtext), ' ')) - 1) AS BIGINT)
+          |           AS n_wchars,
+          |         CAST(len(regexp_extract_all(gtext, '#')) AS BIGINT)
+          |           AS n_sym,
+          |         CAST(len(list_filter(string_split(lower(gtext), ' '),
+          |           x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+          |         CAST(len(list_intersect(
+          |           list_distinct(string_split(lower(gtext), ' ')),
+          |           ['the','a'])) AS BIGINT) AS n_stop_kinds
+          |  FROM aug)
+          |SELECT doc_id, n_words,
+          |       round(CAST(n_wchars AS DOUBLE) / n_words, 6)
+          |         AS mean_word_len,
+          |       round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+          |       round(CAST(n_alpha AS DOUBLE) / n_words, 6)
+          |         AS alpha_word_ratio,
+          |       n_stop_kinds,
+          |       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+          |       n_wchars >= n_words * 3 AND n_wchars <= n_words * 10
+          |         AS r_mean_word_len,
+          |       n_sym * 10 <= n_words AS r_symbol_ratio,
+          |       n_alpha * 5 >= n_words * 4 AS r_alpha_words,
+          |       n_stop_kinds >= 2 AS r_stop_words,
+          |       (n_words >= 50 AND n_words <= 100000)
+          |         AND (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10)
+          |         AND n_sym * 10 <= n_words
+          |         AND n_alpha * 5 >= n_words * 4
+          |         AND n_stop_kinds >= 2 AS keep
+          |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
     // North star — heuristic language ID: stopword-profile scores per
     // language + a Han-script check, argmax with fixed priority.
     QueryDef(

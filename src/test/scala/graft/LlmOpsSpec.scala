@@ -29,6 +29,37 @@ class LlmOpsSpec extends SparkSpec {
       s"simhash recall ${r.recall} over ${r.exactPairs} near-dup pairs")
   }
 
+  test("quality-aware keeper: argmax-by-score within each q_dedup_groups component") {
+    // replay: q_dedup_keeper must pick, per connected component, the
+    // member with the MAX distinct-token count (tie -> min id) — the
+    // same components q_dedup_groups emits, with the same sizes
+    val members = q("q_dedup_groups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scoreOf = sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_distinct(
+            functions.TextFns.tokens(
+              org.apache.spark.sql.functions.col("text")))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = members.groupBy(_._2).map { case (gid, grp) =>
+      val best = grp.map(_._1).map(id => (scoreOf(id), id))
+        .sortBy { case (s, id) => (-s, id) }.head
+      gid -> (best._2, best._1, grp.head._3)
+    }
+    val got = q("q_dedup_keeper").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected,
+      s"keeper drift: ${(got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    // quality-aware ≠ min-id on this fixture: at least one group's
+    // keeper differs from the q_dedup_groups min-id rule (else the op
+    // adds nothing over q_dedup_groups)
+    val minId = members.groupBy(_._2).map { case (g, grp) => g -> grp.map(_._1).min }
+    assert(expected.exists { case (g, (k, _, n)) => n > 1 && k != minId(g) },
+      "no group where quality-keeper differs from min-id — fixture too weak")
+  }
+
   test("multi-table simhash seeds: background rate under the swept ceiling") {
     // The shipped seed triple (Dedup.SimHashSeeds) is the zero-background
     // survivor set of the r11 8-seed sweep — per-seed bg varied 0 → 8e-4

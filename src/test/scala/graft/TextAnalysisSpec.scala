@@ -656,4 +656,35 @@ class TextAnalysisSpec extends SparkSpec {
     // output is the top-150 cut by (cnt desc, word)
     assert(rows.sortBy { case (w, c, _, _) => (-c, w) }.toSeq == rows.toSeq)
   }
+
+  test("gopher rules: injected artifacts trip their rules; keep is the conjunction") {
+    val rows = q("q_quality_gopher").collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))
+    }.toMap
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(rows.size == nDocs, "one row per doc (map-only, no drops)")
+    rows.foreach { case (id, (nw, meanLen, symR, alphaR, stops,
+        rWords, rMean, rSym, rAlpha, rStop, keep)) =>
+      // injected symbol run ('#' per 4 words) must trip the 0.1 ratio
+      if (id % 7 == 0)
+        assert(!rSym && symR > 0.1, s"doc $id: symbol rule missed injection")
+      else assert(symR == 0.0, s"doc $id: phantom symbols")
+      // injected numeric run (a '42' per 3 words) must trip alpha < 0.8
+      if (id % 11 == 0)
+        assert(!rAlpha && alphaR < 0.8, s"doc $id: alpha rule missed injection")
+      // booleans must be exactly the integer-arithmetic forms of the
+      // reported ratios/counts
+      assert(rWords == (nw >= 50 && nw <= 100000))
+      assert(rSym == (symR <= 0.1 + 1e-9))
+      assert(rStop == (stops >= 2))
+      assert(rMean == (meanLen >= 3.0 - 1e-9 && meanLen <= 10.0 + 1e-9),
+        s"doc $id: mean rule / ratio drift ($meanLen)")
+      assert(keep == (rWords && rMean && rSym && rAlpha && rStop))
+    }
+    // the cascade must discriminate on this fixture, not rubber-stamp
+    assert(rows.values.exists(_._11) && rows.values.exists(!_._11),
+      "gopher cascade keeps everything or drops everything")
+  }
 }
