@@ -62,20 +62,28 @@ object Bench {
     // measured: per-query back-to-back pairs run ~30% slower overall
     // because early queries never see a warm JVM); min-of-two then
     // damps the scheduler/GC spikes single local[32] runs swing on.
+    // SPARK_GRAFT_PASSES=1 is dev-loop probe tooling (driver never sets
+    // it): at 100× a second full pass costs hours and probe tables only
+    // need the scaling class — single-pass numbers carry cold-JVM noise
+    // on the earliest queries, so compare them only against other
+    // single-pass runs (SCALEPROBE protocol).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val firstPass = ordered.map { case (name, fn) =>
       name -> run(name, fn, dump = Recall.inputs(name))
     }.toMap
 
-    val results = ordered.map { case (name, fn) =>
-      val best = (firstPass(name), run(name, fn)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
-        // an intermittent pass-2 failure is a failure: surfacing the
-        // pass-1 timing instead would hide a flaky query behind a
-        // success-shaped number
-        case (_, r) => r
+    val results =
+      if (passes <= 1) ordered.map { case (name, _) => name -> firstPass(name) }
+      else ordered.map { case (name, fn) =>
+        val best = (firstPass(name), run(name, fn)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          // an intermittent pass-2 failure is a failure: surfacing the
+          // pass-1 timing instead would hide a flaky query behind a
+          // success-shaped number
+          case (_, r) => r
+        }
+        name -> best
       }
-      name -> best
-    }
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val errs = results.collect { case (n, Left(m)) => n -> m }
     errs.foreach { case (n, m) => System.err.println(s"[bench] $n failed: $m") }
