@@ -1032,6 +1032,10 @@ object Similarity {
     QueryDef(
       "q_similarity_pqadc",
       (s, dir) => {
+        // the bounded query slice, defined ONCE — the lut build and the
+        // refine join share it (the r10 ivfadc ADVICE: divergent copies
+        // silently drop shortlist rows)
+        val isQuery = col("vec_id") < 5
         val (cents, coded) = pqModel(s, dir)
         val dot = (a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =>
@@ -1042,7 +1046,7 @@ object Similarity {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
-        val queries = e.filter(col("vec_id") < 5)
+        val queries = e.filter(isQuery)
           .select(col("vec_id").as("qid"), col("v"),
             sqrt(sumSq(col("v"))).as("qn"))
         val qsubs = queries.select(col("qid"), posexplode(array(
@@ -1091,7 +1095,7 @@ object Similarity {
           short
             .join(eRaw.select(col("vec_id").as("nid"),
               col("embedding").as("nv")), "nid")
-            .join(broadcast(eRaw.filter(col("vec_id") < 5)
+            .join(broadcast(eRaw.filter(isQuery)
               .select(col("vec_id").as("qid"),
                 col("embedding").as("qv"))), "qid")
             .withColumn("score",
