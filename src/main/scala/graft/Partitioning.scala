@@ -70,24 +70,28 @@ object Partitioning {
   /** Total on-disk bytes of `dir/table.parquet` (file OR directory —
     * Hadoop ContentSummary sums recursively), via the session's Hadoop
     * conf so the same call sizes local test data and an s3a lake.
-    * A missing/unlistable path counts as 0 (⇒ the clamp returns the
-    * session default): a sizing hint must never turn a runnable query
-    * into a failing one. Sizes are cached for the session lifetime —
-    * right for immutable fixtures and per-job submits; a long-lived
-    * service over a growing lake should invalidate per batch. */
+    * ANY listing failure counts as 0 (⇒ the clamp returns the session
+    * default): a sizing hint must never turn a runnable query into a
+    * failing one, and cloud filesystems surface auth/URI problems as
+    * non-IO exceptions too, so the net is NonFatal, not IOException.
+    * Successful sizes are cached for the session lifetime — right for
+    * immutable fixtures and per-job submits; a FAILED lookup is NOT
+    * cached, so a transient listing error is retried on the next query
+    * instead of silently disabling the hint for the whole session. A
+    * long-lived service over a growing lake should invalidate per
+    * batch. */
   def tableBytes(spark: SparkSession, dir: String, table: String): Long = {
     val key = s"$dir/$table.parquet"
     val cached = sizeCache.get(key)
     if (cached != null) cached.longValue()
     else {
-      val bytes =
-        try {
-          val path = new org.apache.hadoop.fs.Path(key)
-          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.getContentSummary(path).getLength
-        } catch { case _: java.io.IOException => 0L }
-      sizeCache.put(key, bytes)
-      bytes
+      try {
+        val path = new org.apache.hadoop.fs.Path(key)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(path).getLength
+        sizeCache.put(key, bytes)
+        bytes
+      } catch { case scala.util.control.NonFatal(_) => 0L }
     }
   }
 

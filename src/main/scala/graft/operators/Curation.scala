@@ -18,10 +18,15 @@ object Curation {
   /** Bounded public-suffix table for the registered-domain parse
     * (publicsuffix.org shape: multi-label suffixes like `co.uk` are
     * first-class rows, matched LONGEST-FIRST). The fixture carries the
-    * suffixes its URL generator emits; a production deploy swaps in
-    * the full ~9k-row PSL snapshot — same broadcast-join plan. Shared
-    * by the Spark parse and the DuckDB oracle (one source of truth,
-    * the r9 twin rule). */
+    * suffixes its URL generator emits. SCOPE: the parse joins the 1-
+    * and 2-label host tails only, so this table can express suffixes
+    * up to 2 labels — the full PSL snapshot additionally needs a join
+    * per tail length (3-/4-label rules like `act.edu.au`) plus
+    * wildcard (`*.ck`) and exception (`!www.ck`) handling; the
+    * broadcast-join SHAPE extends to that (one bounded table, longest-
+    * match-first), but this implementation does not parse those rule
+    * classes. Shared by the Spark parse and the DuckDB oracle (one
+    * source of truth, the r9 twin rule). */
   private[operators] val PublicSuffixes: Seq[String] =
     Seq("com", "org", "net", "io", "co.uk", "com.au")
 

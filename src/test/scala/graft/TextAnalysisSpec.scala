@@ -687,4 +687,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.values.exists(_._11) && rows.values.exists(!_._11),
       "gopher cascade keeps everything or drops everything")
   }
+
+  test("gopher required-stop set: default is the paper's list; the " +
+      "fixture override is opt-in and scoped") {
+    // the production default is Rae et al. arXiv:2112.11446 §A.1.1's
+    // English list, verbatim and in the paper's order — a deploy that
+    // omits the parameter can never silently inherit the 2-word
+    // fixture set (r12 verdict item 5)
+    assert(operators.TextAnalysis.GopherRequiredStops ==
+      Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+    assert(operators.TextAnalysis.GopherFixtureStops == Seq("the", "a"))
+    // the override is genuinely fixture-motivated: with the DEFAULT
+    // set, the stop rule is dead on this corpus (fires nowhere), which
+    // is exactly why the QueryDef opts into the fixture set
+    import org.apache.spark.sql.functions._
+    val aug = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").as("gtext"))
+    val withDefault = operators.TextAnalysis.gopherCascade(aug)
+    assert(withDefault.where(col("r_stop_words")).count() == 0,
+      "paper list unexpectedly fires on the fixture corpus — " +
+        "the QueryDef override may no longer be needed")
+    val withFixture = operators.TextAnalysis.gopherCascade(
+      aug, requiredStops = operators.TextAnalysis.GopherFixtureStops)
+    assert(withFixture.where(col("r_stop_words")).count() > 0)
+  }
 }
