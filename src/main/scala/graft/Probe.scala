@@ -39,7 +39,13 @@ object Probe {
       }
     })
 
-    val fn = Registry.byName(name).fn
+    val qd = Registry.byName(name)
+    // measure the PRODUCTION posture: apply the QueryDef's partition
+    // hint exactly as the SparkEntry wrapper does (r12) — without this
+    // a hinted query probes at the cores-sized default and its 30×+
+    // numbers are the spill regime the hint exists to avoid
+    Partitioning.applyHint(spark, sfDir, qd.hint)
+    val fn = qd.fn
     for (pass <- 1 to 2) {
       shufW.reset(); shufR.reset(); spillD.reset(); spillM.reset()
       peakMem.set(0L)

@@ -207,7 +207,15 @@ object Functions {
     ("kll_quantile", classOf[KllQuantile],
       exprs => KllQuantile(exprs(0), exprs(1))),
     ("theta_sketch_agg", classOf[ThetaSketchAgg],
-      exprs => ThetaSketchAgg(exprs(0))))
+      exprs => ThetaSketchAgg(exprs(0))),
+    ("pq_argmin", classOf[PqArgmin],
+      exprs => PqArgmin(exprs(0), exprs(1))),
+    ("pack_sorted", classOf[PackSortedLongs],
+      exprs => PackSortedLongs(exprs(0))),
+    ("packed_intersect_count", classOf[PackedIntersectCount],
+      exprs => PackedIntersectCount(exprs(0), exprs(1))),
+    ("packed_intersect", classOf[PackedIntersectVals],
+      exprs => PackedIntersectVals(exprs(0), exprs(1))))
 
   def registerAll(spark: SparkSession): Unit =
     specs.foreach { case (name, _, builder) =>

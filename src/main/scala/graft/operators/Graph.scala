@@ -402,13 +402,23 @@ object Graph {
           // consumed three times (adjacency build + both sides of the
           // witness join) — cut the lineage once
           .localCheckpoint()
+        // neighbor lists ride the attach shuffle VARINT-DELTA-PACKED
+        // (PackedOps): the |E|-row double-attach is this family's
+        // dominant byte volume (~8 B/neighbor as array<long> ⇒
+        // ~100-130 GB raw at the 100× probe — over single-box shuffle
+        // scratch), and sorted ids pack to ~1-3 B/neighbor. The merge-
+        // scan intersect runs directly on the packed bytes; its output
+        // is exactly array_intersect on sorted inputs (PackedArraySpec
+        // pins value identity), so the oracle is untouched.
         val adj = ori.groupBy(col("s").as("node"))
-          .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+          .agg(graft.functions.PackedFns.packSorted(
+            sort_array(collect_list(col("t")))).as("nbrs"))
         val witnessed = ori
           .join(adj.select(col("node").as("s"), col("nbrs").as("ns")), "s")
           .join(adj.select(col("node").as("t"), col("nbrs").as("nt")), "t")
           .select(col("s"), col("t"),
-            array_intersect(col("ns"), col("nt")).as("ws"))
+            graft.functions.PackedFns.packedIntersect(
+              col("ns"), col("nt")).as("ws"))
           .where(size(col("ws")) > 0)
         // each pair row carries |ws| triangles to s and t, and one to
         // every witness — flatten all three roles in one generate
@@ -734,18 +744,30 @@ object Graph {
         val und = coPurchaseEdges(s, dir)
         // adjacency built in-session (measured: reading it back as a
         // staged array-column parquet costs MORE than the rebuild —
-        // array decode dominates; the staged form loses ~1 s/run)
+        // array decode dominates; the staged form loses ~1 s/run).
+        // Neighbor lists are VARINT-DELTA-PACKED before the double
+        // attach (see q_graph_triangles — the same ~3-5× shuffle-byte
+        // cut that brings the 100× probe inside single-box scratch);
+        // degrees ride as their own column since the packed form has
+        // no O(1) size. PackedArraySpec pins count identity vs
+        // size(array_intersect), so c/du/dv — and the oracle — are
+        // bit-unchanged.
         val adj = und.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
           .groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+          .select(col("src"),
+            size(col("nbrs")).cast(org.apache.spark.sql.types.LongType).as("d"),
+            graft.functions.PackedFns.packSorted(col("nbrs")).as("pb"))
         und
-          .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), "u")
-          .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+          .join(adj.select(col("src").as("u"), col("d").as("du"),
+            col("pb").as("nu")), "u")
+          .join(adj.select(col("src").as("v"), col("d").as("dv"),
+            col("pb").as("nv")), "v")
           .select(col("u"), col("v"),
-            size(array_intersect(col("nu"), col("nv"))).cast(org.apache.spark.sql.types.LongType).as("c"),
-            size(col("nu")).cast(org.apache.spark.sql.types.LongType).as("du"),
-            size(col("nv")).cast(org.apache.spark.sql.types.LongType).as("dv"))
+            graft.functions.PackedFns.packedIntersectCount(
+              col("nu"), col("nv")).as("c"),
+            col("du"), col("dv"))
           .where(col("c") >= 3)
           .select(col("u"), col("v"), col("c"),
             round(col("c").cast("double") /
@@ -812,17 +834,22 @@ object Graph {
         val ek = und
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        // packed attach, as in q_graph_jaccard (same byte-economy cut)
         val adjK = ek.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(ek.select(col("v").as("src"), col("u").as("dst")))
           .groupBy(col("src"))
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+          .select(col("src"), size(col("nbrs")).cast(LongType).as("d"),
+            graft.functions.PackedFns.packSorted(col("nbrs")).as("pb"))
         ek
-          .join(adjK.select(col("src").as("u"), col("nbrs").as("nu")), "u")
-          .join(adjK.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+          .join(adjK.select(col("src").as("u"), col("d").as("du"),
+            col("pb").as("nu")), "u")
+          .join(adjK.select(col("src").as("v"), col("d").as("dv"),
+            col("pb").as("nv")), "v")
           .select(col("u"), col("v"),
-            size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("c"),
-            size(col("nu")).cast(LongType).as("du"),
-            size(col("nv")).cast(LongType).as("dv"))
+            graft.functions.PackedFns.packedIntersectCount(
+              col("nu"), col("nv")).as("c"),
+            col("du"), col("dv"))
           .where(col("c") >= 3)
           .select(col("u"), col("v"), col("c"),
             round(col("c").cast("double") /

@@ -117,24 +117,22 @@ object Similarity {
       val trainSubs = if (nVec <= trainCap) subs
         else subs.filter(
           pmod(xxhash64(col("vec_id"), lit(0x9e37L)), lit(nVec)) < trainCap)
-      val dist2 = (a: org.apache.spark.sql.Column,
-                   b: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)
       // (vec, sub) × codebook-array → argmin without row
-      // multiplication: score all K cells in one transform, take
-      // array_min, map the FIRST minimum position back to its cell id.
-      // The codebook array is sorted by cell id, so the first-minimum
-      // tie-break is the lowest cell — deterministic whatever order
-      // collect_list assembled.
-      def scoredArr(cb: org.apache.spark.sql.Column,
-                    sv: org.apache.spark.sql.Column) =
-        transform(cb, c => dist2(sv, c.getField("cent")))
-      def cellAt(cb: org.apache.spark.sql.Column,
-                 scored: org.apache.spark.sql.Column,
-                 best: org.apache.spark.sql.Column) =
-        element_at(cb, array_position(scored, best).cast("int"))
-          .getField("cell")
+      // multiplication, via the native codegen'd [[PqArgmin]]
+      // expression (r12 verdict item 4): one fused primitive loop
+      // scores all K cells and keeps the first minimum — bit-identical
+      // numerics and tie-break to the interpreted transform/array_min/
+      // array_position pipeline it replaced (PqArgminSpec), but inside
+      // whole-stage codegen instead of ~1 µs/step CodegenFallback
+      // lambdas. The codebook array is sorted by cell id, so the
+      // first-minimum tie-break is the lowest cell — deterministic
+      // whatever order collect_list assembled. (The r10 static
+      // least(struct(...)) unroll measured 4× WORSE — see the
+      // SCALEPROBE r10 negative result; this is the expression form
+      // that was never tried.)
+      def argminBest(sv: org.apache.spark.sql.Column,
+                     cb: org.apache.spark.sql.Column) =
+        call_function("pq_argmin", sv, cb)
       def toArrays(cents: DataFrame): DataFrame =
         cents.groupBy(col("sub"))
           .agg(array_sort(collect_list(struct(col("cell"), col("cent"))))
@@ -148,10 +146,9 @@ object Similarity {
       var cents = seeds.localCheckpoint()
       for (_ <- 1 to 2) {
         cents = trainSubs.join(broadcast(toArrays(cents)), "sub")
-          .withColumn("scored", scoredArr(col("cb"), col("sv")))
+          .withColumn("best", argminBest(col("sv"), col("cb")))
           .select(col("sub"),
-            cellAt(col("cb"), col("scored"), array_min(col("scored")))
-              .as("cell"),
+            col("best").getField("code").as("cell"),
             posexplode(col("sv")).as(Seq("pos", "x")))
           .groupBy(col("sub"), col("cell"), col("pos"))
           .agg(avg(col("x")).as("m"))
@@ -161,12 +158,15 @@ object Similarity {
             p => p.getField("m")).as("cent"))
           .localCheckpoint()
       }
+      // `best` is multi-ref in the output projection (code + sqerr),
+      // so it stays a staged attribute — the expression runs once per
+      // (vec, sub) row (the r9 single-consumer CollapseProject trap
+      // does not apply)
       val coded = subs.join(broadcast(toArrays(cents)), "sub")
-        .withColumn("scored", scoredArr(col("cb"), col("sv")))
-        .withColumn("sqerr", array_min(col("scored")))
+        .withColumn("best", argminBest(col("sv"), col("cb")))
         .select(col("vec_id"), col("sub"),
-          cellAt(col("cb"), col("scored"), col("sqerr")).as("code"),
-          col("sqerr"))
+          col("best").getField("code").as("code"),
+          col("best").getField("sqerr").as("sqerr"))
         .localCheckpoint()
       (cents, coded)
     })
@@ -305,24 +305,35 @@ object Similarity {
   val AdcRefineR: Int = sys.env.get("SPARK_GRAFT_ADC_REFINE")
     .map(_.toInt).getOrElse(50)
 
-  /** IVF-ADC query-side probe count. With refine in place, PROBE
-    * MISSES are the residual recall loss (SCALEPROBE r10: ivfadc 0.84
-    * vs the nProbe=6 candidate ceiling 0.875), and because the query
-    * slice is a bounded 5-id set, extra query probes cost only
-    * (queries × Δprobe × cell-fraction) candidate rows — unlike
-    * q_similarity_ivf, where EVERY corpus vector is a query and nProbe
-    * multiplies the whole candidate join. Measured sweep at sf0.1
-    * (SCALEPROBE r11): recall@10 — probe 6 → 0.84, 10 → 0.86,
-    * 16 → 0.92, 24 → 0.98; wall FLAT (4.12 s at 6 vs 4.11 s at 16 —
-    * the n·nCells assignment pass dominates, extra probes only add
-    * candidate rows for the 5 queries). 16 is the pick: past the 0.87
-    * target while probing 50% of the sf0.1 cells — 24 probes 75%,
-    * which stops measuring the index (at production cell counts,
-    * ivfCellsFor √n growth, 16 probes is 16% of cells at the 10×
-    * corpus and shrinking). The env override is dev-loop A/B tooling
-    * (SCALEPROBE protocol). */
-  val AdcNProbe: Int = sys.env.get("SPARK_GRAFT_ADC_NPROBE")
-    .map(_.toInt).getOrElse(16)
+  /** IVF-ADC query-side probe count — SCALE-AWARE (r12 verdict item
+    * 2). With refine in place, PROBE MISSES are the residual recall
+    * loss (SCALEPROBE r10: ivfadc 0.84 vs the nProbe=6 candidate
+    * ceiling 0.875), and because the query slice is a bounded 5-id
+    * set, extra query probes cost only (queries × Δprobe ×
+    * cell-fraction) candidate rows — unlike q_similarity_ivf, where
+    * EVERY corpus vector is a query and nProbe multiplies the whole
+    * candidate join (which is why THAT knob stays fixed-fraction-of-
+    * work, not fixed-fraction-of-cells).
+    *
+    * The r11 sweep at sf0.1 (32 cells): recall@10 — probe 6 → 0.84,
+    * 10 → 0.86, 16 → 0.92, 24 → 0.98; wall FLAT (the n·nCells
+    * assignment pass dominates). 16-of-32 was the pick. But a FIXED
+    * 16 while [[ivfCellsFor]] grows cells ∝ √n means the probed
+    * corpus FRACTION shrinks ∝ n^-0.5 and recall dilutes by
+    * construction — measured 0.92 → 0.56 → 0.26 across sf0.1/30×/
+    * 100× (SCALEPROBE r12). A candidate miss is P(partner's primary
+    * cell ∉ query's nProbe nearest), a function of the probed
+    * FRACTION — so the policy holds that fraction constant at the
+    * tuned 16/32: nProbe = ⌈nCells/2⌉. Every ≤2k-vector corpus (all
+    * spec/bench corpora: 32 cells) derives exactly 16, so the sf0.1
+    * stamps are bit-identical to r11/r12. Per-query candidate volume
+    * is fraction·n — linear with a 5-query constant; the bounded
+    * query slice is what makes constant-fraction affordable here.
+    * The env override is dev-loop A/B tooling (SCALEPROBE protocol);
+    * LlmOpsSpec pins the derivation. */
+  def adcNProbeFor(nCells: Int): Int =
+    sys.env.get("SPARK_GRAFT_ADC_NPROBE").map(_.toInt)
+      .getOrElse(math.max(16, (nCells + 1) / 2))
 
   def ivfProbeAssign(vectors: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, trainIters: Int, nProbe: Int,
@@ -1181,9 +1192,11 @@ object Similarity {
         // the lut build and the refine join all reuse it (ADVICE r10:
         // three divergent copies would silently drop shortlist rows)
         val isQuery = col("vec_id") < 5
+        val nCells = ivfCellsFor(n)
         val probed = ivfProbeAssign(e, "vec_id", "embedding",
-          nCells = ivfCellsFor(n),
-          trainIters = 3, nProbe = AdcNProbe, corpusN = n).localCheckpoint()
+          nCells = nCells,
+          trainIters = 3, nProbe = adcNProbeFor(nCells), corpusN = n)
+          .localCheckpoint()
         val cand = probed.filter(isQuery)
           .select(col("cell_id"), col("vec_id").as("qid"))
           .join(probed.filter(col("probe_rank") === 1)

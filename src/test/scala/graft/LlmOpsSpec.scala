@@ -9,6 +9,37 @@ class LlmOpsSpec extends SparkSpec {
   private lazy val recalls: Map[String, Recall.Entry] =
     Recall.compute(spark, sf).map(e => e.name -> e).toMap
 
+  test("planted-pair derivation: exact on a fixture; absent on fixture corpora") {
+    // the make_probe.py contract (r12 verdict item 3): planted id =
+    // k·1e9 + 100·block + 1, partner = id − 1, tier = (block + k) % 3;
+    // rows whose partner id is missing from the corpus are excluded
+    val off = 1000000000L
+    val ids = Seq(
+      // source corpus (k = 0): never planted
+      5L, 41L, 101L,
+      // replica k = 1: blocks 0 (partner 1·off+0 ABSENT — excluded),
+      // 1 and 2 (partners present)
+      off + 1, off + 100, off + 101, off + 200, off + 201,
+      // replica k = 3, block 7 — tier (7 + 3) % 3 = 1
+      3 * off + 700, 3 * off + 701,
+      // a planted-shaped id with no partner row at all: excluded
+      3 * off + 901)
+    import spark.implicits._
+    val got = Recall.plantedPairs(ids.toDF("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Set(
+      (off + 100, off + 101, (1 + 1) % 3),   // k=1 block 1 → tier 2
+      (off + 200, off + 201, (2 + 1) % 3),   // k=1 block 2 → tier 0
+      (3 * off + 700, 3 * off + 701, (7 + 3) % 3))
+    assert(got == want, s"got $got")
+    // fixture corpora carry no planted ids ⇒ no planted entries in the
+    // bench recall block at sf0.001/sf0.1 (existing stamps unchanged)
+    val real = Recall.plantedPairs(
+      sources.Tables.embeddings(spark, sf).select(col("vec_id"))).count()
+    assert(real == 0L)
+    assert(!recalls.keySet.exists(_.startsWith("planted_")))
+  }
+
   test("minhash LSH pairs == brute-force ngram-jaccard pairs (sf0.001)") {
     val lsh = q("q_dedup_minhash").select(col("doc_a"), col("doc_b"), col("jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -623,12 +654,34 @@ class LlmOpsSpec extends SparkSpec {
       s"pq-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")
   }
 
+  test("ivf-adc: scale-aware probe policy — constant probed fraction, sf0.1 contract pinned") {
+    import operators.Similarity.{adcNProbeFor, ivfCellsFor}
+    // the sf0.1 contract: every ≤2k-vector corpus derives 32 cells and
+    // must probe exactly the r11-tuned 16 — all spec/bench recall
+    // stamps stay bit-identical (r12 verdict item 2's done criterion)
+    assert(ivfCellsFor(2000) == 32 && adcNProbeFor(32) == 16)
+    assert(adcNProbeFor(ivfCellsFor(500)) == 16)
+    // the policy: probed FRACTION of cells is constant (⌈nCells/2⌉) —
+    // a fixed count would shrink the fraction ∝ n^-0.5 as ivfCellsFor
+    // grows cells and recall would dilute by construction (measured
+    // 0.92 → 0.56 → 0.26 across sf0.1/30×/100×, SCALEPROBE r12)
+    for (n <- Seq(20000L, 60000L, 200000L)) {
+      val cells = ivfCellsFor(n)
+      val p = adcNProbeFor(cells)
+      assert(p == (cells + 1) / 2,
+        s"n=$n cells=$cells probes=$p: probed fraction drifted")
+    }
+    // never below the tuned floor, monotone in cells
+    assert(adcNProbeFor(8) == 16)
+    assert(adcNProbeFor(101) <= adcNProbeFor(175))
+  }
+
   test("ivf-adc: recall@10 floored; refine scores exact; candidates never invented") {
     val r = recalls("ivf_adc")
     assume(r.exactPairs > 0)
     // measured 0.92 at sf0.1 with refine + the r11 nProbe=16 retune
     // (0.64 pure-ADC → 0.84 refine/6-probe → 0.92 at the measured
-    // sweep knee, wall flat — see Similarity.AdcNProbe); floor 0.6
+    // sweep knee, wall flat — see Similarity.adcNProbeFor); floor 0.6
     // kept as the regression gate per the r9 verdict
     assert(r.recall >= 0.6,
       s"ivf-adc recall ${r.recall} over ${r.exactPairs} exact top-10 pairs")

@@ -538,17 +538,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"triangle counting must never plan a nested-loop join:\n$p")
-    assert(p.contains("array_intersect"),
-      s"witness sets must come from the in-projection intersection:\n$p")
+    // r13: witnesses come from the packed merge-scan intersect (the
+    // varint-delta adjacency attach); the arrays must also actually
+    // ride the shuffle packed, i.e. no unpacked array_intersect left
+    assert(p.contains("packedintersectvals") || p.contains("packed_intersect"),
+      s"witness sets must come from the packed in-projection intersection:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"an unpacked array_intersect would ship 8 B/neighbor through the attach:\n$p")
   }
 
   test("q_graph_jaccard: common counts in-projection, top-20 bounded") {
     // the edge-restricted form: common-neighbor counts exist only
-    // inside array_intersect (a wedge shuffle OOM'd the 10× probe and
-    // was rejected); the top-20 never global-sorts
+    // inside the packed merge-scan intersect (a wedge shuffle OOM'd the
+    // 10× probe and was rejected); the top-20 never global-sorts
     val p = plan("q_graph_jaccard")
-    assert(p.contains("array_intersect"),
-      s"common counts must come from the in-projection intersection:\n$p")
+    assert(p.contains("packedintersectcount") || p.contains("packed_intersect_count"),
+      s"common counts must come from the packed in-projection intersection:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"an unpacked array_intersect would ship 8 B/neighbor through the attach:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must plan as TakeOrderedAndProject:\n$p")
   }
