@@ -38,8 +38,18 @@ object Bench {
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
 
+    // staged-corpus build seconds attributed to the query whose run
+    // triggered them (r12 verdict item 8): a one-time Staging.cached
+    // build (PNG corpus, edge lists, tf index) lands inside some
+    // query's first-pass wall — the artifact separates it so probe-
+    // scale per-query numbers measure the OPERATOR. sf0.1 reported
+    // timings are unchanged (min-of-two already takes the cache-warm
+    // pass); this only ADDS the attribution fields.
+    val stagingByQuery = scala.collection.mutable.Map[String, Double]()
+
     def run(name: String, fn: (SparkSession, String) => DataFrame,
             dump: Boolean = false): Either[String, Double] = {
+      val stage0 = Staging.buildSecondsTotal
       val t0 = System.nanoTime()
       // noop sink forces full execution (incl. sorts) without count-only
       // plan pruning or result materialization on the driver; the few
@@ -53,6 +63,10 @@ object Bench {
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+      } finally {
+        val paid = Staging.buildSecondsTotal - stage0
+        if (paid > 0)
+          stagingByQuery(name) = stagingByQuery.getOrElse(name, 0.0) + paid
       }
     }
 
@@ -67,7 +81,10 @@ object Bench {
     // need the scaling class — single-pass numbers carry cold-JVM noise
     // on the earliest queries, so compare them only against other
     // single-pass runs (SCALEPROBE protocol).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // parse defensively: a typo'd value must not kill the bench before
+    // any query runs — an unparseable setting falls back to the default
+    val passes = sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(_.toIntOption).getOrElse(2)
     val firstPass = ordered.map { case (name, fn) =>
       name -> run(name, fn, dump = Recall.inputs(name))
     }.toMap
@@ -115,8 +132,15 @@ object Bench {
       System.err.println(s"[bench] recall report failed: ${e.getMessage}")
       ""
     }
+    // one-time staged-corpus builds, attributed to the triggering query
+    // (empty map when every staged artifact was already cached)
+    val staging = if (stagingByQuery.isEmpty) "" else {
+      val m = stagingByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","staging_total_secs":${stagingByQuery.values.sum},"staging":$m"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$reference$recall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$reference$recall$staging,"sf":"$sfDir"}"""
     println(line)
     // stdout capture gets truncated by some harnesses; persist the full
     // per-query map so rounds stay diffable for every query

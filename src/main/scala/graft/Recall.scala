@@ -74,17 +74,19 @@ object Recall {
     val ngram = ngramRows.map(t => (t._1, t._2)).toSet
     val nearNgram = ngramRows.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
     val cosine = pairSet(s, dir, "q_dedup_embedding", "vec_a", "vec_b", dumps)
+    // the three embedding-space found-sets serve BOTH the truth-set
+    // recalls below and the planted-tier stamps (plantedEntries)
+    val lshFound = pairSet(s, dir, "q_dedup_embedding_lsh", "vec_a", "vec_b", dumps)
+    val annFound = pairSet(s, dir, "q_similarity_ann", "qid", "nid", dumps)
+    val ivfFound = pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)
     Seq(
       Entry("minhash", recallOf(ngram,
         pairSet(s, dir, "q_dedup_minhash", "doc_a", "doc_b", dumps)), ngram.size),
       Entry("simhash", recallOf(nearNgram,
         pairSet(s, dir, "q_dedup_simhash", "doc_a", "doc_b", dumps)), nearNgram.size),
-      Entry("embedding_lsh", recallOf(cosine,
-        pairSet(s, dir, "q_dedup_embedding_lsh", "vec_a", "vec_b", dumps)), cosine.size),
-      Entry("ann", recallOf(cosine,
-        pairSet(s, dir, "q_similarity_ann", "qid", "nid", dumps)), cosine.size),
-      Entry("ivf", recallOf(cosine,
-        pairSet(s, dir, "q_similarity_ivf", "qid", "nid", dumps)), cosine.size),
+      Entry("embedding_lsh", recallOf(cosine, lshFound), cosine.size),
+      Entry("ann", recallOf(cosine, annFound), cosine.size),
+      Entry("ivf", recallOf(cosine, ivfFound), cosine.size),
       // PQ-ADC answers the fixed query set, so its reference is the
       // EXACT top-10 for those queries (recall@10 — the retrieval
       // metric), not the corpus-wide near-dup pairs ann/ivf emit
@@ -105,7 +107,52 @@ object Recall {
       // (pairs are emitted vec_a < vec_b), and the clustered operator's
       // drops are provably a subset (LlmOpsSpec) — recall is the
       // fraction of brute drops the cluster partition still catches
-      semanticEntry(s, dir, cosine, dumps))
+      semanticEntry(s, dir, cosine, dumps)) ++
+      plantedEntries(s, dir,
+        Seq("planted_lsh" -> lshFound, "planted_ann" -> annFound,
+          "planted_ivf" -> ivfFound))
+  }
+
+  /** PLANTED-pair recall stamps (r12 verdict item 3, self-gating form
+    * of tools/planted_recall.py): probe replicas built by make_probe.py
+    * plant one near-dup pair per 100-id block (partner = previous id;
+    * strength tier cycles with the block, cosines ~0.99/0.91/0.74).
+    * When the SF dir carries planted ids, each embedding-space
+    * operator is graded on exactly those pairs, overall and per tier —
+    * the OPERATOR-quality signal at probe scale, separate from
+    * truth-set recall (which SCALEPROBE r12 showed is dominated by
+    * borderline isotropic pairs near the 0.45 threshold). sf0.1 and
+    * all fixture corpora carry no planted ids, so the bench block is
+    * absent there and every existing stamp is unchanged. */
+  private[graft] def plantedPairs(ids: DataFrame): DataFrame = {
+    val off = 1000000000L
+    ids.select(col("vec_id"))
+      .where(col("vec_id") >= off && pmod(col("vec_id"), lit(100L)) === 1)
+      .select((col("vec_id") - 1).as("a"), col("vec_id").as("b"),
+        expr(s"CAST(((vec_id % $off) div 100 + vec_id div $off) % 3 AS INT)")
+          .as("tier"))
+      // a replica's FIRST block pairs with id k·OFF+0, which exists
+      // only if the source corpus carries vec_id 0 — a planted row
+      // whose partner is absent is not a gradable pair (ADVICE r12)
+      .join(ids.select(col("vec_id").as("a")), Seq("a"), "left_semi")
+  }
+
+  private def plantedEntries(s: SparkSession, dir: String,
+                             found: Seq[(String, Set[(Long, Long)])])
+      : Seq[Entry] = {
+    val planted = plantedPairs(
+      sources.Tables.embeddings(s, dir).select(col("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    if (planted.isEmpty) Seq.empty
+    else found.flatMap { case (name, f) =>
+      def entryOf(suffix: String, pairs: Array[(Long, Long, Int)]) =
+        Entry(name + suffix,
+          recallOf(pairs.map(p => (p._1, p._2)).toSet, f), pairs.length)
+      entryOf("", planted) +:
+        planted.groupBy(_._3).toSeq.sortBy(_._1).map { case (tier, ps) =>
+          entryOf(s"_t$tier", ps)
+        }
+    }
   }
 
   private def semanticEntry(s: SparkSession, dir: String,

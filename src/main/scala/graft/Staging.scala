@@ -62,6 +62,28 @@ object Staging {
     * checkouts, so the key must change whenever the staged CONTENT
     * recipe changes, not just its inputs — bump the call site's rev
     * with any edit to its build lambda. */
+  /** Per-JVM log of staged-corpus BUILD time (key → seconds), so Bench
+    * can stamp staging cost separately from query wall (r12 verdict
+    * item 8: at probe scale a one-time 5M-doc corpus build dominated a
+    * query's first-pass number). Only builds paid by THIS JVM are
+    * logged — cache hits cost nothing and log nothing. */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Snapshot of total build seconds paid so far by this JVM. */
+  def buildSecondsTotal: Double = {
+    var t = 0.0
+    buildLog.forEach((_, v) => t += v.doubleValue())
+    t
+  }
+
+  /** Snapshot of the per-key build log. */
+  def buildSeconds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    buildLog.forEach((k, v) => b += k -> v.doubleValue())
+    b.result()
+  }
+
   def cached(key: String, rev: Int)(build: String => Unit): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def deleteTree(p: java.nio.file.Path): Unit =
@@ -88,7 +110,11 @@ object Staging {
     if (!Files.exists(base)) {
       val tmp = Files.createTempDirectory(root, s"_build_")
       try {
+        val t0 = System.nanoTime()
         build(tmp.toString) // Spark mode("overwrite") writes INTO tmp
+        buildLog.merge(s"${key}_r$rev",
+          java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+          (a, b) => java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
         try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException |
