@@ -96,7 +96,11 @@ object Graph {
     * (SCALEPROBE r11 A/B) — while sf0.1's 11 MB clamps to the session
     * default, leaving the bench regime untouched. Iterative loops
     * (q_graph_mst: 70.5 → 195.8 s at p128) and output-bound band joins
-    * deliberately carry NO hint. */
+    * deliberately carry NO hint. (r13: the varint-packed attach cut
+    * shuffle bytes ~2.2×, which makes this calibration conservative —
+    * partitions land smaller than sized for and AQE coalesces the
+    * excess for free; the packed 30×/100× optima above were measured
+    * WITH this constant, so it stays.) */
   private val copurchaseIntersectHint =
     Some(ScaledShuffle(Seq("lineitem"), bytesPerPartition = 3L << 20))
 
