@@ -123,10 +123,21 @@ object Bench {
     // tracked per round so recall/cost trades stay visible next to the
     // timings they paid for; never fails the bench
     val recall = if (only.nonEmpty) "" else try {
-      val entries = Recall.compute(spark, sfDir, Some(dumpDir.toString)).map { e =>
-        "\"" + e.name + "\":{\"recall\":" + e.recall +
-          ",\"exact_pairs\":" + e.exactPairs + "}"
-      }.mkString("{", ",", "}")
+      // a pass-1 failure can leave no dump, making Recall.compute
+      // re-run that query — any staged build it triggers is paid
+      // here, outside every run() window, so attribute it explicitly
+      val stage0 = Staging.buildSecondsTotal
+      val entries = try {
+        Recall.compute(spark, sfDir, Some(dumpDir.toString)).map { e =>
+          "\"" + e.name + "\":{\"recall\":" + e.recall +
+            ",\"exact_pairs\":" + e.exactPairs + "}"
+        }.mkString("{", ",", "}")
+      } finally {
+        val paid = Staging.buildSecondsTotal - stage0
+        if (paid > 0)
+          stagingByQuery("recall_block") =
+            stagingByQuery.getOrElse("recall_block", 0.0) + paid
+      }
       s""","recall":$entries"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall report failed: ${e.getMessage}")

@@ -45,6 +45,16 @@ object Staging {
 
   def fastDir(name: String): String = s"$fastRoot/$name"
 
+  /** Per-JVM total of staged-corpus BUILD seconds, so Bench can stamp
+    * staging cost separately from query wall (r12 verdict item 8: at
+    * probe scale a one-time 5M-doc corpus build dominated a query's
+    * first-pass number). Only builds paid by THIS JVM are counted —
+    * cache hits cost nothing and log nothing. Bench snapshots this
+    * around each query run and attributes the delta. */
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def buildSecondsTotal: Double = buildNanos.get() / 1e9
+
   /** Persistent content-keyed staging: `build` runs only if the keyed
     * dir hasn't been staged yet, then every later run — including the
     * bench's second pass and future JVMs — reuses it. For inputs that
@@ -62,28 +72,6 @@ object Staging {
     * checkouts, so the key must change whenever the staged CONTENT
     * recipe changes, not just its inputs — bump the call site's rev
     * with any edit to its build lambda. */
-  /** Per-JVM log of staged-corpus BUILD time (key → seconds), so Bench
-    * can stamp staging cost separately from query wall (r12 verdict
-    * item 8: at probe scale a one-time 5M-doc corpus build dominated a
-    * query's first-pass number). Only builds paid by THIS JVM are
-    * logged — cache hits cost nothing and log nothing. */
-  private val buildLog =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-
-  /** Snapshot of total build seconds paid so far by this JVM. */
-  def buildSecondsTotal: Double = {
-    var t = 0.0
-    buildLog.forEach((_, v) => t += v.doubleValue())
-    t
-  }
-
-  /** Snapshot of the per-key build log. */
-  def buildSeconds: Map[String, Double] = {
-    val b = Map.newBuilder[String, Double]
-    buildLog.forEach((k, v) => b += k -> v.doubleValue())
-    b.result()
-  }
-
   def cached(key: String, rev: Int)(build: String => Unit): String = synchronized {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def deleteTree(p: java.nio.file.Path): Unit =
@@ -112,9 +100,7 @@ object Staging {
       try {
         val t0 = System.nanoTime()
         build(tmp.toString) // Spark mode("overwrite") writes INTO tmp
-        buildLog.merge(s"${key}_r$rev",
-          java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
-          (a, b) => java.lang.Double.valueOf(a.doubleValue() + b.doubleValue()))
+        buildNanos.addAndGet(System.nanoTime() - t0)
         try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: java.nio.file.FileAlreadyExistsException |

@@ -80,71 +80,62 @@ object PackedOps {
     out
   }
 
+  /** Streaming decoder over one packed array: `next()` decodes one
+    * varint and returns the running (delta-accumulated) value; the
+    * first call returns the absolute first element because the
+    * accumulator starts at 0 and the first value is encoded as a
+    * delta from 0. A final class with two primitive fields — the JIT
+    * scalar-replaces the per-call allocation in the merge loops below
+    * (escape analysis), so this costs nothing over the hand-inlined
+    * decode it replaces while keeping exactly ONE copy of the decode
+    * logic. */
+  private final class Cursor(b: Array[Byte]) {
+    private var p = 0
+    private var v = 0L
+    def hasNext: Boolean = p < b.length
+    def next(): Long = {
+      var cur = 0L; var shift = 0; var by = 0
+      do { by = b(p); cur |= (by & 0x7fL) << shift; shift += 7; p += 1 }
+      while ((by & 0x80) != 0)
+      v += cur
+      v
+    }
+  }
+
   /** |a ∩ b| over two packed sorted arrays, counting DISTINCT common
     * values — exactly `size(array_intersect(a, b))` for sorted inputs
     * (array_intersect de-dups; sorted merge advancing past equal runs
-    * does the same). One merge scan, zero allocation. */
+    * does the same). One merge scan. */
   def intersectCount(a: Array[Byte], b: Array[Byte]): Long = {
-    val la = a.length; val lb = b.length
-    if (la == 0 || lb == 0) return 0L
-    var ia = 0; var ib = 0
-    var va = 0L; var vb = 0L
-    // decode first element of each
-    var shift = 0; var cur = 0L; var by = 0
-    // inline decoder as a local loop (no lambdas in the hot path)
-    do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-    while ((by & 0x80) != 0)
-    va = cur
-    shift = 0; cur = 0L
-    do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-    while ((by & 0x80) != 0)
-    vb = cur
+    if (a.length == 0 || b.length == 0) return 0L
+    val ca = new Cursor(a); val cb = new Cursor(b)
+    var va = ca.next(); var vb = cb.next()
     var count = 0L
     var last = 0L; var hasLast = false
     while (true) {
       if (va == vb) {
         if (!hasLast || va != last) { count += 1; last = va; hasLast = true }
-        if (ia >= la || ib >= lb) return count
-        shift = 0; cur = 0L
-        do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-        while ((by & 0x80) != 0)
-        va += cur
-        shift = 0; cur = 0L
-        do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-        while ((by & 0x80) != 0)
-        vb += cur
+        if (!ca.hasNext || !cb.hasNext) return count
+        va = ca.next(); vb = cb.next()
       } else if (va < vb) {
-        if (ia >= la) return count
-        shift = 0; cur = 0L
-        do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-        while ((by & 0x80) != 0)
-        va += cur
+        if (!ca.hasNext) return count
+        va = ca.next()
       } else {
-        if (ib >= lb) return count
-        shift = 0; cur = 0L
-        do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-        while ((by & 0x80) != 0)
-        vb += cur
+        if (!cb.hasNext) return count
+        vb = cb.next()
       }
     }
-    count // unreachable
+    count // unreachable; satisfies the type checker after while(true)
   }
 
   /** a ∩ b over two packed sorted arrays as `array<long>` — distinct
     * common values in ascending order, exactly `array_intersect(a, b)`
     * for sorted inputs (ascending IS first-array order there). */
   def intersectVals(a: Array[Byte], b: Array[Byte]): ArrayData = {
-    val la = a.length; val lb = b.length
-    if (la == 0 || lb == 0) return new GenericArrayData(Array.emptyLongArray)
-    var ia = 0; var ib = 0
-    var shift = 0; var cur = 0L; var by = 0
-    do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-    while ((by & 0x80) != 0)
-    var va = cur
-    shift = 0; cur = 0L
-    do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-    while ((by & 0x80) != 0)
-    var vb = cur
+    if (a.length == 0 || b.length == 0)
+      return new GenericArrayData(Array.emptyLongArray)
+    val ca = new Cursor(a); val cb = new Cursor(b)
+    var va = ca.next(); var vb = cb.next()
     var out = new Array[Long](8)
     var n = 0
     var done = false
@@ -154,33 +145,12 @@ object PackedOps {
           if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
           out(n) = va; n += 1
         }
-        if (ia >= la || ib >= lb) done = true
-        else {
-          shift = 0; cur = 0L
-          do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-          while ((by & 0x80) != 0)
-          va += cur
-          shift = 0; cur = 0L
-          do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-          while ((by & 0x80) != 0)
-          vb += cur
-        }
+        if (!ca.hasNext || !cb.hasNext) done = true
+        else { va = ca.next(); vb = cb.next() }
       } else if (va < vb) {
-        if (ia >= la) done = true
-        else {
-          shift = 0; cur = 0L
-          do { by = a(ia); cur |= (by & 0x7fL) << shift; shift += 7; ia += 1 }
-          while ((by & 0x80) != 0)
-          va += cur
-        }
+        if (!ca.hasNext) done = true else va = ca.next()
       } else {
-        if (ib >= lb) done = true
-        else {
-          shift = 0; cur = 0L
-          do { by = b(ib); cur |= (by & 0x7fL) << shift; shift += 7; ib += 1 }
-          while ((by & 0x80) != 0)
-          vb += cur
-        }
+        if (!cb.hasNext) done = true else vb = cb.next()
       }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, n))
