@@ -180,6 +180,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_join_range",       // band join, tiny broadcast build side
       "q_similarity_topk",  // corpus x broadcast 5-query set
       "q_similarity_ivf",   // corpus x broadcast 16 centroids
+      "q_similarity_ivfadc", // bounded 5-query slice x broadcast
+                            // centroid table (the r13 corpus/query
+                            // probe split: the corpus top-1 assign is
+                            // checkpointed out of the audited plan as
+                            // before, but the 5-row flat query ranking
+                            // is now visible — 5 x nCells rows by
+                            // construction, the q_similarity_topk class)
       "q_dedup_embedding",  // exact ground-truth form (scale path =
                             // _lsh): n²/2 brute at/below EmbedAnchorCap
                             // (this fixture), bounded ≤2048-anchor
