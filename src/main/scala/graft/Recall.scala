@@ -107,10 +107,13 @@ object Recall {
       // (pairs are emitted vec_a < vec_b), and the clustered operator's
       // drops are provably a subset (LlmOpsSpec) — recall is the
       // fraction of brute drops the cluster partition still catches
-      semanticEntry(s, dir, cosine, dumps)) ++
-      plantedEntries(s, dir,
+      semanticEntry(s, dir, cosine, dumps)) ++ {
+      val planted = collectPlanted(s, dir)
+      plantedEntries(planted,
         Seq("planted_lsh" -> lshFound, "planted_ann" -> annFound,
-          "planted_ivf" -> ivfFound))
+          "planted_ivf" -> ivfFound)) ++
+        plantedIvfadcEntries(s, dir, planted)
+    }
   }
 
   /** PLANTED-pair recall stamps (r12 verdict item 3, self-gating form
@@ -137,12 +140,26 @@ object Recall {
       .join(ids.select(col("vec_id").as("a")), Seq("a"), "left_semi")
   }
 
-  private def plantedEntries(s: SparkSession, dir: String,
+  /** Driver-side planted-pair budget (r13 verdict nit 4): planted
+    * pairs are n/100, ~2k at the 100× probe — but the collect should
+    * survive another probe decade, so above the cap the graded set is
+    * a deterministic hash-sample (the anchored-truth precedent:
+    * xxhash64-ranked, partitioning-invariant, unbiased per tier in
+    * expectation). Every current dir sits far under the cap, so all
+    * existing stamps are unchanged. */
+  val PlantedPairCap = 65536
+
+  private def collectPlanted(s: SparkSession,
+                             dir: String): Array[(Long, Long, Int)] =
+    plantedPairs(
+      sources.Tables.embeddings(s, dir).select(col("vec_id")))
+      .orderBy(xxhash64(col("b"), lit(0x9a14L)), col("b"))
+      .limit(PlantedPairCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+  private def plantedEntries(planted: Array[(Long, Long, Int)],
                              found: Seq[(String, Set[(Long, Long)])])
       : Seq[Entry] = {
-    val planted = plantedPairs(
-      sources.Tables.embeddings(s, dir).select(col("vec_id")))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     if (planted.isEmpty) Seq.empty
     else found.flatMap { case (name, f) =>
       def entryOf(suffix: String, pairs: Array[(Long, Long, Int)]) =
@@ -153,6 +170,48 @@ object Recall {
           entryOf(s"_t$tier", ps)
         }
     }
+  }
+
+  /** Per-tier query budget for the planted IVF-ADC stamp (r13 verdict
+    * item 6): unlike the dump-graded stamps above, grading the COMPLETE
+    * retrieval architecture on planted pairs must RUN the pipeline with
+    * the planted ids as its query slice — so the slice is a bounded
+    * deterministic hash-sample (the anchored-truth precedent), keeping
+    * candidate volume at |queries| × probed-fraction × n × AdcAssignK
+    * regardless of corpus size. The coarse index is memoized
+    * (Similarity.ivfadcIndex), so this adds ONE bounded search over the
+    * already-built index per bench pass, not a second index build. */
+  val PlantedIvfadcPerTier = 64
+
+  private def plantedIvfadcEntries(s: SparkSession, dir: String,
+                                   planted: Array[(Long, Long, Int)])
+      : Seq[Entry] = {
+    if (planted.isEmpty) return Seq.empty
+    // deterministic per-tier sample, keyed on a driver-side mix of the
+    // planted id (partitioning-independent; same pairs every run)
+    def mix(x: Long): Long = {
+      val z = (x ^ (x >>> 33)) * 0x9e3779b97f4a7c15L
+      z ^ (z >>> 29)
+    }
+    val sampled = planted.groupBy(_._3).toSeq.flatMap { case (_, ps) =>
+      ps.sortBy(p => (mix(p._2), p._2)).take(PlantedIvfadcPerTier)
+    }.toArray
+    val qids = sampled.map(_._1).toSeq
+    // query = the planted partner's anchor side; the pipeline's top-10
+    // for that query must contain the planted near-dup (recall@10 of
+    // the KNOWN nearest neighbor — tiers 0/1 plant cosines ~0.99/0.91,
+    // far above background; tier 2 ~0.74 vs background max ~0.62)
+    val found = operators.Similarity
+      .ivfadcTopk(s, dir, col("vec_id").isInCollection(qids))
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def entryOf(suffix: String, pairs: Array[(Long, Long, Int)]) =
+      Entry("planted_ivfadc" + suffix,
+        recallOf(pairs.map(p => (p._1, p._2)).toSet, found), pairs.length)
+    entryOf("", sampled) +:
+      sampled.groupBy(_._3).toSeq.sortBy(_._1).map { case (tier, ps) =>
+        entryOf(s"_t$tier", ps)
+      }
   }
 
   private def semanticEntry(s: SparkSession, dir: String,

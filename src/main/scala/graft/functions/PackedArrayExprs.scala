@@ -58,6 +58,15 @@ object PackedOps {
     var prev = 0L
     var i = 0
     while (i < n) {
+      // fail LOUDLY on a null element (ADVICE r13): the function is
+      // session-registered, so arbitrary SQL can reach it with
+      // array<bigint> containsNull=true — getLong on a null slot reads
+      // garbage and the packed bytes would silently diverge from the
+      // array_intersect twin semantics. No production caller packs
+      // nulls (sort_array(collect_list(...)) never yields them).
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"pack_sorted: null element at position $i - " +
+          "packed arrays must be null-free sorted bigint")
       val v = a.getLong(i)
       bytes += varintLen(if (i == 0) v else v - prev)
       prev = v

@@ -45,9 +45,16 @@ object PqOps {
     var found = false
     var i = 0
     while (i < k) {
-      val entry = cb.getStruct(i, 2)
-      val cent = entry.getArray(1)
-      if (cent.numElements() == n) {
+      // null-skip a null codebook entry / null cent array (ADVICE r13):
+      // the HOF pipeline this expression claims bit-identity with
+      // null-scores such candidates and array_min skips them; an NPE
+      // here would diverge for SQL callers (pqModel's collect_list-
+      // built codebooks never produce nulls, but the function is
+      // session-registered).
+      val entry = if (cb.isNullAt(i)) null else cb.getStruct(i, 2)
+      val cent = if (entry == null || entry.isNullAt(1)) null
+                 else entry.getArray(1)
+      if (cent != null && cent.numElements() == n) {
         var acc = 0.0
         var j = 0
         while (j < n) {

@@ -15,20 +15,125 @@ import graft.sources.Tables
   */
 object Curation {
 
-  /** Bounded public-suffix table for the registered-domain parse
-    * (publicsuffix.org shape: multi-label suffixes like `co.uk` are
-    * first-class rows, matched LONGEST-FIRST). The fixture carries the
-    * suffixes its URL generator emits. SCOPE: the parse joins the 1-
-    * and 2-label host tails only, so this table can express suffixes
-    * up to 2 labels — the full PSL snapshot additionally needs a join
-    * per tail length (3-/4-label rules like `act.edu.au`) plus
-    * wildcard (`*.ck`) and exception (`!www.ck`) handling; the
-    * broadcast-join SHAPE extends to that (one bounded table, longest-
-    * match-first), but this implementation does not parse those rule
-    * classes. Shared by the Spark parse and the DuckDB oracle (one
-    * source of truth, the r9 twin rule). */
-  private[operators] val PublicSuffixes: Seq[String] =
-    Seq("com", "org", "net", "io", "co.uk", "com.au")
+  /** Public-suffix RULE list in publicsuffix.org syntax — the full
+    * semantics (r13 verdict item 5): normal rules of any label depth
+    * (`com`, `co.uk`, `act.edu.au` — longest match wins), wildcard
+    * rules (`*.ck`: the star consumes exactly one host label, so any
+    * `<x>.ck` is a public suffix), exception rules (`!www.ck`:
+    * overrides every other match; the exception domain ITSELF is the
+    * registrable domain), and the implicit prevailing `*` default
+    * (unknown TLD ⇒ 1-label public suffix). The fixture list carries
+    * the real PSL's `au` chain (au / com.au / edu.au / act.edu.au)
+    * and the classic `*.ck` / `!www.ck` pair so every rule class is
+    * exercised. One source of truth: the Spark parse and the DuckDB
+    * oracle both derive their match sets from this seq (the r9 twin
+    * rule). SCALE: the rule sets ride the plan as literal IN-sets —
+    * a pure map-side projection, no join at all (a real ~9k-row PSL
+    * snapshot is still IN-set/broadcast-class; nothing here shuffles
+    * with the corpus). */
+  private[operators] val PslRules: Seq[String] = Seq(
+    "com", "org", "net", "io",
+    "uk", "co.uk",
+    "au", "com.au", "edu.au", "act.edu.au",
+    "*.ck", "!www.ck")
+
+  /** Normal rules grouped by label count (1 → com/org/…, 2 → co.uk/…,
+    * 3 → act.edu.au). */
+  private[operators] def pslNormals: Map[Int, Seq[String]] =
+    PslRules.filter(r => !r.startsWith("*") && !r.startsWith("!"))
+      .groupBy(_.count(_ == '.') + 1)
+
+  /** Wildcard rules by the label count of the REST (`*.ck` → rest
+    * `ck`, restLen 1; the full rule matches restLen+1 host labels). */
+  private[operators] def pslWildcardRests: Map[Int, Seq[String]] =
+    PslRules.filter(_.startsWith("*.")).map(_.drop(2))
+      .groupBy(_.count(_ == '.') + 1)
+
+  /** Exception rules by label count (`!www.ck` → `www.ck`, len 2). */
+  private[operators] def pslExceptions: Map[Int, Seq[String]] =
+    PslRules.filter(_.startsWith("!")).map(_.drop(1))
+      .groupBy(_.count(_ == '.') + 1)
+
+  /** The sfx-slot values the URL fixture emits (ck exercises the
+    * wildcard/exception classes; act.edu.au is substituted for every
+    * other edu.au draw — see the q_curate_domains generator). */
+  private[operators] val UrlSuffixSlots: Seq[String] =
+    Seq("com", "org", "net", "io", "co.uk", "com.au", "edu.au", "ck")
+
+  /** Suffixes under which `site<k>.<sfx>` is a registrable domain in
+    * the fixture — the blocklist key space. (`ck` is absent: under
+    * `*.ck` the registrable domain keeps the subdomain label.) */
+  private[operators] val RegistrableSuffixes: Seq[String] =
+    UrlSuffixSlots.filterNot(_ == "ck") :+ "act.edu.au"
+
+  /** Registered domain of `host` under [[PslRules]] — the FULL
+    * publicsuffix.org algorithm as a PURE column expression (IN-set
+    * match per rule class + one dynamic tail slice; no joins, fully
+    * codegen'd, map-side at any corpus size):
+    *
+    *  1. exception rules win outright: public suffix = the rule minus
+    *     its leftmost label, so the registrable domain IS the
+    *     exception match (`!www.ck` ⇒ `foo.www.ck` keys as `www.ck`);
+    *  2. else the LONGEST matching rule, where a wildcard rule
+    *     `*.<rest>` matches any host with ≥ restLen+1 labels whose
+    *     restLen-tail equals `<rest>` (the star consumes exactly one
+    *     label: suffix length = restLen+1);
+    *  3. else the prevailing `*` default (1-label public suffix).
+    *
+    * Registered domain = public suffix + one label; NULL when the
+    * host itself is a public suffix (nothing registrable). */
+  private[operators] def pslRegisteredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val nl = size(labels)
+    def tailK(k: Int): Column =
+      when(nl >= k, concat_ws(".", slice(labels, -k, k)))
+    val excLen: Column = pslExceptions.toSeq.sortBy(-_._1)
+      .map { case (l, ds) => when(tailK(l).isin(ds: _*), lit(l)) }
+      .reduceOption((a, b) => coalesce(a, b))
+      .getOrElse(lit(null).cast(IntegerType))
+    val cands: Seq[Column] =
+      pslNormals.toSeq.map { case (l, ds) =>
+        when(tailK(l).isin(ds: _*), lit(l)).otherwise(lit(0))
+      } ++
+      pslWildcardRests.toSeq.map { case (r, ds) =>
+        when(nl >= r + 1 && tailK(r).isin(ds: _*), lit(r + 1))
+          .otherwise(lit(0))
+      } :+ lit(1) // the prevailing '*' default
+    val psLen = when(excLen.isNotNull, excLen - 1)
+      .otherwise(greatest(cands: _*))
+    val regLen = psLen + 1
+    when(nl >= regLen, concat_ws(".", slice(labels, -regLen, regLen)))
+  }
+
+  /** [[pslRegisteredDomain]] as a DuckDB scalar-expression string over
+    * a host column — generated from the SAME rule sets (the r9 twin
+    * rule: one source of truth, engines cannot drift). DuckDB list
+    * slices are 1-based inclusive and CLAMP out-of-range bounds, so
+    * every tail access is guarded by an explicit label-count check
+    * exactly like the Spark side. */
+  private[operators] def pslRegisteredDomainSql(host: String): String = {
+    val ls = s"string_split($host, '.')"
+    val nl = s"len($ls)"
+    def tailK(k: Int) = s"array_to_string($ls[$nl - ${k - 1}:$nl], '.')"
+    def inList(ds: Seq[String]) = ds.map(d => s"'$d'").mkString(", ")
+    val excCases = pslExceptions.toSeq.sortBy(-_._1).map { case (l, ds) =>
+      s"WHEN $nl >= $l AND ${tailK(l)} IN (${inList(ds)}) THEN $l"
+    }
+    val excLen =
+      if (excCases.isEmpty) "CAST(NULL AS INT)"
+      else s"CASE ${excCases.mkString(" ")} END"
+    val cands =
+      pslNormals.toSeq.map { case (l, ds) =>
+        s"CASE WHEN $nl >= $l AND ${tailK(l)} IN (${inList(ds)}) THEN $l ELSE 0 END"
+      } ++
+      pslWildcardRests.toSeq.map { case (r, ds) =>
+        s"CASE WHEN $nl >= ${r + 1} AND ${tailK(r)} IN (${inList(ds)}) THEN ${r + 1} ELSE 0 END"
+      } :+ "1"
+    val psLen = s"COALESCE($excLen - 1, GREATEST(${cands.mkString(", ")}))"
+    val regLen = s"($psLen + 1)"
+    s"CASE WHEN $nl >= $regLen THEN " +
+      s"array_to_string($ls[$nl - $regLen + 1:$nl], '.') END"
+  }
 
   /** 90/5/5 thresholds over the first 4 md5 hex chars (uniform over
     * 0x0000..0xffff): 0xe666/0x10000 = 0.9000, 0xf333/0x10000 = 0.9500.
@@ -1597,50 +1702,45 @@ object Curation {
       "q_curate_domains",
       (s, dir) => {
         import s.implicits._
+        // fixture URL generator: the sfx slot cycles the 8 UrlSuffixSlots;
+        // every other edu.au draw (doc_id%16==14) deepens to the 3-label
+        // act.edu.au rule, and every other ck draw (doc_id%16==15) pins
+        // the site label to www so the !www.ck exception rule fires
+        // (the remaining ck draws exercise the *.ck wildcard)
+        val site =
+          when(pmod(col("doc_id"), lit(16L)) === 15, lit("www"))
+            .when(pmod(col("doc_id"), lit(5L)) < 2, lit("bigportal"))
+            .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50L))))
+        val sfxSlot =
+          when(pmod(col("doc_id"), lit(16L)) === 14, lit("act.edu.au"))
+            .otherwise(element_at(array(UrlSuffixSlots.map(lit): _*),
+              (pmod(col("doc_id"), lit(8L)) + 1).cast(IntegerType)))
         val url = concat(
           lit("https://"),
           element_at(array(lit("www"), lit("blog"), lit("cdn")),
             (pmod(col("doc_id"), lit(3L)) + 1).cast(IntegerType)),
-          lit("."),
-          when(pmod(col("doc_id"), lit(5L)) < 2, lit("bigportal"))
-            .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50L)))),
-          lit("."),
-          element_at(array(lit("com"), lit("org"), lit("net"), lit("io"),
-            lit("co.uk"), lit("com.au")),
-            (pmod(col("doc_id"), lit(6L)) + 1).cast(IntegerType)),
+          lit("."), site, lit("."), sfxSlot,
           when(pmod(col("doc_id"), lit(11L)) === 0, lit("/track/"))
             .otherwise(lit("/page/")),
           col("doc_id"))
         val blockedSites = Seq("site13", "site26", "site39")
-        val blocklist = PublicSuffixes
+        val blocklist = RegistrableSuffixes
           .flatMap(sfx => blockedSites.map(b => s"$b.$sfx"))
           .toDF("blocked_domain")
-        // registered domain via the PUBLIC-SUFFIX-LIST algorithm
-        // (publicsuffix.org: longest matching suffix + one label), not
-        // a fixed two-label regex — `shop.example.co.uk` must key as
-        // `example.co.uk`, never `co.uk` (r11 verdict item 6). The
-        // suffix list is a bounded BROADCAST table (two equi-joins on
-        // the 1- and 2-label tails; real PSL snapshots are ~9k rows —
-        // still broadcast-class), so the parse stays map-side at any
-        // corpus size. The subdomain (www/blog/cdn) is deliberately
-        // NOT part of the curation key.
-        val sfx = broadcast(PublicSuffixes.toDF("sfx"))
+        // registered domain via the FULL public-suffix-list algorithm
+        // (pslRegisteredDomain: exception > longest normal/wildcard >
+        // '*' default, suffix + one label) — a pure map-side column
+        // expression, no joins with the corpus at any scale. The
+        // subdomain (www/blog/cdn) is deliberately NOT part of the
+        // curation key — EXCEPT where the PSL itself says otherwise
+        // (*.ck makes site.ck a public suffix, so the registrable key
+        // keeps the subdomain; that is the rule's semantics, not a
+        // leak).
         val parsed = Tables.documents(s, dir)
           .withColumn("url", url)
           .withColumn("host",
             regexp_extract(col("url"), "^https://([^/]+)/", 1))
-          .withColumn("tail2",
-            regexp_extract(col("host"), "([a-z0-9]+\\.[a-z0-9]+)$", 1))
-          // longest-match: a 2-label tail that IS a public suffix
-          // promotes the registered domain to three labels; otherwise
-          // (1-label suffix, or unknown — the PSL '*' default) the
-          // 2-label tail is the registered domain
-          .join(sfx.select(col("sfx").as("m2")),
-            col("tail2") === col("m2"), "left_outer")
-          .withColumn("domain",
-            when(col("m2").isNotNull, regexp_extract(col("host"),
-              "([a-z0-9]+\\.[a-z0-9]+\\.[a-z0-9]+)$", 1))
-              .otherwise(col("tail2")))
+          .withColumn("domain", pslRegisteredDomain(col("host")))
         val kept = parsed
           .filter(!col("url").like("%/track/%"))
           .join(broadcast(blocklist),
@@ -1658,17 +1758,18 @@ object Curation {
           .orderBy(col("domain"), col("domain_rank"))
       },
       Some {
-        val sfxRows = PublicSuffixes.map(x => s"('$x')").mkString(", ")
-        val blocked = PublicSuffixes
+        val blocked = RegistrableSuffixes
           .flatMap(x => Seq("site13", "site26", "site39").map(b => s"'$b.$x'"))
           .mkString(", ")
-        s"""WITH sfx AS (SELECT * FROM (VALUES $sfxRows) s(sfx)),
-          |aug AS (
+        val slots = UrlSuffixSlots.map(x => s"'$x'").mkString(",")
+        s"""WITH aug AS (
           |  SELECT doc_id, text,
           |         'https://' || ['www','blog','cdn'][CAST(doc_id % 3 AS INT) + 1]
-          |         || '.' || CASE WHEN doc_id % 5 < 2 THEN 'bigportal'
+          |         || '.' || CASE WHEN doc_id % 16 = 15 THEN 'www'
+          |                        WHEN doc_id % 5 < 2 THEN 'bigportal'
           |                        ELSE 'site' || (doc_id % 50) END
-          |         || '.' || ['com','org','net','io','co.uk','com.au'][CAST(doc_id % 6 AS INT) + 1]
+          |         || '.' || CASE WHEN doc_id % 16 = 14 THEN 'act.edu.au'
+          |                        ELSE [$slots][CAST(doc_id % 8 AS INT) + 1] END
           |         || CASE WHEN doc_id % 11 = 0 THEN '/track/' ELSE '/page/' END
           |         || doc_id AS url
           |  FROM documents),
@@ -1676,17 +1777,10 @@ object Curation {
           |  SELECT doc_id, text, url,
           |         regexp_extract(url, '^https://([^/]+)/', 1) AS host
           |  FROM aug),
-          |tails AS (
-          |  SELECT *,
-          |         regexp_extract(host, '([a-z0-9]+\\.[a-z0-9]+)$$', 1) AS tail2
-          |  FROM hosts),
           |parsed AS (
-          |  SELECT t.doc_id, t.text, t.url,
-          |         CASE WHEN m2.sfx IS NOT NULL THEN regexp_extract(t.host,
-          |                '([a-z0-9]+\\.[a-z0-9]+\\.[a-z0-9]+)$$', 1)
-          |              ELSE t.tail2 END AS domain
-          |  FROM tails t
-          |  LEFT JOIN sfx m2 ON t.tail2 = m2.sfx),
+          |  SELECT doc_id, text, url,
+          |         ${pslRegisteredDomainSql("host")} AS domain
+          |  FROM hosts),
           |kept AS (
           |  SELECT doc_id, domain,
           |         CAST(len(list_distinct(string_split(lower(text), ' ')))

@@ -609,15 +609,21 @@ class CurationSpec extends SparkSpec {
       assert(!blocked.contains(domain.takeWhile(_ != '.')),
         s"doc $id: blocklisted domain $domain survived")
       assert(id % 11 != 0, s"doc $id: /track/ path survived the filter")
-      // registered domain = name + public suffix, where the suffix may
-      // be MULTI-LABEL (co.uk / com.au — the r11 verdict item-6 trap):
-      // exactly one name label precedes the suffix, never the
-      // www/blog/cdn subdomain, and never a bare suffix
+      // registered domain = name + public suffix under the FULL PSL
+      // semantics (r13 verdict item 5): normal suffixes up to 3 labels
+      // (act.edu.au), wildcard *.ck (the registrable key KEEPS the
+      // subdomain — site7.ck is itself a public suffix), exception
+      // !www.ck (www.ck is registrable outright)
       assert(domain.matches(
-        "(bigportal|site[0-9]+)\\.(com|org|net|io|co\\.uk|com\\.au)"),
+        "(bigportal|site[0-9]+)\\.(com|org|net|io|co\\.uk|com\\.au|edu\\.au|act\\.edu\\.au)" +
+          "|(www|blog|cdn)\\.(bigportal|site[0-9]+)\\.ck" +
+          "|www\\.ck"),
         s"bad registered domain $domain")
-      assert(!Set("www", "blog", "cdn").contains(domain.takeWhile(_ != '.')),
-        s"subdomain leaked into the curation key: $domain")
+      // the www/blog/cdn subdomain never keys a NORMAL-suffix domain
+      // (the ck family is the PSL-mandated exception to this)
+      if (!domain.endsWith(".ck"))
+        assert(!Set("www", "blog", "cdn").contains(domain.takeWhile(_ != '.')),
+          s"subdomain leaked into the curation key: $domain")
     }
     // multi-label public suffixes are actually exercised AND parsed as
     // suffixes (site7.co.uk, not co.uk or site7.co)
@@ -627,6 +633,24 @@ class CurationSpec extends SparkSpec {
       "bare public suffix keyed as a domain")
     assert(!rows.exists(_._2.matches("[a-z0-9]+\\.co")),
       "two-label regex parse leaked (x.co instead of x.co.uk)")
+    // r13 item 5's new rule classes, each exercised and parsed right:
+    // LONGEST match wins the au chain (siteN.act.edu.au, never
+    // siteN.edu.au for an act.edu.au host — and 2-label edu.au hosts
+    // still parse at their own depth)
+    assert(rows.exists(_._2.matches("(bigportal|site[0-9]+)\\.act\\.edu\\.au")),
+      "no act.edu.au rows in fixture")
+    assert(rows.exists(_._2.matches("(bigportal|site[0-9]+)\\.edu\\.au")),
+      "no plain edu.au rows in fixture")
+    assert(!rows.exists(_._2.matches("(act|edu)\\.edu\\.au|edu\\.au|act\\.edu\\.au")),
+      "public-suffix tail of the au chain keyed as a domain")
+    // wildcard *.ck: registrable = subdomain + site + ck; a bare
+    // site7.ck (the wildcard public suffix itself) must never key
+    assert(rows.exists(_._2.matches("(www|blog|cdn)\\.(bigportal|site[0-9]+)\\.ck")),
+      "no wildcard *.ck rows in fixture")
+    assert(!rows.exists(_._2.matches("(bigportal|site[0-9]+)\\.ck")),
+      "wildcard public suffix site<k>.ck keyed as a domain")
+    // exception !www.ck: hosts under www.ck collapse to exactly www.ck
+    assert(rows.exists(_._2 == "www.ck"), "no !www.ck exception rows")
     // the hot portal is present and capped like everyone else
     assert(rows.exists(_._2.startsWith("bigportal.")))
     rows.groupBy(_._2).foreach { case (domain, grp) =>

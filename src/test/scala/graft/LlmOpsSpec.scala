@@ -607,7 +607,8 @@ class LlmOpsSpec extends SparkSpec {
     val e = sources.Tables.embeddings(spark, sf)
     val emitOnce = Similarity.annCandidates(e, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val idx = Similarity.annIndex(e, "vec_id", "embedding", 4,
+    val idx = Similarity.annIndex(e, "vec_id", "embedding",
+      Similarity.tablesFor(Similarity.planesFor(e.count())),
       Similarity.planesFor(e.count()))
       .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
     val naive = idx.select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("qid"))
@@ -674,6 +675,58 @@ class LlmOpsSpec extends SparkSpec {
     // never below the tuned floor, monotone in cells
     assert(adcNProbeFor(8) == 16)
     assert(adcNProbeFor(101) <= adcNProbeFor(175))
+  }
+
+  test("ivf-adc soft assignment: k cells per vector, best cell == primary assignment") {
+    // r13 verdict item 2: the corpus side indexes each vector under its
+    // AdcAssignK nearest cells. Contract: exactly k cells per vector
+    // (distinct), and the set CONTAINS the classic primary cell — so
+    // soft assignment can only ADD candidates, never lose the top-1
+    // path (recall is monotone in k by construction).
+    import operators.Similarity
+    val e = sources.Tables.embeddings(spark, sf)
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nCells = 32, iters = 2, corpusN = e.count()).localCheckpoint()
+    val soft = Similarity.softAssignToCentroids(
+        e, "vec_id", "embedding", cents, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = soft.groupBy(_._1)
+    assert(byId.size == e.count())
+    byId.foreach { case (id, cells) =>
+      assert(cells.length == 2 && cells.map(_._2).distinct.length == 2,
+        s"vector $id must sit in exactly 2 distinct cells")
+    }
+    val primary = Similarity.assignToCentroids(e, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { case (id, cells) =>
+      assert(cells.map(_._2).contains(primary(id)),
+        s"vector $id: soft cells ${cells.map(_._2).toSeq} miss primary ${primary(id)}")
+    }
+  }
+
+  test("lsh: scale-aware OR-table derivation — sf0.1 clamp pinned, ladder monotone") {
+    import operators.Similarity.{planesFor, tablesFor}
+    // the sf0.1 contract: every corpus that derives k ≤ 2 planes (all
+    // spec/bench corpora — sf0.1 = 2000 vectors → 2 planes) clamps to
+    // exactly the historical 4 tables, so the 0.854 recall floor and
+    // every contract stamp are bit-identical (r13 verdict item 1's
+    // done criterion — the adcNProbeFor clamp precedent)
+    assert(planesFor(2000) == 2 && tablesFor(2) == 4)
+    assert(tablesFor(1) == 4)
+    // the derivation: T(k) = max over the planted design anchors (mid
+    // tier cosine 0.91 @ R=0.95, hard tier 0.74 floored @ R=0.65) of
+    // ceil(ln(1-R)/ln(1-p^k)), p = 1 - acos(cos)/pi — theory is
+    // calibrated at probe scale (T=4/k=9 predicts mid 0.711 / hard
+    // 0.313 vs measured 0.702 / 0.321, SCALEPROBE r13). Pin the probe
+    // ladder so a policy edit that silently re-dilutes recall fails:
+    assert(tablesFor(planesFor(20000)) == 6)   // 10x: k=6
+    assert(tablesFor(planesFor(60000)) == 7)   // 30x: k=7
+    assert(tablesFor(planesFor(200000)) == 12) // 100x: k=9
+    // monotone in plane count (more planes -> never fewer tables)
+    (2 to 12).sliding(2).foreach { w =>
+      assert(tablesFor(w.head) <= tablesFor(w.last))
+    }
   }
 
   test("ivf-adc: recall@10 floored; refine scores exact; candidates never invented") {
@@ -756,6 +809,31 @@ class LlmOpsSpec extends SparkSpec {
       .count(r => flatPrimary(r.getLong(0)) == r.getLong(1))
     assert(agree.toDouble / n >= 0.95,
       s"hierarchical primary cell agrees with flat on only $agree/$n")
+  }
+
+  test("ivf hierarchical probe: nProbe past the reachable-cell bound falls back to flat") {
+    // r13 verdict item 7: the two-level path can rank at most
+    // ~nProbeSuper·(nCells/nSuper) cells per vector — a caller asking
+    // for more would silently get FEWER probes than requested. The
+    // guard routes such calls to the exact flat ranking instead
+    // (strictly more exact; bounded-slice callers by contract).
+    import operators.Similarity
+    val e = sources.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val nCells = 80
+    // nSuper = ceil(sqrt(80)) = 9, reachable = 8 * (80/9) = 64
+    val bigProbe = 70
+    def rows(hier: Boolean, nProbe: Int) = Similarity.ivfProbeAssign(
+      e, "vec_id", "embedding", nCells, trainIters = 2, nProbe = nProbe,
+      corpusN = n, hierarchical = hier)
+      .select(col("vec_id"), col("cell_id"), col("probe_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(hier = true, bigProbe) == rows(hier = false, bigProbe),
+      "past the reachable bound the hierarchical call must rank flat")
+    // and below the bound the guard must NOT fire (no behavior change
+    // for current callers — the two paths still differ)
+    assert(rows(hier = true, 6) != rows(hier = false, 6),
+      "below the bound the two-level path must stay in effect")
   }
 
   test("ivf auto-switch: corpusN >= threshold selects the two-level path, below stays flat") {

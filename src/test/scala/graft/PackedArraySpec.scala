@@ -57,6 +57,27 @@ class PackedArraySpec extends SparkSpec {
       s"dense ids packed to ${packed.length} B for ${dense.length} els")
   }
 
+  test("pack_sorted fails loudly on a null element") {
+    // ADVICE r13: session-registered, so SQL can reach it with
+    // containsNull=true arrays — a null slot must error, not pack
+    // garbage that silently diverges from array_intersect semantics
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a",
+      ArrayType(LongType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq[Any](1L, null, 3L)))),
+      schema)
+    val ex = intercept[Exception] {
+      df.select(call_function("pack_sorted", col("a"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("pack_sorted: null element")),
+      s"expected the loud null-element error, got: $ex")
+  }
+
   test("packed intersects == array_intersect on sorted arrays (codegen path, property sweep)") {
     // deterministic pseudo-random sorted arrays with controlled overlap,
     // evaluated THROUGH the DataFrame layer so whole-stage codegen runs

@@ -66,6 +66,35 @@ class PqArgminSpec extends SparkSpec {
     }
   }
 
+  test("null codebook entries / null cent arrays are skipped, matching HOF null-skip") {
+    // ADVICE r13: pq_argmin is session-registered, so arbitrary SQL
+    // can feed codebooks with null slots — those candidates must be
+    // SKIPPED (the HOF form null-scores them and array_min ignores
+    // nulls), never NPE.
+    val cbType = ArrayType(StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("cent", ArrayType(DoubleType), nullable = true))),
+      containsNull = true)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("sv", ArrayType(DoubleType)),
+      StructField("cb", cbType)))
+    val rows = Seq(
+      // null entry slot, then a real candidate
+      Row(1, Seq(1.0, 2.0), Seq(null, Row(7L, Seq(1.0, 1.0)))),
+      // null cent array inside an entry, then a real candidate
+      Row(2, Seq(1.0, 2.0), Seq(Row(3L, null), Row(9L, Seq(0.0, 2.0)))),
+      // only unusable candidates -> null result (HOF: all null-scored)
+      Row(3, Seq(1.0, 2.0), Seq(null, Row(4L, null))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val got = df.select(col("id"),
+        call_function("pq_argmin", col("sv"), col("cb")).as("g"))
+      .collect().map(r => r.getInt(0) -> Option(r.getStruct(1))).toMap
+    assert(got(1).map(_.getLong(0)).contains(7L))
+    assert(got(2).map(_.getLong(0)).contains(9L))
+    assert(got(3).isEmpty, "all-null codebook must yield null, not NPE")
+  }
+
   test("real corpus: trained codebook encodes identically under both forms") {
     val (cents, coded) = Similarity.pqModel(spark, sf)
     val cb = cents.groupBy(col("sub"))
