@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -82,7 +83,7 @@ object Curation {
     *
     * Registered domain = public suffix + one label; NULL when the
     * host itself is a public suffix (nothing registrable). */
-  private[operators] def pslRegisteredDomain(host: Column): Column = {
+  private[graft] def pslRegisteredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val nl = size(labels)
     def tailK(k: Int): Column =
@@ -111,7 +112,7 @@ object Curation {
     * slices are 1-based inclusive and CLAMP out-of-range bounds, so
     * every tail access is guarded by an explicit label-count check
     * exactly like the Spark side. */
-  private[operators] def pslRegisteredDomainSql(host: String): String = {
+  private[graft] def pslRegisteredDomainSql(host: String): String = {
     val ls = s"string_split($host, '.')"
     val nl = s"len($ls)"
     def tailK(k: Int) = s"array_to_string($ls[$nl - ${k - 1}:$nl], '.')"

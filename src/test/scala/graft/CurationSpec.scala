@@ -664,6 +664,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("psl parse: exception > longest match > wildcard > default, suffix-only hosts null") {
+    // table-driven contract for operators.Curation.pslRegisteredDomain
+    // (r13 verdict item 5) — publicsuffix.org's own algorithm examples
+    // adapted to the fixture rule list
+    import operators.Curation
+    val cases = Seq(
+      "shop.example.co.uk"   -> Some("example.co.uk"),   // 2-label rule
+      "x.site1.act.edu.au"   -> Some("site1.act.edu.au"),// 3-label rule wins over edu.au/au
+      "a.b.edu.au"           -> Some("b.edu.au"),        // 2-label au chain
+      "b.edu.au"             -> Some("b.edu.au"),
+      "edu.au"               -> None,                    // host IS a public suffix
+      "act.edu.au"           -> None,
+      "foo.bar.ck"           -> Some("foo.bar.ck"),      // *.ck: bar.ck is the suffix
+      "site7.ck"             -> None,                    // wildcard public suffix itself
+      "ck"                   -> None,
+      "www.ck"               -> Some("www.ck"),          // !www.ck exception
+      "deep.www.ck"          -> Some("www.ck"),
+      "foo.unknowntld"       -> Some("foo.unknowntld"),  // prevailing '*' default
+      "unknowntld"           -> None)
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1)))
+      .toDF("host")
+      .select(col("host"), Curation.pslRegisteredDomain(col("host")).as("d"))
+    val got = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+    }
+  }
+
   test("url dedup: variants conserved, canonical form clean, groups match the key space") {
     val rows = q("q_dedup_url").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
