@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized to the 128 GiB bench host (r15 full-suite A/B:
+  // 420.3 s at 8g vs 364.6 s at 32g on local[32] — 32 concurrent tasks
+  // share this one heap, guide §5); override via SPARK_DRIVER_MEM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // Whole-stage codegen emits one or more classes per query; a full
   // Verify/Bench run compiles hundreds of them and the JDK17 default
   // 240m code cache starts flushing hot methods, which de-optimizes

@@ -62,34 +62,59 @@ object Retrieval {
         // entry vs 6.2 s isolated — VERDICT r8 item 1). Restricting
         // the full-corpus index to non-query docs is an exact integer
         // derivation, bit-identical to building tf from the corpus.
-        val tf = TextAnalysis.tfIndex(s, dir).filter(!isQuery)
-        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        // dl and the corpus stats are DERIVED from the staged tf
-        // (Σ_term tf ≡ token count) instead of re-tokenizing the
-        // corpus — one tokenize pass feeds everything; docs that
-        // tokenize empty carry no posting and score 0 on every
-        // engine, so defining n/avgdl over posting-bearing docs is
-        // the IR-standard choice and the oracle derives identically
-        val dl = tf.groupBy(col("doc_id"))
-          .agg(sum(col("tf")).cast(LongType).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        // r15 §2 restructure (the q_text_bm25 shape): ONE
+        // data-proportional exchange of the index by doc_id feeds both
+        // contribution passes, the feedback-weight aggregate, and the
+        // df/stats aggregates (ReuseExchange); the bounded query sets
+        // broadcast. The artifact's dl column (Σ_term tf, rev 2)
+        // replaces the former dl shuffle-hash join that exchanged the
+        // EXPANDED Σ_q df(t) contribution stream by doc_id — and
+        // hash(doc_id) satisfies the (query_id, doc_id) grouping, so
+        // the score aggregates are exchange-free too.
+        val tfp = TextAnalysis.tfIndex(s, dir).filter(!isQuery)
+          .repartition(TextAnalysis.postingParts(s), col("doc_id"))
+        val dfq = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // corpus stats DERIVED from the staged tf (dl ≡ Σ_term tf ≡
+        // token count): docs that tokenize empty carry no posting and
+        // score 0 on every engine, so defining n/avgdl over
+        // posting-bearing docs is the IR-standard choice and the
+        // oracle derives identically. max(dl) over a doc's equal
+        // per-row dl values is that doc's dl.
+        val stats = tfp.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
         // weighted BM25 micro-contributions for a (query_id, term, wq)
         // query table — multiplication order wq·idf·tf·2.2/den matches
-        // the oracle SQL text exactly (double · is order-sensitive)
-        def contrib(q: DataFrame): DataFrame = q
-          .join(dfq, "term")
+        // the oracle SQL text exactly (double · is order-sensitive).
+        //
+        // r15 hot-path diet (guide §1.2 step 2): wq only ever takes the
+        // values 1.0 (original terms) and 0.5 (expansion terms), and
+        // multiplying an IEEE-754 chain by an exact power of two at its
+        // HEAD scales every intermediate exactly — rounding commutes
+        // with *2⁻¹ — so round(0.5·idf·tf·…·1e9) ≡ round(0.5·V) where V
+        // is the wq-free chain. Both micro-ints are therefore evaluated
+        // ONCE per posting row (1 log + 2 rounds on |index| rows)
+        // instead of per (query × posting) expansion row (the Σ_q df(t)
+        // fan-out then only picks a precomputed long). Changing the
+        // expansion weight to anything but a power of two would break
+        // this equivalence — RetrievalSpec and the oracle pin it.
+        val cmRows = tfp
+          .join(broadcast(dfq), "term")
           .crossJoin(broadcast(stats))
-          .join(tf, "term")
-          .join(dl.hint("shuffle_hash"), "doc_id")
-          .select(col("query_id"), col("doc_id"),
-            round(col("wq") *
-              log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
-                (col("df").cast(DoubleType) + 0.5)) *
+          .withColumn("v",
+            log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
+              (col("df").cast(DoubleType) + 0.5)) *
               col("tf").cast(DoubleType) * 2.2 /
               (col("tf").cast(DoubleType) +
                 lit(1.2) * (lit(0.25) + lit(0.75) *
                   col("dl").cast(DoubleType) / col("avgdl"))) * 1e9)
-              .cast(LongType).as("cm"))
+          .select(col("doc_id"), col("term"),
+            round(col("v")).cast(LongType).as("cm1"),
+            round(lit(0.5) * col("v")).cast(LongType).as("cmh"))
+        def contrib(q: DataFrame): DataFrame = cmRows
+          .join(broadcast(q), "term")
+          .select(col("query_id"), col("doc_id"),
+            when(col("wq") === 1.0, col("cm1"))
+              .otherwise(col("cmh")).as("cm"))
         val s1 = contrib(qTerms.withColumn("wq", lit(1.0)))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(sum(col("cm")).as("sm"))
@@ -98,10 +123,10 @@ object Retrieval {
         val fb = s1.withColumn("rnk", row_number().over(w1))
           .filter(col("rnk") <= 5)
           .select(col("query_id"), col("doc_id"))
-        // relevance-model expansion weight Σ_fb tf/dl, micro-summed
-        val cand = fb
-          .join(tf, "doc_id")
-          .join(dl, "doc_id")
+        // relevance-model expansion weight Σ_fb tf/dl, micro-summed —
+        // the ≤5·|queries|-row feedback set broadcasts onto the index
+        val cand = tfp
+          .join(broadcast(fb), "doc_id")
           .groupBy(col("query_id"), col("term"))
           .agg(sum(round(col("tf").cast(DoubleType) /
             col("dl").cast(DoubleType) * 1e9).cast(LongType)).as("wm"))

@@ -383,13 +383,41 @@ object TextAnalysis {
                                  dir: String): String =
     graft.Staging.cached(
       s"tf_idx_${graft.Staging.keyOf(dir)}_${graft.Staging.stampOf(dir)}",
-      rev = 1) { tgt =>
-      termFrequencies(s, dir).write.mode("overwrite").parquet(tgt)
+      rev = 2) { tgt =>
+      // rev 2 (r15): the artifact also carries the document length
+      // dl = Σ_term tf — an exact integer derivation of the tf rows
+      // themselves. Every BM25-shaped consumer needs dl per posting
+      // row; joining a separately-aggregated dl table onto the
+      // (query-term × posting) stream forced a full exchange of the
+      // EXPANDED contribution stream by doc_id (measured in the r15
+      // q_text_bm25 plan: Exchange of the Σ_q df(t)-sized join output
+      // below a ShuffledHashJoin). With dl a column of the index, the
+      // attach costs nothing at query time (guide §2.4: remove
+      // shuffles outright).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+      termFrequencies(s, dir)
+        .withColumn("dl", sum(col("tf")).over(w).cast(LongType))
+        .write.mode("overwrite").parquet(tgt)
     }
 
   private[graft] def tfIndex(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(tfIndexPath(s, dir))
+
+  /** EXPLICIT partition count for the posting-index exchange feeding
+    * the (query-set × posting) fan-out. Must be a user-specified count:
+    * AQE freely coalesces a count-free `repartition(col)` of the
+    * ~30 MB index back to 1-2 partitions by size — but the DOWNSTREAM
+    * work per row is the Σ_q df(t) query fan-out, which AQE cannot see
+    * (measured r15: the s1 contribution pass ran 9 tasks / 3.45 s
+    * coalesced vs 198 tasks / 1.49 s at an explicit 2×cores count).
+    * Derived from the session (cluster-sized in production, cores-sized
+    * in the bench), 2× for fan-out balance, never below the session's
+    * shuffle-partition intent. */
+  private[operators] def postingParts(s: org.apache.spark.sql.SparkSession): Int =
+    math.max(2 * s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
 
   private[graft] def bm25Ranking(s: org.apache.spark.sql.SparkSession,
                                  dir: String, qres: Long, topk: Int,
@@ -403,30 +431,45 @@ object TextAnalysis {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("ts"))).as("term"))
     val corpus = docs.filter(!isQuery)
-    // the heavy explode+combine: when fusion staged the full-corpus
-    // tf table, restrict it (tf rows of query docs drop out — an
-    // exact integer derivation, bit-identical to recomputing); the
-    // cheap per-doc lengths/stats stay on the 2-column parquet scan
-    val tf = tfAll.map(_.filter(!isQuery)).getOrElse(
-      corpus
-        .select(col("doc_id"), explode(col("ts")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf")))
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = corpus.select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"))
+    // the heavy explode+combine reads the staged tf-index artifact
+    // (restricted to non-query docs — an exact integer derivation,
+    // bit-identical to recomputing); the artifact's dl column replaces
+    // the former separately-aggregated dl join (oracle-equal: dl =
+    // Σ_term tf ≡ len(ts), and the former inner join dropped nothing
+    // because every tf doc has a length row). The cheap corpus stats
+    // stay on the 2-column parquet scan.
+    val tf = tfAll.getOrElse(tfIndex(s, dir)).filter(!isQuery)
+    // r15 §2 restructure: the POSTING side streams, the bounded query
+    // set broadcasts. The previous shape streamed the ≤|q·terms|-row
+    // query side and broadcast the corpus-sized tf table, so the whole
+    // Σ_q df(t) contribution expansion (and its partial aggregate) ran
+    // on the query scan's 1-2 partitions; the dl shuffle-hash join
+    // then exchanged the EXPANDED stream. Now: one data-proportional
+    // exchange of the index by doc_id up front (which also makes the
+    // (query_id, doc_id) aggregate exchange-free — hash(doc_id)
+    // satisfies the grouping), broadcasts for the vocab-bounded df and
+    // bounded query set, and the expansion runs on every core.
+    val tfp = tf.repartition(postingParts(s), col("doc_id"))
+    val dfq = tfp.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n"),
       avg(size(col("ts"))).as("avgdl"))
-    val contrib = qTerms
-      .join(dfq, "term")
+    // the BM25 contribution depends only on the POSTING row (term df,
+    // row tf, doc dl, corpus stats) — never on which query matched —
+    // so it is evaluated ONCE per index row, before the query-set
+    // join fans the row out to every query containing the term
+    // (guide §1.2 step 2: per-task work off the hot path; the
+    // expression is unchanged, so each row's double is bit-identical)
+    val contrib = tfp
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
-      .join(tf, "term")
-      .join(dl.hint("shuffle_hash"), "doc_id")
       .withColumn("c",
         log(lit(1.0) + (col("n").cast(DoubleType) - col("df") + 0.5) /
           (col("df").cast(DoubleType) + 0.5)) *
           col("tf").cast(DoubleType) * 2.2 /
           (col("tf").cast(DoubleType) +
             lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / col("avgdl"))))
+      .select(col("doc_id"), col("term"), col("c"))
+      .join(broadcast(qTerms), "term")
     val scores = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 4).as("score"))
     val w = org.apache.spark.sql.expressions.Window

@@ -51,8 +51,18 @@ object TextSimilarity {
               col("df").cast(DoubleType))).as("w"))
         .write.mode("overwrite").parquet(tgt)
     }
+    // r15 §2 restructure (the q_text_bm25 shape): the corpus-sized
+    // weights table STREAMS through one data-proportional exchange by
+    // doc_id, the bounded query postings broadcast. The previous form
+    // streamed the ≤|q·terms|-row query side and broadcast the whole
+    // weights table, so the Σ_q df(t) dot expansion and its partial
+    // aggregate ran on the query scan's 1-2 partitions. The shared
+    // doc_id exchange also feeds the norm aggregate (ReuseExchange)
+    // and makes the dots⋈norms join AND the (query_id, doc_id)
+    // aggregate exchange-free — hash(doc_id) satisfies both.
     val weights = s.read.parquet(weightsPath)
-    val norms = weights.groupBy(col("doc_id"))
+    val wp = weights.repartition(TextAnalysis.postingParts(s), col("doc_id"))
+    val norms = wp.groupBy(col("doc_id"))
       .agg(sum(round(col("w") * col("w") * 1e9).cast(LongType))
         .as("norm2_c"))
     val isQuery = pmod(col("doc_id"), lit(100L)) === qres &&
@@ -60,14 +70,17 @@ object TextSimilarity {
     val qPost = weights.filter(isQuery)
       .select(col("doc_id").as("query_id"), col("term"),
         col("w").as("wq"))
-    val dots = qPost.join(weights, "term")
+    val dots = wp.join(broadcast(qPost), "term")
       .where(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(round(col("wq") * col("w") * 1e9).cast(LongType))
         .as("dot_c"))
+    // query-side norms = the norm table restricted to the bounded
+    // query set (same rows as re-aggregating — norm2_c is per-doc)
     val cos = dots
-      .join(norms.select(col("doc_id").as("query_id"),
-        col("norm2_c").as("qn_c")), "query_id")
+      .join(broadcast(norms.filter(isQuery)
+        .select(col("doc_id").as("query_id"),
+          col("norm2_c").as("qn_c"))), "query_id")
       .join(norms.hint("shuffle_hash"), "doc_id")
       .select(col("query_id"), col("doc_id"),
         round((col("dot_c").cast(DoubleType) / 1e9) /
