@@ -25,9 +25,14 @@ object Probe {
 
     val shufW = new LongAdder; val shufR = new LongAdder
     val spillD = new LongAdder; val spillM = new LongAdder
+    val jobs = new LongAdder; val tasks = new LongAdder
     val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.increment()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.increment()
         val m = t.taskMetrics
         if (m != null) {
           shufW.add(m.shuffleWriteMetrics.bytesWritten)
@@ -48,6 +53,7 @@ object Probe {
     val fn = qd.fn
     for (pass <- 1 to 2) {
       shufW.reset(); shufR.reset(); spillD.reset(); spillM.reset()
+      jobs.reset(); tasks.reset()
       peakMem.set(0L)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -61,6 +67,7 @@ object Probe {
         s""""shuffle_read_mb":${shufR.sum() / 1048576},""" +
         s""""spill_disk_mb":${spillD.sum() / 1048576},""" +
         s""""spill_mem_mb":${spillM.sum() / 1048576},""" +
+        s""""jobs":${jobs.sum()},"tasks":${tasks.sum()},""" +
         s""""peak_task_mem_mb":${peakMem.get() / 1048576}}""")
     }
     spark.stop()

@@ -1055,44 +1055,77 @@ object Graph {
               col("m.w").as("w"), col("m.q").as("q")))._1
           if (picks.isEmpty) done = true
           else {
+            if (sys.env.contains("GRAFT_MST_DEBUG"))
+              System.err.println(s"MSTDBG round=$round picks=${picks.count()} edges=${eComp.count()}")
             forest += picks.select(col("u"), col("v"), col("w")).distinct()
             // break the 2-cycles (q∘q = id ⇔ both sides picked the
             // same edge — each merge tree's unique global-min edge):
             // the smaller id becomes the root
             val qmap = picks.select(col("c"), col("q"))
-            var p = Dedup.checkpointCappedStats(qmap.as("a")
+            val broken = qmap.as("a")
               .join(qmap.select(col("c").as("q"), col("q").as("qq")),
                 Seq("q"), "left")
               .select(col("c"),
                 when(coalesce(col("qq"), col("c")) === col("c"),
-                  least(col("c"), col("q"))).otherwise(col("q")).as("p")))._1
-            // true pointer doubling to the roots (p := p∘p compounds
-            // 2^r per jump — O(log chain) rounds)
-            var stable = false
-            var jumps = 0
+                  least(col("c"), col("q"))).otherwise(col("q")).as("p"))
+            // pointer chase to the roots by CHAINED LOOKUPS: one
+            // materialization applies `chainK` successive left-joins
+            // against the SAME one-hop map in a single linear plan —
+            // the broadcast build of the map is deduped by exchange
+            // reuse, so a whole round's chase costs ONE checkpoint +
+            // ONE stability aggregate instead of log₂(depth) pairs
+            // (the r15 probe measured this loop at ~30 scheduler jobs
+            // per round with the join work itself in the milliseconds
+            // — job count, not data, is what the chase pays for). The
+            // first pass chases the 2-cycle-broken pick map directly;
+            // if any pointer is still off-root (depth > chainK+1) the
+            // next pass chases the COMPRESSED map, so coverage grows
+            // ×(chainK+1) per materialization — log_k rounds on the
+            // adversarially-deep chain, one round typically.
+            val chainK = 15
+            def chase(m: DataFrame): DataFrame = {
+              val lookup = m.select(col("c").as("p"), col("p").as("_n"))
+              var t = m
+              for (_ <- 1 until chainK) {
+                t = t.join(lookup, Seq("p"), "left")
+                  .select(col("c"), coalesce(col("_n"), col("p")).as("p"))
+              }
+              t.join(lookup, Seq("p"), "left")
+                .select(col("c"),
+                  coalesce(col("_n"), col("p")).as("np"),
+                  (coalesce(col("_n"), col("p")) =!= col("p"))
+                    .cast("int").as("moved"))
+            }
+            var pm = Dedup.checkpointCappedStats(chase(broken))._1
+            var stable =
+              pm.agg(coalesce(max(col("moved")), lit(0)))
+                .first().getInt(0) == 0
+            var p = pm.select(col("c"), col("np").as("p"))
+            var jumps = 1
             while (!stable) {
               jumps += 1
-              require(jumps <= 40, "pointer doubling must be O(log V)")
-              // the moved? flag rides the jump itself, so stability
-              // costs one tiny aggregate over the already-materialized
-              // table instead of a join against the previous round
-              val pp = Dedup.checkpointCappedStats(p.as("x")
-                .join(p.select(col("c").as("p"), col("p").as("ppv")),
-                  Seq("p"), "left")
-                .select(col("c"),
-                  coalesce(col("ppv"), col("p")).as("np"),
-                  (coalesce(col("ppv"), col("p")) =!= col("p"))
-                    .cast("int").as("moved")))._1
-              stable = pp.agg(coalesce(max(col("moved")), lit(0)))
+              require(jumps <= 40, "pointer chase must be O(log V)")
+              pm = Dedup.checkpointCappedStats(chase(p))._1
+              stable = pm.agg(coalesce(max(col("moved")), lit(0)))
                 .first().getInt(0) == 0
-              p = pp.select(col("c"), col("np").as("p"))
+              p = pm.select(col("c"), col("np").as("p"))
             }
+            if (sys.env.contains("GRAFT_MST_DEBUG"))
+              System.err.println(s"MSTDBG round=$round jumps=$jumps")
             // relabel the surviving edges with the contraction map —
             // p is |components|-sized (NOT force-broadcast: round 1 it
             // can be |V| rows; AQE converts to broadcast at runtime
-            // once it shrinks); merged-away internal edges (new cu =
-            // new cv) leave the loop here, so the dominant table
-            // shrinks monotonically
+            // once it shrinks) — then REDUCE the contracted multigraph
+            // to the min-weight edge per component PAIR (textbook
+            // Borůvka contraction: parallel edges are interchangeable
+            // for connectivity, so only the lightest between two
+            // supernodes can ever be picked or survive into the MSF —
+            // the exchange argument swaps any heavier parallel edge
+            // out). Without this the state table barely shrinks on a
+            // dense graph: the r15 probe measured 1.06M surviving
+            // parallel edges between just 18 components at round 5.
+            // Pair normalized (least, greatest); min(struct) keeps the
+            // original (u, v, w) of the lightest edge for the forest.
             eComp = Dedup.checkpointCappedStats(eComp
               .join(p.select(col("c").as("cu"),
                 col("p").as("ncu")), Seq("cu"), "left")
@@ -1101,7 +1134,12 @@ object Graph {
               .select(coalesce(col("ncu"), col("cu")).as("cu"),
                 coalesce(col("ncv"), col("cv")).as("cv"),
                 col("w"), col("u"), col("v"))
-              .filter(col("cu") =!= col("cv")))._1
+              .filter(col("cu") =!= col("cv"))
+              .groupBy(least(col("cu"), col("cv")).as("cu"),
+                greatest(col("cu"), col("cv")).as("cv"))
+              .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+              .select(col("cu"), col("cv"), col("m.w").as("w"),
+                col("m.u").as("u"), col("m.v").as("v")))._1
           }
         }
         forest.reduce(_ unionAll _)
