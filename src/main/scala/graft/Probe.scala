@@ -27,10 +27,24 @@ object Probe {
     val spillD = new LongAdder; val spillM = new LongAdder
     val jobs = new LongAdder; val tasks = new LongAdder
     val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    // GRAFT_PROBE_JOBS=1: per-job wall breakdown (jobId, ms, tasks) on
+    // stderr — the local-mode stand-in for the UI's Jobs page (§7.1)
+    val jobDetail = sys.env.contains("GRAFT_PROBE_JOBS")
+    val jobStartNs =
+      new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.increment()
+        if (jobDetail) jobStartNs.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (jobDetail) {
+          val t0 = jobStartNs.getOrDefault(j.jobId, 0L)
+          System.err.println(f"PROBEJOB id=${j.jobId} " +
+            f"ms=${(System.nanoTime() - t0) / 1e6}%.0f")
+        }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.increment()
         val m = t.taskMetrics

@@ -1053,10 +1053,15 @@ object Graph {
             .groupBy(col("c")).agg(min(col("m")).as("m"))
             .select(col("c"), col("m.u").as("u"), col("m.v").as("v"),
               col("m.w").as("w"), col("m.q").as("q")))._1
-          if (picks.isEmpty) done = true
+          // both counts are one cheap scan each of a just-materialized
+          // checkpoint; picksCnt doubles as the loop-exit test and
+          // both feed the reduce-gate below
+          val picksCnt = picks.count()
+          if (picksCnt == 0L) done = true
           else {
+            val edgeCnt = eComp.count()
             if (sys.env.contains("GRAFT_MST_DEBUG"))
-              System.err.println(s"MSTDBG round=$round picks=${picks.count()} edges=${eComp.count()}")
+              System.err.println(s"MSTDBG round=$round picks=$picksCnt edges=$edgeCnt")
             forest += picks.select(col("u"), col("v"), col("w")).distinct()
             // break the 2-cycles (q∘q = id ⇔ both sides picked the
             // same edge — each merge tree's unique global-min edge):
@@ -1126,7 +1131,15 @@ object Graph {
             // parallel edges between just 18 components at round 5.
             // Pair normalized (least, greatest); min(struct) keeps the
             // original (u, v, w) of the lightest edge for the forest.
-            eComp = Dedup.checkpointCappedStats(eComp
+            // GATED on pairs-space < edges (picks ≥ #components, so
+            // picksCnt²/2 bounds the reduced size): early rounds have
+            // nearly-unique pairs and the reduce is a multi-million-
+            // group hash aggregate that shrinks nothing (measured
+            // +50 s at the 10× probe when unconditional) — once the
+            // bound crosses, one reduce collapses the table for every
+            // later round (10×: round-5 2,904 edges vs 10.4M
+            // un-reduced).
+            val relabeled = eComp
               .join(p.select(col("c").as("cu"),
                 col("p").as("ncu")), Seq("cu"), "left")
               .join(p.select(col("c").as("cv"),
@@ -1135,11 +1148,16 @@ object Graph {
                 coalesce(col("ncv"), col("cv")).as("cv"),
                 col("w"), col("u"), col("v"))
               .filter(col("cu") =!= col("cv"))
-              .groupBy(least(col("cu"), col("cv")).as("cu"),
-                greatest(col("cu"), col("cv")).as("cv"))
-              .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-              .select(col("cu"), col("cv"), col("m.w").as("w"),
-                col("m.u").as("u"), col("m.v").as("v")))._1
+            val reduceNow =
+              picksCnt.toDouble * picksCnt / 2 < edgeCnt.toDouble
+            eComp = Dedup.checkpointCappedStats(
+              if (!reduceNow) relabeled
+              else relabeled
+                .groupBy(least(col("cu"), col("cv")).as("cu"),
+                  greatest(col("cu"), col("cv")).as("cv"))
+                .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+                .select(col("cu"), col("cv"), col("m.w").as("w"),
+                  col("m.u").as("u"), col("m.v").as("v")))._1
           }
         }
         forest.reduce(_ unionAll _)
