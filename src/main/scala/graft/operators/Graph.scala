@@ -1063,12 +1063,24 @@ object Graph {
             if (sys.env.contains("GRAFT_MST_DEBUG"))
               System.err.println(s"MSTDBG round=$round picks=$picksCnt edges=$edgeCnt")
             forest += picks.select(col("u"), col("v"), col("w")).distinct()
+            // the one-hop maps and the contraction map are
+            // ≤ picksCnt rows — once that is DRIVER-KNOWN bounded,
+            // force broadcast so the chase is one map-only stage and
+            // the relabel never exchanges the edge table (capped-stats
+            // checkpoints erase size estimates, so AQE plans these as
+            // SMJ otherwise: 2 sorts + 2 exchanges of the full edge
+            // list per round, measured the dominant round cost at the
+            // 10× probe). Above the bound (a 100 TB round-1 map can be
+            // |V| rows) fall back to the planner's choice.
+            val bcastMap = picksCnt <= 2000000L
+            def mapSide(m: DataFrame): DataFrame =
+              if (bcastMap) broadcast(m) else m
             // break the 2-cycles (q∘q = id ⇔ both sides picked the
             // same edge — each merge tree's unique global-min edge):
             // the smaller id becomes the root
             val qmap = picks.select(col("c"), col("q"))
             val broken = qmap.as("a")
-              .join(qmap.select(col("c").as("q"), col("q").as("qq")),
+              .join(mapSide(qmap.select(col("c").as("q"), col("q").as("qq"))),
                 Seq("q"), "left")
               .select(col("c"),
                 when(coalesce(col("qq"), col("c")) === col("c"),
@@ -1089,7 +1101,8 @@ object Graph {
             // adversarially-deep chain, one round typically.
             val chainK = 15
             def chase(m: DataFrame): DataFrame = {
-              val lookup = m.select(col("c").as("p"), col("p").as("_n"))
+              val lookup =
+                mapSide(m.select(col("c").as("p"), col("p").as("_n")))
               var t = m
               for (_ <- 1 until chainK) {
                 t = t.join(lookup, Seq("p"), "left")
@@ -1118,9 +1131,9 @@ object Graph {
             if (sys.env.contains("GRAFT_MST_DEBUG"))
               System.err.println(s"MSTDBG round=$round jumps=$jumps")
             // relabel the surviving edges with the contraction map —
-            // p is |components|-sized (NOT force-broadcast: round 1 it
-            // can be |V| rows; AQE converts to broadcast at runtime
-            // once it shrinks) — then REDUCE the contracted multigraph
+            // p is |components|-sized (mapSide-broadcast under the
+            // driver-known picksCnt bound, planner's choice above it)
+            // — then REDUCE the contracted multigraph
             // to the min-weight edge per component PAIR (textbook
             // Borůvka contraction: parallel edges are interchangeable
             // for connectivity, so only the lightest between two
@@ -1140,10 +1153,10 @@ object Graph {
             // later round (10×: round-5 2,904 edges vs 10.4M
             // un-reduced).
             val relabeled = eComp
-              .join(p.select(col("c").as("cu"),
-                col("p").as("ncu")), Seq("cu"), "left")
-              .join(p.select(col("c").as("cv"),
-                col("p").as("ncv")), Seq("cv"), "left")
+              .join(mapSide(p.select(col("c").as("cu"),
+                col("p").as("ncu"))), Seq("cu"), "left")
+              .join(mapSide(p.select(col("c").as("cv"),
+                col("p").as("ncv"))), Seq("cv"), "left")
               .select(coalesce(col("ncu"), col("cu")).as("cu"),
                 coalesce(col("ncv"), col("cv")).as("cv"),
                 col("w"), col("u"), col("v"))
