@@ -36,7 +36,17 @@ object Probe {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.increment()
-        if (jobDetail) jobStartNs.put(j.jobId, System.nanoTime())
+        if (jobDetail) {
+          jobStartNs.put(j.jobId, System.nanoTime())
+          val props = Option(j.properties)
+          val d = props
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .orElse(props.flatMap(p =>
+              Option(p.getProperty("spark.job.description"))))
+            .getOrElse("")
+          System.err.println(
+            s"PROBEJOBSTART id=${j.jobId} desc=${d.take(160)}")
+        }
       }
       override def onJobEnd(
           j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

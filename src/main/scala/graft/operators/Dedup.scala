@@ -1323,9 +1323,14 @@ object Dedup {
         // build side, so the whole verify pipeline is map-only and
         // would otherwise inherit the parquet scan's 1-2 partitions —
         // the DP verifier then runs on 2 of 32 cores (measured 5 s of
-        // levenshtein at the 10× probe; ~0.5 s spread)
+        // levenshtein at the 10× probe; ~0.5 s spread). EXPLICIT count
+        // (r15): AQE coalesces a count-free repartition(col) of the
+        // small doc features back to ~1 partition by SIZE, and the
+        // per-row DP cost downstream is invisible to it — measured
+        // 14 tasks / 4.9 s warm pass coalesced (the two verify jobs
+        // single-task at 1.7 s each) vs an explicit 2×cores spread
         val b = Tables.documents(s, dir)
-          .repartition(col("doc_id"))
+          .repartition(TextAnalysis.postingParts(s), col("doc_id"))
           .select(
             col("doc_id"), substring(col("text"), 1, 80).as("pfx"),
             col("lang"),

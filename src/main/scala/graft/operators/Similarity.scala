@@ -738,12 +738,27 @@ object Similarity {
     * above it the cell-bounded candidate pipeline takes over. */
   val ClusterBruteMaxN = 10000L
 
+  private val clusterGroupsReady =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Per-vector cluster assignment (vec_id, cluster_id) — the CC half
     * of [[embedClustersPlan]], exposed so the spec can force the cells
     * path (`bruteMax = 0`) and prove membership refinement against the
-    * brute clustering. */
+    * brute clustering. Memoized per (corpus, bruteMax) and
+    * checkpointed — the pqModel within-run pattern: two declared
+    * queries consume the identical assignment (q_embed_clusters,
+    * q_embed_cluster_labels), and each was re-running the probe
+    * training + candidate cosines + the CC loop (~60 scheduler jobs)
+    * from scratch (r15 probe: q_embed_cluster_labels 58 jobs / 61
+    * tasks — job-count-bound, 2 MB of shuffle). */
   def embedClusterGroups(s: SparkSession, dir: String,
-                         bruteMax: Long = ClusterBruteMaxN): DataFrame = {
+                         bruteMax: Long = ClusterBruteMaxN): DataFrame =
+    clusterGroupsReady.computeIfAbsent(
+      s"$dir@${graft.Staging.stampOf(dir)}#$bruteMax",
+      _ => embedClusterGroupsUncached(s, dir, bruteMax).localCheckpoint())
+
+  private def embedClusterGroupsUncached(s: SparkSession, dir: String,
+                         bruteMax: Long): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
     val n = e.count()
