@@ -301,9 +301,22 @@ object Dedup {
     val k = seeds.length
     def chunkOf(sig: org.apache.spark.sql.Column, c: Int) =
       shiftrightunsigned(sig, c * 16).bitwiseAND(0xFFFFL)
-    val sh = docs.select(col("doc_id"),
-      array(seeds.map(s =>
-        graft.functions.SimHash64(col(textCol), s)): _*).as("sigs"))
+    // fingerprint ONCE, spread, and pin: the banded self-join below is
+    // broadcast + map-only, so without the explicit exchange the whole
+    // pipeline inherits the parquet scan's 1-2 partitions AND both
+    // join sides re-run the k-seed SimHash over the full text (r15
+    // probe: 5 tasks, zero shuffle, 3.2 s warm — ~all of it
+    // single-core fingerprinting, twice). The checkpoint makes the
+    // fingerprints compute exactly once; the explicit 2×cores count is
+    // the er_blocked/posting-index rule (AQE would coalesce a
+    // count-free spread of the small sig table right back by size).
+    val sh = docs
+      .repartition(TextAnalysis.postingParts(docs.sparkSession),
+        col("doc_id"))
+      .select(col("doc_id"),
+        array(seeds.map(s =>
+          graft.functions.SimHash64(col(textCol), s)): _*).as("sigs"))
+      .localCheckpoint()
     val chunked = sh
       .select(col("doc_id"), col("sigs"),
         posexplode(col("sigs")).as(Seq("tbl", "sig")))
@@ -590,6 +603,29 @@ object Dedup {
     }
   }
 
+  private val dupGroupsReady =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, group_id) labels: connected components over the
+    * df-capped ngram-Jaccard pair graph — memoized per corpus and
+    * checkpointed (the pqModel within-run pattern): q_dedup_groups and
+    * q_dedup_keeper consume the IDENTICAL labeling and were each
+    * re-running the pair join plus the convergence-driven CC loop
+    * (r15; q_pipeline_curation's CC runs on a filtered survivor index,
+    * a different input, so it keeps its own). */
+  private def ngramDupGroups(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    dupGroupsReady.computeIfAbsent(
+      s"$dir@${graft.Staging.stampOf(dir)}", _ => {
+        val pairs = ngramJaccardPairsFrom(shingleIndex(s, dir),
+          maxDf = 64, minJaccard = 0.5)
+        connectedComponents(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          pairs, "doc_a", "doc_b")
+          .withColumnRenamed("label", "group_id")
+          .localCheckpoint()
+      })
+
   val defs: Seq[QueryDef] = Seq(
 
     // B45 — exact content dedup via digest (one shuffle on md5).
@@ -637,12 +673,7 @@ object Dedup {
     QueryDef(
       "q_dedup_groups",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val pairs = ngramJaccardPairsFrom(shingleIndex(s, dir), maxDf = 64,
-          minJaccard = 0.5)
-        val groups = connectedComponents(
-          docs.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
-          .withColumnRenamed("label", "group_id")
+        val groups = ngramDupGroups(s, dir)
         val sizes = groups.groupBy(col("group_id"))
           .agg(count(lit(1)).as("n_in_group"))
         groups.join(sizes, "group_id")
@@ -688,11 +719,7 @@ object Dedup {
       "q_dedup_keeper",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = ngramJaccardPairsFrom(shingleIndex(s, dir), maxDf = 64,
-          minJaccard = 0.5)
-        val groups = connectedComponents(
-          docs.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
-          .withColumnRenamed("label", "group_id")
+        val groups = ngramDupGroups(s, dir)
         val scored = groups.join(
           docs.select(col("doc_id"),
             size(array_distinct(TextFns.tokens(col("text"))))

@@ -1404,9 +1404,18 @@ object Similarity {
         // the recall knob.
         // one count serves both the cell sizing and the training cap
         val n = e.count()
+        // EXPLICIT cell_id spread on the shared probe table (r15): the
+        // checkpointed assignment is ~60 MB at sf0.1, so AQE coalesces
+        // every downstream exchange to 1-2 partitions by size while
+        // the ~24M candidate cosines behind the cell join are per-row
+        // work it cannot see (measured 31 jobs / 32 tasks — the whole
+        // search single-task). One user-specified exchange feeds BOTH
+        // join sides (ReuseExchange), so the candidate join is
+        // co-partitioned with no further shuffle.
         val probed = ivfProbeAssign(e, "vec_id", "embedding",
           nCells = ivfCellsFor(n),
           trainIters = 3, nProbe = 6, corpusN = n).localCheckpoint()
+          .repartition(TextAnalysis.postingParts(s), col("cell_id"))
         val a = probed.select(col("cell_id"), col("vec_id").as("qid"),
           col("embedding").as("qvec"))
         val b = probed.filter(col("probe_rank") === 1)
