@@ -17,7 +17,6 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.build(s"local[$cpus]", cpus.toInt)
@@ -68,6 +67,9 @@ object Probe {
       }
     })
 
+    // several names probe sequentially in ONE JVM (amortizes the
+    // ~10-40 s session/JIT warm-up per measurement batch)
+    for (name <- args) {
     val qd = Registry.byName(name)
     // measure the PRODUCTION posture: apply the QueryDef's partition
     // hint exactly as the SparkEntry wrapper does (r12) — without this
@@ -93,6 +95,7 @@ object Probe {
         s""""spill_mem_mb":${spillM.sum() / 1048576},""" +
         s""""jobs":${jobs.sum()},"tasks":${tasks.sum()},""" +
         s""""peak_task_mem_mb":${peakMem.get() / 1048576}}""")
+    }
     }
     spark.stop()
   }

@@ -210,6 +210,8 @@ object Functions {
       exprs => ThetaSketchAgg(exprs(0))),
     ("pq_argmin", classOf[PqArgmin],
       exprs => PqArgmin(exprs(0), exprs(1))),
+    ("jl_project", classOf[JlProject],
+      exprs => JlProject(exprs(0))),
     ("pack_sorted", classOf[PackSortedLongs],
       exprs => PackSortedLongs(exprs(0))),
     ("packed_intersect_count", classOf[PackedIntersectCount],

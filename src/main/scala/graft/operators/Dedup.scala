@@ -443,6 +443,16 @@ object Dedup {
     val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     var (labels, labelsCk) = checkpointCappedStats(
       nodes.select(col(idCol).as("id"), col(idCol).as("label")))
+    // the label table is |V| rows for the whole loop — once that is
+    // DRIVER-KNOWN bounded (one count of the materialized checkpoint),
+    // force broadcast on both per-round joins: capped-stats leaves
+    // erase size estimates, so the planner otherwise runs each round's
+    // tiny-map joins as SortMergeJoin — two sorts plus exchanges per
+    // round of job overhead (the r15 MST chase lesson). Above the
+    // bound the planner keeps its choice (100 TB posture).
+    val bcastMaps = labels.count() <= 2000000L
+    def mapSide(m: DataFrame): DataFrame =
+      if (bcastMaps) org.apache.spark.sql.functions.broadcast(m) else m
     var prevSum = Option.empty[Long]
     var converged = false
     var rounds = 0
@@ -456,7 +466,8 @@ object Dedup {
           s"connectedComponents failed to converge in $maxRounds rounds")
       rounds += 1
       val nbr = sym
-        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .join(mapSide(labels.select(col("id").as("src"), col("label"))),
+          "src")
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
         .select(col("dst").as("id"), col("nbr_label"))
       // checkpoint once: stepped feeds BOTH sides of the doubling
@@ -469,8 +480,8 @@ object Dedup {
       // pointer doubling: a label is always some node's id (min over
       // ids), so look up the label THAT node holds and take the min —
       // left join + coalesce only as NULL hygiene
-      val parent = stepped
-        .select(col("id").as("p_id"), col("label").as("p_label"))
+      val parent = mapSide(stepped
+        .select(col("id").as("p_id"), col("label").as("p_label")))
       val prevCk = labelsCk
       val next = checkpointCappedStats(
         stepped.join(parent, stepped("label") === parent("p_id"), "left")

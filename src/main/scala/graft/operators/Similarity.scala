@@ -1928,40 +1928,40 @@ object Similarity {
     QueryDef(
       "q_embed_rp",
       (s, dir) => {
-        val k = 16; val d = 64
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val sgn: Array[Long] = Array.tabulate(k * d) { idx =>
-          val h = md.digest(s"${idx / d}_${idx % d}".getBytes("UTF-8"))
-          if (((h(0) >> 4) & 1) == 0) 1L else -1L // even hex nibble → +1
-        }
-        // The matrix is a DRIVER-SIDE CONSTANT, so the projection is
-        // UNROLLED into static codegen'd integer arithmetic instead of
-        // a higher-order fold: HOF lambdas are CodegenFallback and ran
-        // ~1 µs/step interpreted (1024 steps/row — measured 24.5 s on
-        // the 10× probe; the unrolled form runs the same math in
-        // whole-stage codegen). Association is free to differ from the
-        // oracle's sequential fold because the sums are exact BIGINTs;
-        // the ONE double fold (‖y‖²) keeps left-association, which is
-        // IEEE-identical to DuckDB's 0.0-seeded list_reduce. Projects
-        // are staged m/q → y → outputs; each stage's outputs are
-        // non-cheap multi-ref, so CollapseProject keeps them single-eval.
+        val k = 16 // the ±1 sign matrix lives in functions.JlOps.signs
+                   // (same md5 first-nibble parity derivation, which
+                   // the SQL oracle rebuilds)
+        // Form history, all value-identical: HOF fold ~1 µs/step
+        // interpreted (24.5 s at the 10× probe, r8) → 1024-term static
+        // unroll (runs inside whole-stage codegen, but the stage's
+        // Janino compilation became the wall). Association is free to
+        // differ from the oracle's sequential fold because y/xq are
+        // exact BIGINTs; the ONE double fold (‖y‖²) keeps
+        // left-association, IEEE-identical to DuckDB's 0.0-seeded
+        // list_reduce.
+        // r15: the projection is ONE native codegen expression
+        // (jl_project → static JlOps.project call, the r13 ladder):
+        // the previous 1024-term static unroll executed fine but its
+        // generated stage was enormous and the query's wall was Janino
+        // COMPILATION (2.26 s warm probe, 4 tasks; a repartition
+        // spread measured WORSE, 4.30 s — two huge stages compiling).
+        // JlProjectSpec pins bit-identical values vs the unrolled
+        // arithmetic on the real corpus; y/xq are exact BIGINT sums so
+        // accumulation order is free.
+        // explicit spread: the single-file scan otherwise runs the
+        // whole projection + the sort sampler on 1-2 tasks; with the
+        // native expression the exchange's extra codegen stage is
+        // small, so the spread now pays (it did NOT with the unrolled
+        // form — two huge stages compiled)
         val e = Tables.embeddings(s, dir)
-        val mCols = (0 until d).map(i => expr(
-          s"CAST(round(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) " +
-            "* 1e9) AS BIGINT)").as(s"m_$i"))
-        val qCols = (0 until d).map(i => expr(
-          s"CAST(round(CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * " +
-            s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE) * 1e9) " +
-            "AS BIGINT)").as(s"q_$i"))
-        val staged = e.select((col("vec_id") +: mCols) ++ qCols: _*)
-        val yCols = (0 until k).map { j =>
-          (0 until d).map(i =>
-            if (sgn(j * d + i) > 0L) col(s"m_$i") else -col(s"m_$i"))
-            .reduce(_ + _).as(s"y_$j")
-        }
-        val xq = (0 until d).map(i => col(s"q_$i")).reduce(_ + _)
-          .as("xq_micro")
-        val proj = staged.select((col("vec_id") +: yCols) :+ xq: _*)
+          .repartition(TextAnalysis.postingParts(s), col("vec_id"))
+        val proj = e.select(col("vec_id"),
+            call_function("jl_project", col("embedding")).as("r"))
+          .select(
+            (col("vec_id") +:
+              (0 until k).map(j =>
+                element_at(col("r.ys"), j + 1).as(s"y_$j"))) :+
+              col("r.xq").as("xq_micro"): _*)
         val yDbl = (0 until k).map(j =>
           col(s"y_$j").cast("double") / 1e9 / 4.0)
         proj.select(col("vec_id"),
