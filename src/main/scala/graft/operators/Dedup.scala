@@ -876,7 +876,6 @@ object Dedup {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
           .withColumn("nrm", VectorFns.l2Norm(col("embedding")))
-        val n = e.count()
         // multi-probe membership (each vector lives in its nProbe=4
         // nearest cells for CANDIDATE generation): single-assignment
         // SemDeDup misses near-dup pairs that straddle a Voronoi
@@ -889,17 +888,11 @@ object Dedup {
         // near-dup rows reach the distinct — candidate dedup never
         // holds pair state.
         // each row carries `psig`, the vector's full sorted probed-cell
-        // set (3 longs) — the window reuses the rank's per-vector
-        // partitioning, so the signature costs no extra exchange
-        val wSig = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-        val probes = Similarity.ivfProbeAssign(
-            e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-            nCells = Similarity.ivfCellsFor(n), trainIters = 2, nProbe = 4,
-            corpusN = n)
-          .withColumn("psig", sort_array(collect_list(col("cell_id")).over(wSig)))
-          .select(col("vec_id"), col("cell_id"), col("probe_rank"), col("psig"))
-          .localCheckpoint()
+        // set — the window reuses the rank's per-vector partitioning,
+        // so the signature costs no extra exchange. The probe table is
+        // the memoized shared artifact (Similarity.semanticProbes —
+        // the cluster-assignment builder runs the identical quantizer)
+        val probes = Similarity.semanticProbes(s, dir)
         val assigned = probes.filter(col("probe_rank") === 1L)
           .select(col("vec_id"), col("cell_id"))
         // emit-once (the 30×-probe lesson applied at birth): a pair

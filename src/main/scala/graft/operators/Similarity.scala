@@ -738,6 +738,34 @@ object Similarity {
     * above it the cell-bounded candidate pipeline takes over. */
   val ClusterBruteMaxN = 10000L
 
+  private val semProbesReady =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The 4-probe cell assignment (vec_id, cell_id, probe_rank, psig)
+    * over the √n-cell trained quantizer — memoized per corpus and
+    * checkpointed (the pqModel within-run pattern): q_dedup_semantic
+    * and the cluster-assignment builder below run the IDENTICAL
+    * trained quantizer + probe ranking + signature window and were
+    * each paying the Lloyd training and n·nCells assignment pass from
+    * scratch (r15). psig is the sorted probed-cell set that powers
+    * emit-once candidate dedup at the smallest shared cell. */
+  def semanticProbes(s: SparkSession, dir: String): DataFrame =
+    semProbesReady.computeIfAbsent(
+      s"$dir@${graft.Staging.stampOf(dir)}", _ => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val n = e.count()
+        val wSig = Window.partitionBy(col("vec_id"))
+        ivfProbeAssign(e, "vec_id", "embedding",
+            nCells = ivfCellsFor(n), trainIters = 2, nProbe = 4,
+            corpusN = n)
+          .withColumn("psig",
+            sort_array(collect_list(col("cell_id")).over(wSig)))
+          .select(col("vec_id"), col("cell_id"), col("probe_rank"),
+            col("psig"))
+          .localCheckpoint()
+      })
+
   private val clusterGroupsReady =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -777,15 +805,11 @@ object Similarity {
       // multi-probe cell candidates with emit-once dedup at the
       // smallest shared cell — q_dedup_semantic's pipeline (see the
       // 30×-probe rationale there); vectors re-attach via
-      // shuffle-hash joins so no sort ever carries a wide row
-      val wSig = Window.partitionBy(col("vec_id"))
-      val probes = ivfProbeAssign(
-          e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-          nCells = ivfCellsFor(n), trainIters = 2, nProbe = 4, corpusN = n)
-        .withColumn("psig",
-          sort_array(collect_list(col("cell_id")).over(wSig)))
+      // shuffle-hash joins so no sort ever carries a wide row. The
+      // probe table itself is the shared memoized artifact
+      // (semanticProbes — identical quantizer/params as the dedup).
+      val probes = semanticProbes(s, dir)
         .select(col("vec_id"), col("cell_id"), col("psig"))
-        .localCheckpoint()
       val cand = probes
         .select(col("cell_id"), col("vec_id").as("vec_a"),
           col("psig").as("asig"))
